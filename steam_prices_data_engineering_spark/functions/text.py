@@ -1,0 +1,135 @@
+"""Text-analysis expression builders (north-star extension, SURVEY.md §2b).
+
+All pure Column expressions over `documents.text` (space-separated tokens):
+tokenization, shingling, quality scoring, language scoring, fingerprinting.
+No UDFs — each builder compiles to JVM-side higher-order-function expressions
+(`transform`/`aggregate`/`filter`), which keep the hot path inside codegen and
+scale linearly with input splits (no shuffle is introduced by any of them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for quality scoring (public knowledge; the
+# fixture vocabulary is ~31 tokens so a short list suffices).
+STOPWORDS = ("the", "a")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.size(t)
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(t)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (order-sensitive), for near-dup detection.
+
+    `transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(tokens,i,n)))`
+    — empty array when the document has fewer than n tokens.
+    """
+    t = tokens(text)
+    return F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def token_hash(tok: Column) -> Column:
+    """Cheap deterministic arithmetic token hash, reproducible in ANSI SQL
+    (used by the oracle-checkable MinHash): length*961 + 31*first_char +
+    last_char. Weak on purpose — collision behavior is identical in both
+    engines, which is what the correctness contract needs."""
+    return (
+        F.length(tok) * 961
+        + F.ascii(F.substring(tok, 1, 1)) * 31
+        + F.ascii(F.substring(tok, -1, 1))
+    ).cast("long")
+
+
+SHINGLE_HASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def token_hash_array(text: Column) -> Column:
+    """Per-token arithmetic hashes for a document."""
+    return F.transform(tokens(text), token_hash)
+
+
+def shingle_hash_array(th: Column, n: int = 3) -> Column:
+    """Hashes of word n-grams composed from the token-hash array (no string
+    materialization): h = ((th[i]*8191 + th[i+1]) % P) * 8191 + th[i+2] % P.
+
+    Composing from token hashes keeps the shingle-hash space near-injective
+    even though the token hash itself is weak (tokens are few; shingle
+    strings are many) — this is what keeps MinHash-LSH candidate counts at
+    the true near-dup rate instead of hash-collision noise. Reproducible in
+    SQL via list indexing."""
+    assert n == 3, "fixture pipeline uses 3-gram shingles"
+    p = F.lit(SHINGLE_HASH_PRIME)
+    return F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: F.pmod(
+                F.pmod(F.element_at(th, i) * 8191 + F.element_at(th, i + 1), p)
+                * 8191
+                + F.element_at(th, i + 2),
+                p,
+            ),
+        )
+    )
+
+
+def fingerprint_from_hashes(hashes: Column) -> Column:
+    """Rolling fingerprint over a precomputed token-hash array (stage the
+    array once when combining with other hash consumers, e.g. simhash)."""
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(FINGERPRINT_MOD)),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint: polynomial hash over
+    per-token arithmetic hashes, mod 1e9+7. Reproducible in DuckDB via
+    list_reduce, so it is oracle-checkable."""
+    return fingerprint_from_hashes(F.transform(tokens(text), token_hash))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards lexical diversity, penalizes
+    stopword density and extreme length. Heuristic, but deterministic and
+    SQL-expressible."""
+    n = token_count(text).cast("double")
+    diversity = distinct_token_ratio(text)
+    stop = stopword_ratio(text)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.lit(0.5) * diversity + F.lit(0.3) * (1 - stop) + F.lit(0.2) * length_term

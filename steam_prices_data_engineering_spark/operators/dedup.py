@@ -1,0 +1,247 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2b).
+
+Four tiers, all shuffle-conscious:
+
+- exact_dedup: hash groupBy on the dedup key; keeps min(id) deterministically.
+  One shuffle on the key — at 100 TB this is the unavoidable minimum and AQE
+  handles skewed keys.
+- ngram_jaccard_pairs: blocked n-gram-shingle Jaccard. Candidate generation
+  is an equi-join on a cheap blocking key (lang + coarse length band) so the
+  cross product never materializes; verification is expression-level
+  array_intersect/array_union on distinct shingles.
+- minhash_lsh_pairs: deterministic arithmetic MinHash + banded LSH. The
+  signature is computed with universal-hash functions over an arithmetic
+  token hash (functions/text.py:token_hash), which makes the WHOLE pipeline
+  reproducible in ANSI SQL — the DuckDB oracle can check LSH candidate
+  generation itself, not just the final verify step. Candidates join on band
+  equality (equi shuffle join, never a cross product).
+- simhash: 64-bit-ish simhash over token hashes via bit-majority, expressed
+  with explode + groupBy (documented here, exposed through plans/registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+
+from ..functions.text import shingles, token_hash, tokens
+
+# Universal-hash parameters for MinHash: (a, b) pairs, h_i(x) = (a*x + b) mod P.
+# Fixed constants so Spark and the SQL oracle agree bit-for-bit.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1_000_003, 12_345),
+    (999_983, 54_321),
+    (1_299_709, 98_765),
+    (1_145_141, 19_191),
+    (611_953, 777_777),
+    (386_093, 222_222),
+    (821_641, 333_333),
+    (104_729, 444_444),
+)
+# Bands of 2 rows each -> 4 bands from 8 signatures (b=4, r=2): catches
+# pairs with Jaccard >~ (1/4)^(1/2) = 0.5 with good probability.
+MINHASH_BAND_ROWS = 2
+
+
+def exact_dedup_groups(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """One row per distinct key: deterministic keeper id + multiplicity."""
+    return df.groupBy(key_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly the min-id row per key group (deterministic, unlike
+    dropDuplicates whose survivor depends on partition order)."""
+    w_min = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(w_min, key_cols + [id_col], "inner")
+
+
+def _jaccard(sh_a: F.Column, sh_b: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_width: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard within blocking buckets
+    (lang + coarse n_chars band — an equi-join, so Catalyst plans a
+    shuffled hash/sort-merge join, never a cross product).
+
+    Shingle sets are materialized ONCE per document before the self-join
+    (not per candidate pair): at N docs with P pairs the shingle compute is
+    O(N), and the join shuffles the arrays instead of re-deriving them P
+    times — the dominant cost at scale.
+
+    Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
+    """
+    prepped = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / band_width).alias("blk"),
+        F.array_distinct(shingles(F.col("text"), n)).alias("sh"),
+    )
+    left = prepped.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang").alias("lang"),
+        F.col("blk").alias("blk"),
+        F.col("sh").alias("sh_a"),
+    )
+    right = prepped.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang"),
+        F.col("blk").alias("blk"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = left.join(right, ["lang", "blk"]).filter(
+        F.col("doc_id_a") < F.col("doc_id_b")
+    )
+    return (
+        pairs.withColumn("jaccard", dround(_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def _universal(a: int, b: int):
+    # closure factory: PySpark introspects lambda arity, so default-arg
+    # lambdas (x, a=a, b=b) would be mistaken for ternary lambdas
+    return lambda x: F.pmod(x * a + b, F.lit(MINHASH_PRIME))
+
+
+def minhash_signature(text_col: F.Column) -> list[F.Column]:
+    """MinHash signature columns over distinct word-3-gram shingle hashes.
+
+    NOTE: each returned column re-derives the shingle/hash chain; prefer
+    `minhash_lsh_pairs`, which stages the chain once per doc through
+    explicit projections (Catalyst's CollapseProject would otherwise inline
+    the expensive transform 8x)."""
+    sh = F.array_distinct(shingles(text_col, 3))
+    hashes = F.transform(sh, token_hash)
+    return [
+        F.array_min(F.transform(hashes, _universal(a, b))) for a, b in MINHASH_PARAMS
+    ]
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup: signature -> bands -> band-equality join ->
+    exact Jaccard verify. Fully deterministic (see module docstring).
+
+    Scale: the only shuffles are (a) the explode of 4 band rows per doc and
+    (b) the equi-join on (band_idx, band_key) — standard LSH cost model.
+    """
+    # Stage the chain text -> token hashes -> shingle hashes -> 8 signatures
+    # through explicit projections so each step is computed once per doc:
+    # Catalyst's CollapseProject keeps multi-consumer non-cheap expressions
+    # staged instead of inlining, so `hs` is evaluated once, not 8x (the
+    # naive single-projection form re-derives the whole chain per signature
+    # column — measured ~10x slower at sf0.1). Shingle hashes are composed
+    # from token hashes (near-injective; see functions/text.py) — a weak
+    # direct shingle-string hash collapses the space and explodes the LSH
+    # candidate count ~100x.
+    from ..functions.text import shingle_hash_array, token_hash_array
+
+    tokenized = docs.select(
+        "doc_id", token_hash_array(F.col("text")).alias("th")
+    )
+    # Cached on purpose: the signature explode and BOTH sides of the verify
+    # join consume this table; without persistence the tokenize+shingle
+    # chain re-executes once per consumer (3 full corpus passes). At real
+    # scale this is the standard "persist the signature/sketch table" stage
+    # of an LSH pipeline.
+    hashed = tokenized.select(
+        "doc_id",
+        F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
+    ).cache()
+    # Signature minima via explode + groupBy(min), NOT array_min(transform):
+    # Spark higher-order functions evaluate lambdas interpreted (outside
+    # whole-stage codegen) — 8 transform passes over every shingle hash
+    # measured ~20s at sf0.1, vs <1s for the relational form, whose
+    # min-aggregates are codegen'd and map-side combined (shuffle output is
+    # just docs x 8 longs). Docs with <3 tokens have no shingles, vanish in
+    # the explode, and are excluded (mirrored by `WHERE s1 IS NOT NULL` in
+    # the SQL oracle).
+    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * a + b, F.lit(MINHASH_PRIME))).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
+        ]
+    )
+
+    n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
+    band_cols = []
+    for bi in range(n_bands):
+        lo = bi * MINHASH_BAND_ROWS + 1
+        parts = [F.col(f"s{j}") for j in range(lo, lo + MINHASH_BAND_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *[p.cast("string") for p in parts]).alias("band_key"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    left = banded.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_key")
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    # Verification computes exact Jaccard over the HASHED shingle sets
+    # (cached above): identical semantics to string shingles up to 2^-31
+    # hash collisions, and both engines hash identically so the oracle
+    # match is exact regardless.
+    sh_a = hashed.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("sh_a")
+    )
+    sh_b = hashed.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("sh_b")
+    )
+    verified = cand.join(sh_a, "doc_id_a").join(sh_b, "doc_id_b")
+    return (
+        verified.withColumn("jaccard", dround(_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash_from_hashes(hashes: F.Column, bits: int = 16) -> F.Column:
+    """SimHash over a precomputed token-hash array: per-bit majority vote,
+    expression-only.
+
+    For each bit position, count tokens whose hash has that bit set; the
+    fingerprint sets the bit when the count exceeds half the tokens.
+    bits=16 keeps the expression tree small; collision behavior is
+    deterministic and mirrored in the SQL oracle.
+    """
+    n = F.size(hashes)
+
+    def _bit_test(bit: int):
+        return lambda h: F.shiftright(h, bit).bitwiseAND(1) == 1
+
+    acc = F.lit(0).cast("long")
+    for bit in range(bits):
+        ones = F.size(F.filter(hashes, _bit_test(bit)))
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash(text_col: F.Column, bits: int = 16) -> F.Column:
+    """SimHash computed directly from text (see simhash_from_hashes)."""
+    hashes = F.transform(tokens(text_col), token_hash)
+    return simhash_from_hashes(hashes, bits)

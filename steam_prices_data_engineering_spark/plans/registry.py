@@ -1,0 +1,1040 @@
+"""Query registry: every implemented operator exposed as a (Spark builder,
+DuckDB oracle SQL) pair, consumed by `__spark_entry__.py`.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+work (see repo contract in `__spark_entry__.py` docstring):
+
+- Every computed column is aliased identically in the Spark plan and the SQL.
+- Floating aggregates are rounded with `functions/rounding.py:dround` —
+  ``floor(x*10^s + 0.5)/10^s`` in pure double arithmetic on BOTH engines.
+  (Spark's native ``round`` goes through the shortest decimal repr and
+  HALF_UPs 4201.31499999.. to 4201.32 where DuckDB yields 4201.31; dround is
+  bit-identical across JVM and C++.)
+- Counts/sizes/row_numbers are cast to long on the Spark side (DuckDB
+  count/len/row_number return BIGINT); integer sums in SQL are cast before
+  aggregation to dodge DuckDB's HUGEINT widening.
+- Timestamps never appear raw in an output: both engines emit epoch-seconds
+  longs (Spark ``cast(ts as long)``, DuckDB ``floor(epoch(ts))``).
+
+Each builder cites the reference operator rows (SURVEY.md §2a O-numbers /
+file:line of `/root/reference`) it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.prices import parse_price_usd, parse_price_usd_sql
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import (
+    avg_token_length,
+    distinct_token_ratio,
+    fingerprint,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.deviation import group_vs_global_avg
+from ..operators.similarity import knn_join, topk_cosine
+from ..sources.tables import read_table
+from ..streaming.windows import (
+    session_stats,
+    sliding_counts,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_builder, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ===========================================================================
+# Reference-parity: aggregation core (O26 grouped mean, O27 global mean,
+# O28 deviation columns — world_map_transformer.py:104-129)
+# ===========================================================================
+
+_FLAGSHIP_SQL = f"""
+WITH joined AS (
+    SELECT n_name, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+),
+per_group AS (
+    SELECT n_name, avg(o_totalprice) AS grp FROM joined GROUP BY n_name
+),
+world AS (SELECT avg(o_totalprice) AS world_avg FROM joined)
+SELECT
+    n_name,
+    {R('grp', 4)} AS usd_price,
+    {R('grp / world_avg - 1', 6)} AS perc_dif,
+    {R('(grp / world_avg - 1) * world_avg', 4)} AS usd_dif
+FROM per_group, world
+"""
+
+
+@register("flagship_nation_price_dev", _FLAGSHIP_SQL)
+def flagship_nation_price_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation avg order value vs world avg with perc/abs deviation —
+    the reference's analytical core transplanted onto the star schema
+    (world_map_transformer.py:120-125; SURVEY.md §7.4)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    dev = group_vs_global_avg(
+        joined.select("n_name", "o_totalprice"), "n_name", "o_totalprice"
+    )
+    return dev.select(
+        "n_name",
+        dround(F.col("usd_price"), 4).alias("usd_price"),
+        dround(F.col("perc_dif"), 6).alias("perc_dif"),
+        dround(F.col("usd_dif"), 4).alias("usd_dif"),
+    )
+
+
+# ===========================================================================
+# Reference-parity: projection + filters (O16-O19)
+# ===========================================================================
+
+_PROJ_FILTER_SQL = f"""
+SELECT c_custkey, c_name, {R('c_acctbal', 2)} AS acctbal
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL AND c_acctbal > 100.0
+"""
+
+
+@register("proj_filter_customers", _PROJ_FILTER_SQL)
+def proj_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + equality/not-null/range predicates (O16-O19,
+    world_map_transformer.py:120,172,181,210). The filter and the 3-column
+    projection both reach the parquet scan (PushedFilters/ReadSchema)."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("c_acctbal").isNotNull()
+            & (F.col("c_acctbal") > 100.0)
+        )
+        .select("c_custkey", "c_name", dround(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+# ===========================================================================
+# Reference-parity: case normalize + value remap (O22-O23,
+# world_map_transformer.py:127-128)
+# ===========================================================================
+
+_CASE_REMAP_SQL = """
+SELECT
+    CASE WHEN lower(c_mktsegment) = 'building' THEN 'bldg'
+         ELSE lower(c_mktsegment) END AS segment,
+    CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("case_remap_counts", _CASE_REMAP_SQL)
+def case_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    seg = F.lower(F.col("c_mktsegment"))
+    remapped = F.when(seg == "building", F.lit("bldg")).otherwise(seg)
+    return c.groupBy(remapped.alias("segment")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# Reference-parity: locale price parse + fx conversion (O20-O21,
+# steam_prices_transformer.py:101-132)
+# ===========================================================================
+
+# Deterministic localized price strings constructed from integer columns so
+# both engines build byte-identical inputs: style cycles US / EU-with-
+# thousands / space-grouped by p_partkey % 3.
+_PRICE_STR_SQL = """
+CASE CAST(p_partkey % 3 AS INTEGER)
+  WHEN 0 THEN '$' || CAST(p_partkey % 5000 AS VARCHAR) || '.' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')
+  WHEN 1 THEN CAST(p_partkey % 9 + 1 AS VARCHAR) || '.' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') || ',' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') || ' €'
+  ELSE CAST(p_partkey % 90 + 10 AS VARCHAR) || ',' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') || ' kr'
+END
+"""
+
+_PRICE_PARSE_SQL = f"""
+WITH priced AS (
+    SELECT p_partkey,
+           {_PRICE_STR_SQL} AS price_str,
+           CAST(1 + p_partkey % 7 AS DOUBLE) AS ex_rate
+    FROM part
+)
+SELECT p_partkey, price_str,
+       {R(parse_price_usd_sql("price_str", "ex_rate"), 6)} AS usd_price
+FROM priced
+"""
+
+
+def _price_str_spark() -> F.Column:
+    k = F.col("p_partkey")
+    us = F.concat(
+        F.lit("$"),
+        (k % 5000).cast("string"),
+        F.lit("."),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+    )
+    eu = F.concat(
+        (k % 9 + 1).cast("string"),
+        F.lit("."),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit(","),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lit(" €"),
+    )
+    kr = F.concat(
+        (k % 90 + 10).cast("string"),
+        F.lit(","),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lit(" kr"),
+    )
+    return F.when((k % 3) == 0, us).when((k % 3) == 1, eu).otherwise(kr)
+
+
+@register("price_parse_locale", _PRICE_PARSE_SQL)
+def price_parse_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hypothesis locale price parse as pure expressions (O20-O21)."""
+    p = read_table(spark, sf_dir, "part")
+    priced = p.select(
+        "p_partkey",
+        _price_str_spark().alias("price_str"),
+        (F.lit(1) + F.col("p_partkey") % 7).cast("double").alias("ex_rate"),
+    )
+    return priced.select(
+        "p_partkey",
+        "price_str",
+        dround(parse_price_usd(F.col("price_str"), F.col("ex_rate")), 6).alias(
+            "usd_price"
+        ),
+    )
+
+
+# ===========================================================================
+# Reference-parity: join family (O10-O15)
+# ===========================================================================
+
+_BCAST_JOIN_SQL = f"""
+SELECT n_name, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderstatus
+"""
+
+
+@register("broadcast_join_orders_nation", _BCAST_JOIN_SQL)
+def broadcast_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim joins (O11-O13: the dict/indexed-loc lookups at
+    steam_prices_transformer.py:161, world_map_transformer.py:138-169).
+    customer and nation are broadcast — the orders scan never shuffles for
+    the join, only for the final (small) aggregation."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_LEFT_JOIN_SQL = f"""
+SELECT n_name,
+       CAST(coalesce(cs.n_cust, 0) AS BIGINT) AS n_cust,
+       {R('cs.avg_bal', 2)} AS avg_bal
+FROM nation
+LEFT JOIN (
+    SELECT c_nationkey, count(*) AS n_cust, avg(c_acctbal) AS avg_bal
+    FROM customer GROUP BY c_nationkey
+) cs ON n_nationkey = c_nationkey
+"""
+
+
+@register("left_join_nation_customer_stats", _LEFT_JOIN_SQL)
+def left_join_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched dim rows with NULL stats (O14,
+    world_map_transformer.py:205-208)."""
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    stats = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust0"), F.avg("c_acctbal").alias("avg_bal0")
+    )
+    return (
+        n.join(stats, n.n_nationkey == stats.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_cust0"), F.lit(0)).cast("long").alias("n_cust"),
+            dround(F.col("avg_bal0"), 2).alias("avg_bal"),
+        )
+    )
+
+
+_CROSS_JOIN_SQL = """
+SELECT r_name, s.o_orderstatus
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+@register("cross_join_region_status", _CROSS_JOIN_SQL)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross product of two small dims (O10: the apps x countries nested
+    loop, steam_prices_transformer.py:154-156)."""
+    r = read_table(spark, sf_dir, "region").select("r_name")
+    s = read_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+_ANTI_JOIN_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM (VALUES ('src1'), ('src3')) p(pref)
+    WHERE contains(d.source, p.pref)
+)
+GROUP BY lang
+"""
+
+
+@register("anti_join_substring", _ANTI_JOIN_SQL)
+def anti_join_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-predicate (theta) anti join (O15: the sub-prefix file
+    filter, external_resources.py:93-97). Non-equi, so Spark plans a
+    broadcast nested loop — correct call here because the probe side is a
+    tiny literal list; the fact side still streams."""
+    d = read_table(spark, sf_dir, "documents")
+    prefixes = spark.createDataFrame([("src1",), ("src3",)], ["pref"])
+    kept = d.join(
+        F.broadcast(prefixes),
+        F.col("source").contains(F.col("pref")),
+        "left_anti",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ===========================================================================
+# Reference-parity: windowed group max fill (O29), top-1 recency (O32),
+# global aggs (O27/O30)
+# ===========================================================================
+
+_WINDOW_FILL_SQL = f"""
+SELECT o_orderkey,
+       {R("CASE WHEN o_orderstatus = 'P' THEN max(o_totalprice) OVER (PARTITION BY o_custkey) ELSE o_totalprice END", 2)} AS filled_price
+FROM orders
+"""
+
+
+@register("window_max_fill", _WINDOW_FILL_SQL)
+def window_max_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional fill from a windowed group max — the EU max-fill pattern
+    (O29, world_map_transformer.py:209-211). Shuffles once on the partition
+    key; at scale the key (customer) is high-cardinality so the window
+    parallelizes cleanly."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    filled = F.when(
+        F.col("o_orderstatus") == "P", F.max("o_totalprice").over(w)
+    ).otherwise(F.col("o_totalprice"))
+    return o.select("o_orderkey", dround(filled, 2).alias("filled_price"))
+
+
+_TOP1_SQL = f"""
+SELECT o_orderkey, {R('o_totalprice', 2)} AS o_totalprice,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 1
+"""
+
+
+@register("top1_recency", _TOP1_SQL)
+def top1_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-record selection (O32: newest-file pick,
+    external_resources.py:91, world_map_transformer.py:281-282). Plans as
+    TakeOrderedAndProject — no global sort."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .select(
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.col("o_orderdate").cast("long").alias("order_epoch"),
+        )
+        .limit(1)
+    )
+
+
+_GLOBAL_AGG_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       {R('avg(o_totalprice)', 4)} AS avg_price,
+       {R('min(o_totalprice)', 2)} AS min_price,
+       {R('max(o_totalprice)', 2)} AS max_price
+FROM orders
+"""
+
+
+@register("global_agg_stats", _GLOBAL_AGG_SQL)
+def global_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates (O27 world mean, O30 min/max color bounds)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        dround(F.avg("o_totalprice"), 4).alias("avg_price"),
+        dround(F.min("o_totalprice"), 2).alias("min_price"),
+        dround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped workload (bench headliners; exercise the real shuffle paths)
+# ===========================================================================
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {R('sum(l_quantity)', 2)} AS sum_qty,
+       {R('sum(l_extendedprice)', 2)} AS sum_base_price,
+       {R('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {R('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+       {R('avg(l_quantity)', 4)} AS avg_qty,
+       {R('avg(l_extendedprice)', 4)} AS avg_price,
+       {R('avg(l_discount)', 6)} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", _Q1_SQL)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide grouped aggregate over the fact table. The
+    shipdate predicate is pushed to the parquet scan; the groupBy has ~6
+    groups so partial (map-side) aggregation does nearly all the work."""
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {R('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_SQL)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> grouped agg ->
+    top-k. customer (filtered) broadcasts into orders, the joined small side
+    broadcasts into lineitem; top-10 is TakeOrderedAndProject."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        l.join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("order_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, {R('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_volume", _Q5_SQL)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way star join with a same-nation constraint.
+    All dims broadcast; lineitem joins orders via its own key (the only
+    big-big edge at real scale — AQE picks SMJ/shuffled-hash there)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# Extension: deduplication (SURVEY.md §2b)
+# ===========================================================================
+
+_DEDUP_EXACT_SQL = """
+SELECT text, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_exact_groups", _DEDUP_EXACT_SQL)
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash groupBy with deterministic min-id keeper."""
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "text", "doc_id").select(
+        "text",
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        "n_copies",
+    )
+
+
+# Shared SQL fragments for shingle-based dedup. DuckDB list_slice is 1-based
+# inclusive; range(a, b) is exclusive of b — mirrors Spark's
+# sequence(1, size-2) guarded by the size<3 empty case.
+_SQL_TOKENS = "string_split(text, ' ')"
+
+
+def _sql_shingles(tok_expr: str) -> str:
+    return (
+        f"CASE WHEN len({tok_expr}) < 3 THEN [] "
+        f"ELSE list_transform(range(1, len({tok_expr}) - 1), "
+        f"i -> array_to_string(list_slice({tok_expr}, i, i + 2), ' ')) END"
+    )
+
+
+_SQL_TOKEN_HASH = (
+    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+)
+
+_NEARDUP_JACCARD_SQL = f"""
+WITH blocked AS (
+    SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS blk,
+           list_distinct({_sql_shingles(_SQL_TOKENS)}) AS sh
+    FROM documents
+),
+scored AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           {R("CASE WHEN len(list_distinct(list_cat(a.sh, b.sh))) > 0 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_cat(a.sh, b.sh))) ELSE 0.0 END", 6)} AS jaccard
+    FROM blocked a
+    JOIN blocked b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("neardup_ngram_jaccard", _NEARDUP_JACCARD_SQL)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, band_width=100)
+
+
+def _sql_minhash_sig() -> Iterator[str]:
+    from ..operators.dedup import MINHASH_PARAMS, MINHASH_PRIME
+
+    for i, (a, b) in enumerate(MINHASH_PARAMS, start=1):
+        yield (
+            f"CASE WHEN len(hs) = 0 THEN NULL ELSE "
+            f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) END AS s{i}"
+        )
+
+
+def _sql_minhash_bands() -> str:
+    from ..operators.dedup import MINHASH_BAND_ROWS, MINHASH_PARAMS
+
+    n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
+    cases = []
+    for bi in range(n_bands):
+        lo = bi * MINHASH_BAND_ROWS + 1
+        parts = " || '_' || ".join(
+            f"CAST(s{j} AS VARCHAR)" for j in range(lo, lo + MINHASH_BAND_ROWS)
+        )
+        cases.append(f"WHEN {bi} THEN {parts}")
+    return "CASE band_idx " + " ".join(cases) + " END"
+
+
+_SHINGLE_HASH_PRIME = 2_147_483_647
+
+_NEARDUP_MINHASH_SQL = f"""
+WITH tokhash AS (
+    SELECT doc_id, list_transform({_SQL_TOKENS}, {_SQL_TOKEN_HASH}) AS th
+    FROM documents
+),
+shinglehash AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(th) < 3 THEN []
+               ELSE list_transform(range(1, len(th) - 1),
+                    i -> (((th[i] * 8191 + th[i + 1]) % {_SHINGLE_HASH_PRIME}) * 8191 + th[i + 2]) % {_SHINGLE_HASH_PRIME})
+           END) AS hs
+    FROM tokhash
+),
+sig AS (
+    SELECT doc_id, {", ".join(_sql_minhash_sig())}
+    FROM shinglehash
+),
+banded AS (
+    SELECT doc_id, band_idx, {_sql_minhash_bands()} AS band_key
+    FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
+    WHERE s1 IS NOT NULL
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT doc_id_a, doc_id_b,
+           {R("CASE WHEN len(list_distinct(list_cat(sa.hs, sb.hs))) > 0 THEN CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(list_distinct(list_cat(sa.hs, sb.hs))) ELSE 0.0 END", 6)} AS jaccard
+    FROM cand
+    JOIN shinglehash sa ON sa.doc_id = cand.doc_id_a
+    JOIN shinglehash sb ON sb.doc_id = cand.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("neardup_minhash_lsh", _NEARDUP_MINHASH_SQL)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash-LSH near-dup (8 sigs, 4 bands x 2 rows) with
+    exact-Jaccard verification; the ORACLE replays the full LSH pipeline."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+_FINGERPRINT_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform({_SQL_TOKENS}, {_SQL_TOKEN_HASH}) AS hs
+    FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp,
+       CAST({" + ".join(
+           f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {bit}) & 1 = 1)) > len(hs) THEN {1 << bit} ELSE 0 END)"
+           for bit in range(16)
+       )} AS BIGINT) AS sim
+FROM hashed
+"""
+
+
+@register("doc_fingerprint_simhash", _FINGERPRINT_SQL)
+def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint + 16-bit SimHash per document —
+    both pure higher-order-function expressions, both replayed in SQL.
+    The token-hash array is staged once and shared by both consumers."""
+    from ..functions.text import fingerprint_from_hashes, token_hash
+    from ..operators.dedup import simhash_from_hashes
+
+    d = read_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), token_hash).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        fingerprint_from_hashes(F.col("hs")).alias("fp"),
+        simhash_from_hashes(F.col("hs"), bits=16).alias("sim"),
+    )
+
+
+# ===========================================================================
+# Extension: text analysis (SURVEY.md §2b)
+# ===========================================================================
+
+_TEXT_STATS_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R('avg(CAST(n_chars AS DOUBLE))', 4)} AS avg_chars,
+       {R("avg(CAST(len(string_split(text, ' ')) AS DOUBLE))", 4)} AS avg_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_stats_by_lang", _TEXT_STATS_SQL)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        dround(F.avg(token_count(F.col("text")).cast("double")), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+_TOKEN_TOPK_SQL = """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+"""
+
+
+@register("token_topk", _TOKEN_TOPK_SQL)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (explode -> count -> top-k).
+    At 100 TB: partial aggregation absorbs the explosion; top-k never sorts
+    globally (TakeOrderedAndProject)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+_DOC_QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(sp) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp) AS diversity,
+           CAST(list_sum(list_transform(sp, x -> length(x))) AS DOUBLE) / len(sp) AS avg_tok_len,
+           CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp) AS stop_ratio
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       {R('diversity', 6)} AS diversity,
+       {R('avg_tok_len', 6)} AS avg_tok_len,
+       {R('stop_ratio', 6)} AS stop_ratio,
+       {R('0.5 * diversity + 0.3 * (1 - stop_ratio) + 0.2 * least(n_tokens / 100.0, 1.0)', 6)} AS quality
+FROM feat
+"""
+
+
+@register("doc_quality_scores", _DOC_QUALITY_SQL)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (LLM-corpus
+    filtering primitive)."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(text).cast("long").alias("n_tokens"),
+        dround(distinct_token_ratio(text), 6).alias("diversity"),
+        dround(avg_token_length(text), 6).alias("avg_tok_len"),
+        dround(stopword_ratio(text), 6).alias("stop_ratio"),
+        dround(quality_score(text), 6).alias("quality"),
+    )
+
+
+# ===========================================================================
+# Extension: embedding similarity search (SURVEY.md §2b)
+# ===========================================================================
+
+_SQL_COSINE = (
+    "list_dot_product(a, b) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b)))"
+)
+
+_TOPK_COSINE_SQL = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT vec_id, label,
+           {R(_SQL_COSINE.replace('a, b', 'e.embedding::DOUBLE[], q.qv').replace('a, a', 'e.embedding::DOUBLE[], e.embedding::DOUBLE[]').replace('b, b', 'q.qv, q.qv'), 6)} AS score
+    FROM embeddings e, q
+    WHERE vec_id <> 0
+)
+SELECT vec_id, label, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("simsearch_topk_cosine", _TOPK_COSINE_SQL)
+def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors of vec_id=0 (ANN baseline)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    return topk_cosine(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           {R(_SQL_COSINE.replace('a, b', 'e.embedding::DOUBLE[], q.qv').replace('a, a', 'e.embedding::DOUBLE[], e.embedding::DOUBLE[]').replace('b, b', 'q.qv, q.qv'), 6)} AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("knn_join_topk", _KNN_JOIN_SQL)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 5 nearest neighbors for each of 10 query vectors."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = knn_join(e, q, k=5)
+    return res.select("q_id", "vec_id", "score", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ===========================================================================
+# Extension: events windows — tumbling / sliding / session / JSON props
+# (SURVEY.md §2b; batch F.window == streaming semantics)
+# ===========================================================================
+
+_TUMBLING_SQL = f"""
+SELECT CAST(floor(floor(epoch(ts)) / 600) * 600 AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_window", _TUMBLING_SQL)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type (F.window in batch mode)."""
+    e = read_table(spark, sf_dir, "events")
+    return tumbling_counts(e, "10 minutes")
+
+
+_SLIDING_SQL = f"""
+SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 - off AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('avg(value)', 4)} AS avg_value
+FROM events CROSS JOIN (VALUES (0), (300)) o(off)
+GROUP BY 1
+"""
+
+
+@register("events_sliding_window", _SLIDING_SQL)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event in 2 windows)."""
+    e = read_table(spark, sf_dir, "events")
+    return sliding_counts(e, "10 minutes", "5 minutes")
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value
+FROM sessioned
+GROUP BY user_id, sess_id
+"""
+
+
+@register("events_session_window", _SESSION_SQL)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window); oracle = gaps-and-islands SQL."""
+    e = read_table(spark, sf_dir, "events")
+    return session_stats(e, "30 minutes")
+
+
+_EVENTS_JSON_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {R("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))", 4)} AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_props", _EVENTS_JSON_SQL)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (the connector-edge
+    JSON parse of external_resources.py:130-137, as an engine operator)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# ===========================================================================
+# Extension: Structured Streaming (same tumbling plan through readStream ->
+# watermark -> availableNow -> memory sink; one replayed batch => equals the
+# batch result, so the tumbling oracle applies)
+# ===========================================================================
+
+
+@register("streaming_tumbling_window", _TUMBLING_SQL)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table_path
+
+    return streaming_tumbling_counts(
+        spark, table_path(sf_dir, "events"), "10 minutes", watermark="1 hour"
+    )
+
+
+# ===========================================================================
+# Extension: multimodal columns (binary payload + typed metadata; decode via
+# Arrow-batched mapInPandas — SURVEY.md §2b). The "decoder" here is the
+# deterministic byte-length featurizer; real image/audio decode plugs into
+# the same plumbing (see operators/multimodal.py).
+# ===========================================================================
+
+_MULTIMODAL_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R('avg(CAST(octet_length(encode(text)) AS DOUBLE))', 4)} AS avg_bytes
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("multimodal_bytes", _MULTIMODAL_SQL)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import featurize_bytes, with_binary_payload
+
+    d = read_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    feats = featurize_bytes(media)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(F.avg(F.col("n_bytes").cast("double")), 4).alias("avg_bytes"),
+    )
+
+
+# ===========================================================================
+# Extension: approximate aggregates (rows-only — approx results are
+# intentionally not hash-comparable to an exact oracle)
+# ===========================================================================
+
+
+@register("approx_aggregates", None)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx — the 100 TB-friendly
+    forms of O27/O30-class statistics."""
+    e = read_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )

@@ -1,0 +1,183 @@
+"""Typed parquet IO layer over the fixture tables.
+
+The reference declares no schemas anywhere — pandas infers dtypes
+(`steam_prices_transformer.py:204`, `world_map_transformer.py:288`); the one
+persisted table's shape lives only as a column-name list in YAML
+(`/root/reference/configs/etl_config.yml:40`). Here every table gets an
+explicit StructType: reads fail fast on drift and the DuckDB oracle comparison
+is schema-sensitive.
+
+NaN->NULL normalization (`nan_to_null`) is the single most important semantic
+shim: the reference emits ``np.nan`` on parse failure
+(`steam_prices_transformer.py:132`) and relies on pandas' NaN-skipping
+``mean``/``max`` (`world_map_transformer.py:122,210`); Spark's ``avg``/``max``
+skip NULL but *propagate* NaN. Normalizing at ingest makes Spark, pandas, and
+DuckDB agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical schemas for the driver-generated fixture tables (FIXTURES.md §B;
+# verified against the parquet footers).
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+# Which columns carry reference-style NaN-as-null semantics.
+_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
+    name: tuple(
+        f.name for f in schema.fields if isinstance(f.dataType, T.DoubleType)
+    )
+    for name, schema in TABLE_SCHEMAS.items()
+}
+
+
+def nan_to_null(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Replace NaN with NULL in double columns (reference parity shim, see
+    module docstring; SURVEY.md §7.3 row 1)."""
+    if cols is None:
+        cols = tuple(
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.DoubleType)
+        )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)))
+    return out
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, cast to its canonical schema, normalize NaN.
+
+    Cast (rather than `.schema(...)` read) keeps parquet predicate pushdown
+    and column pruning intact while still guaranteeing the declared types:
+    Catalyst pushes filters through `cast`-free column references, and the
+    fixture files already store the physical types we declare, so in practice
+    the casts fold away to no-ops in the optimized plan.
+    """
+    schema = TABLE_SCHEMAS[name]
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is TIMESTAMP(NANOS) on disk; with nanosAsLong=true it arrives
+    # as a raw long of nanoseconds. Truncate ns->us (exactly what DuckDB does
+    # when materializing TIMESTAMP_NS as its us-precision TIMESTAMP).
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    # Reorder/cast only if the physical schema differs from the canonical one.
+    needs_cast = [
+        (f.name, f.dataType)
+        for f in schema.fields
+        if df.schema[f.name].dataType != f.dataType
+    ]
+    if needs_cast:
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    else:
+        df = df.select(*[f.name for f in schema.fields])
+    if _DOUBLE_COLS[name]:
+        df = nan_to_null(df, _DOUBLE_COLS[name])
+    return df

@@ -1,0 +1,137 @@
+"""Time-window aggregations over the events stream (SURVEY.md §2b).
+
+Batch-first: `F.window` / `F.session_window` work identically on static
+DataFrames, which is what makes these oracle-checkable in DuckDB (tumbling =
+epoch bucketing; session = gaps-and-islands SQL). The streaming wrappers run
+the same logical plan through Structured Streaming with a watermark and an
+availableNow trigger, landing in a memory sink — with a single replayed batch
+no rows are late, so the result must equal the batch plan (the driver's
+oracle can therefore check the streaming path too).
+
+Window starts are returned as epoch seconds (long), not timestamps — the
+cross-engine value-hash is type-sensitive and epoch longs are unambiguous.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+
+
+def tumbling_counts(events: DataFrame, duration: str = "10 minutes") -> DataFrame:
+    """Per (tumbling window, event_type): count + sum(value)."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Per sliding window: count + avg(value); each event lands in
+    duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per (user, session): session bounds + event count + value sum, where a
+    session closes after `gap` of inactivity (F.session_window)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark,
+    events_path: str,
+    duration: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Structured Streaming version of tumbling_counts: parquet readStream ->
+    withWatermark -> windowed agg -> memory sink, run to completion with
+    availableNow, then return the materialized result."""
+    from pyspark.sql import types as T
+
+    # The fixture stores ts as TIMESTAMP(NANOS); under nanosAsLong the source
+    # yields a long, converted here ns->us exactly as the batch IO layer does.
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import os
+
+    # FileStreamSource requires a directory; point it at the parent dir with
+    # a glob filter for the single events file.
+    base_dir, fname = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", fname)
+        .load(base_dir)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,78 @@
+"""Operator-level unit tests: deviation identity, window fill with all-NULL
+group, dedup determinism, session-window edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from steam_prices_data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+)
+from steam_prices_data_engineering_spark.operators.deviation import (
+    group_vs_global_avg,
+)
+from steam_prices_data_engineering_spark.streaming.windows import session_stats
+
+
+def test_deviation_identity(spark):
+    """usd_dif == group_mean - world_mean (the O28 algebra,
+    world_map_transformer.py:124-125)."""
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 40.0), ("b", 50.0)], ["g", "v"]
+    )
+    rows = group_vs_global_avg(df, "g", "v").collect()
+    world = 30.0
+    by_g = {r["g"]: r for r in rows}
+    assert by_g["a"]["usd_price"] == pytest.approx(15.0)
+    assert by_g["a"]["usd_dif"] == pytest.approx(15.0 - world)
+    assert by_g["b"]["usd_dif"] == pytest.approx(45.0 - world)
+    assert by_g["a"]["perc_dif"] == pytest.approx(15.0 / world - 1)
+
+
+def test_deviation_null_group(spark):
+    """A group whose values are all NULL gets NULL mean and NULL deviations
+    (pandas all-NaN mean parity; SURVEY.md §7.3)."""
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame([("a", 10.0), ("n", None), ("n", None)], schema)
+    rows = {r["g"]: r for r in group_vs_global_avg(df, "g", "v").collect()}
+    assert rows["n"]["usd_price"] is None
+    assert rows["n"]["perc_dif"] is None
+    assert rows["a"]["usd_price"] == pytest.approx(10.0)
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (9, "y")], ["id", "k"]
+    )
+    kept = exact_dedup(df, ["k"], "id").collect()
+    assert sorted((r["k"], r["id"]) for r in kept) == [("x", 1), ("y", 9)]
+    groups = {r["k"]: r for r in exact_dedup_groups(df, "k", "id").collect()}
+    assert groups["x"]["keeper_id"] == 1 and groups["x"]["n_copies"] == 3
+
+
+def test_session_window_gap_edge(spark):
+    """Events exactly `gap` apart DO merge (Spark merges touching session
+    windows: [s, s+gap] extends on ts == s+gap); only a strictly larger gap
+    starts a new session. The gaps-and-islands oracle uses `> gap`."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:01"),  # 30 min + 1 s later -> new session
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:00"),  # exactly the gap -> same session
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, 1.0) for u, ts in rows], ["user_id", "ts_s", "value"]
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    res = session_stats(df, "30 minutes").collect()
+    n_sessions = {}
+    for r in res:
+        n_sessions[r["user_id"]] = n_sessions.get(r["user_id"], 0) + 1
+    assert n_sessions[1] == 2
+    assert n_sessions[2] == 1
