@@ -1,0 +1,373 @@
+"""Extended operator coverage beyond the reference's own surface
+(SURVEY.md §2a "explicitly absent" list + §2b): set ops, rollup, ranking
+windows, as-of/range joins, date & math scalars, distinct aggregation,
+ordered string agg, the pandas-UDF surface, embedding LSH bucketing, and
+stateful streaming dedup. Registered into the same registry as the core set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Set operations (union / intersect / except)
+# ---------------------------------------------------------------------------
+
+_SETOPS_SQL = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     both_ AS (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o),
+     only_f AS (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o),
+     all_ AS (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM both_
+UNION ALL
+SELECT 'only_f' AS bucket, CAST(count(*) AS BIGINT) AS n FROM only_f
+UNION ALL
+SELECT 'any' AS bucket, CAST(count(*) AS BIGINT) AS n FROM all_
+"""
+
+
+@register("setops_custkeys", _SETOPS_SQL)
+def setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets. At scale these
+    are hash aggregations + shuffles on the key — same cost model as
+    distinct; AQE coalesces the small outputs."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only_f = f.exceptAll(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_f").alias("bucket"), "n"
+    )
+    any_ = f.union(op).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("any").alias("bucket"), "n"
+    )
+    return both.unionAll(only_f).unionAll(any_)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP (subtotals + grand total)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("rollup_status_priority", _ROLLUP_SQL)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: detail rows + per-status subtotal + grand total
+    in one pass (Spark expands grouping sets before the shuffle, so it is
+    still a single partial-aggregated exchange)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+_CUBE_SQL = f"""
+SELECT coalesce(l_returnflag, '<all>') AS rflag,
+       coalesce(l_linestatus, '<all>') AS lstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {R('avg(l_quantity)', 4)} AS avg_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_returnflag_linestatus", _CUBE_SQL)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("lstatus"),
+            "n",
+            "avg_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking & analytic window functions
+# ---------------------------------------------------------------------------
+
+_RANKING_SQL = f"""
+WITH ranked AS (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(c_acctbal) OVER w AS prev_bal,
+           lead(c_acctbal) OVER w AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT c_nationkey, c_custkey,
+       CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+       CAST(drnk AS BIGINT) AS drnk,
+       {R('c_acctbal - prev_bal', 2)} AS gap_prev,
+       {R('next_bal - c_acctbal', 2)} AS gap_next
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("ranking_top_customers", _RANKING_SQL)
+def ranking_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / lag / lead over a per-nation
+    ordering; top-3 per nation. One shuffle on the partition key."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lag("c_acctbal").over(w).alias("prev_bal"),
+            F.lead("c_acctbal").over(w).alias("next_bal"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+            dround(F.col("c_acctbal") - F.col("prev_bal"), 2).alias("gap_prev"),
+            dround(F.col("next_bal") - F.col("c_acctbal"), 2).alias("gap_next"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (each event -> most recent order of the matching customer at
+# or before the event time)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = f"""
+WITH matched AS (
+    SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
+)
+SELECT event_id, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS asof_epoch
+FROM matched WHERE rn = 1
+"""
+
+
+@register("asof_join_events_orders", _ASOF_SQL)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: latest order at-or-before each event's
+    timestamp for the event's customer. Expressed as an equi-join on the
+    key + inequality + per-event row_number — the shuffle is on the equi
+    key, so it scales like a normal join; the per-key sort replaces the
+    merge-scan of a native as-of operator. (At extreme per-key order
+    counts the union-sort-carry-forward formulation wins; documented here
+    as the alternative.)"""
+    e = read_table(spark, sf_dir, "events")
+    o = read_table(spark, sf_dir, "orders")
+    joined = e.join(
+        o,
+        (o.o_custkey == e.user_id + 1) & (o.o_orderdate <= e.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("asof_epoch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (
+    VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1e9)
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_parts,
+       {R('avg(p_retailprice)', 4)} AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+@register("range_join_price_bands", _RANGE_JOIN_SQL)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/band theta join against a tiny literal dim — broadcast
+    nested loop on 3 rows; the fact side streams once."""
+    p = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dround(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time scalar functions
+# ---------------------------------------------------------------------------
+
+_DATE_FUNCS_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)) AS BIGINT) AS first_month_epoch,
+       CAST(max(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS BIGINT) AS max_days_since
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("date_scalar_funcs", _DATE_FUNCS_SQL)
+def date_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter extraction, date_trunc, day differences — grouped by
+    (year, quarter). All codegen'd date arithmetic."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_trunc("month", F.col("o_orderdate")).cast("long")).alias(
+                "first_month_epoch"
+            ),
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                ).cast("long")
+            ).alias("max_days_since"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math scalar functions (IEEE-deterministic subset)
+# ---------------------------------------------------------------------------
+
+_MATH_FUNCS_SQL = f"""
+SELECT s_suppkey,
+       {R('abs(s_acctbal)', 4)} AS abs_bal,
+       CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+       CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+       {R('sqrt(abs(s_acctbal))', 6)} AS sqrt_bal,
+       {R('s_acctbal * s_acctbal', 4)} AS sq_bal,
+       CAST(sign(s_acctbal) AS DOUBLE) AS sign_bal
+FROM supplier
+"""
+
+
+@register("math_scalar_funcs", _MATH_FUNCS_SQL)
+def math_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/square/sign — the IEEE-exact scalar set (log and
+    exp are excluded from oracle outputs: libm vs JVM can differ in the
+    last ulp)."""
+    s = read_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        dround(F.abs(F.col("s_acctbal")), 4).alias("abs_bal"),
+        F.ceil("s_acctbal").cast("long").alias("ceil_bal"),
+        F.floor("s_acctbal").cast("long").alias("floor_bal"),
+        dround(F.sqrt(F.abs(F.col("s_acctbal"))), 6).alias("sqrt_bal"),
+        dround(F.col("s_acctbal") * F.col("s_acctbal"), 4).alias("sq_bal"),
+        F.signum("s_acctbal").cast("double").alias("sign_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation + ordered string agg
+# ---------------------------------------------------------------------------
+
+_DISTINCT_AGG_SQL = f"""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       {R('sum(DISTINCT o_totalprice)', 2)} AS sum_distinct_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("distinct_agg_per_status", _DISTINCT_AGG_SQL)
+def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed distinct + plain aggregates in one grouping (Spark plans the
+    two-phase expand/aggregate automatically)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        dround(F.sum_distinct(F.col("o_totalprice")), 2).alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT p_brand,
+       string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register("string_agg_types_per_brand", _STRING_AGG_SQL)
+def string_agg_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation: collect_set -> sort_array ->
+    concat_ws (deterministic regardless of partition order)."""
+    p = read_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("p_type"))).alias("types")
+    )

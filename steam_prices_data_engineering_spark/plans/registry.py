@@ -1038,3 +1038,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("p50_value"),
         F.percentile_approx("value", 0.95).alias("p95_value"),
     )
+
+
+# Extension modules register additional queries on import (placed last so the
+# `register` decorator exists; they import only that name back from here).
+from . import extended as _extended  # noqa: E402,F401
+from . import udf_and_scale as _udf_and_scale  # noqa: E402,F401
