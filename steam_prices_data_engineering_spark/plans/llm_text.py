@@ -1,0 +1,246 @@
+"""LLM-training-data pipeline operators beyond the core set (SURVEY.md §2b):
+language identification, BPE-ish regex tokenization, embedding-cosine
+near-dup, and LSH-bucketed ANN search. All oracle-checked.
+
+Scale notes inline per query; the common theme is that every "model" here
+(language profiles, LSH hyperplanes) is either a tiny broadcastable artifact
+or a deterministic constant, so the fact-table side never shuffles more than
+once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import tokens
+from ..functions.vectors import cosine, to_double_array
+from ..sources.tables import read_table
+from .registry import register
+from .udf_and_scale import HYPERPLANES, _sql_plane_literal
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram profile heuristic).
+# Train: top-K most frequent tokens per language (the "profile").
+# Classify: each document votes for the language whose profile it overlaps
+# most. Self-contained — no external model — and fully SQL-expressible.
+# At 100 TB: profiles are K x n_langs rows (broadcast); classification is a
+# narrow map over documents. The train aggregation shuffles once on
+# (lang, token) with map-side partial counts absorbing the explode.
+# ---------------------------------------------------------------------------
+
+_PROFILE_K = 10
+
+_LANG_ID_SQL = f"""
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+ranked AS (
+    SELECT lang, tok,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+    FROM counts
+),
+prof AS (
+    SELECT lang AS cand, list(tok) AS ptoks
+    FROM ranked WHERE rn <= {_PROFILE_K} GROUP BY lang
+),
+scored AS (
+    SELECT d.doc_id, d.lang, p.cand,
+           len(list_intersect(list_distinct(string_split(d.text, ' ')), p.ptoks)) AS overlap
+    FROM documents d CROSS JOIN prof p
+),
+best AS (
+    SELECT doc_id, lang, cand, overlap,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, cand ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, lang AS actual_lang, cand AS pred_lang,
+       CAST(overlap AS BIGINT) AS overlap,
+       CAST(lang = cand AS INTEGER) AS correct
+FROM best WHERE rn = 1
+"""
+
+
+@register("lang_id_ngram", _LANG_ID_SQL)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-profile language ID: argmax over per-language profile overlap
+    with deterministic (overlap DESC, lang ASC) tiebreak."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    prof = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _PROFILE_K)
+        .groupBy(F.col("lang").alias("cand"))
+        .agg(F.collect_list("tok").alias("ptoks"))
+    )
+    scored = d.crossJoin(F.broadcast(prof)).select(
+        "doc_id",
+        "lang",
+        "cand",
+        F.size(
+            F.array_intersect(F.array_distinct(tokens(F.col("text"))), F.col("ptoks"))
+        ).alias("overlap"),
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.col("cand").alias("pred_lang"),
+            F.col("overlap").cast("long").alias("overlap"),
+            (F.col("lang") == F.col("cand")).cast("int").alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (token counting beyond whitespace): words /
+# digit runs / single punctuation — the shape of a GPT-style pre-tokenizer.
+# Pattern kept in the RE2 ∩ java.util.regex common subset so both engines
+# tokenize identically. Narrow map; no shuffle except the final tiny agg.
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+@register("token_count_bpe", _BPE_SQL)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + LSH-bucketed ANN search. Bucket = sign bits of
+# 4 fixed random hyperplane projections (shared constants with
+# simsearch_lsh_buckets). The bucket id is the join/partition key — at scale
+# the candidate join shuffles on `bucket`, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_spark(emb: F.Column) -> F.Column:
+    bucket = None
+    for i, plane in enumerate(HYPERPLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(to_double_array(emb), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def _bucket_sql(emb: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({emb}, {_sql_plane_literal(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(HYPERPLANES)
+    )
+
+
+_SQL_COS_AB = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_NEARDUP_COSINE_SQL = f"""
+WITH bkt AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           {R(_SQL_COS_AB, 6)} AS score
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, score FROM pairs WHERE score >= 0.4
+"""
+
+
+@register("neardup_embedding_cosine", _NEARDUP_COSINE_SQL)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: candidate pairs share an LSH bucket (equi join on
+    bucket id — shuffle on bucket, not O(n²)), verified by exact cosine at
+    threshold 0.4. The standard near-dup-dedup shape for embedding corpora."""
+    e = read_table(spark, sf_dir, "embeddings")
+    bkt = e.select(
+        "vec_id", F.col("embedding").alias("v"), _bucket_spark(F.col("embedding")).alias("bucket")
+    )
+    a = bkt.alias("a")
+    b = bkt.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        dround(cosine(F.col("a.v"), F.col("b.v")), 6).alias("score"),
+    )
+    return pairs.filter(F.col("score") >= 0.4)
+
+
+_LSH_TOPK_SQL = f"""
+WITH bkt AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+    FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM bkt WHERE vec_id = 0),
+cand AS (
+    SELECT vec_id, label,
+           {R("list_dot_product(bkt.v, q.qv) / (sqrt(list_dot_product(bkt.v, bkt.v)) * sqrt(list_dot_product(q.qv, q.qv)))", 6)} AS score
+    FROM bkt, q
+    WHERE bkt.bucket = q.qb AND vec_id <> 0
+)
+SELECT vec_id, label, score FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("simsearch_lsh_topk", _LSH_TOPK_SQL)
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: restrict the top-k search to the query's LSH bucket
+    (candidate set ~ n/2^bits of the corpus), exact cosine re-rank inside.
+    Recall-vs-cost is tuned by bits/bands; the plan replaces the full scan
+    of simsearch_topk_cosine with a bucket-pruned one."""
+    e = read_table(spark, sf_dir, "embeddings")
+    bkt = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        _bucket_spark(F.col("embedding")).alias("bucket"),
+    )
+    q = bkt.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = (
+        bkt.join(F.broadcast(q), bkt.bucket == F.col("qb"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            dround(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    return cand.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)

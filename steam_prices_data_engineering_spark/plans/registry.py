@@ -1044,3 +1044,5 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `register` decorator exists; they import only that name back from here).
 from . import extended as _extended  # noqa: E402,F401
 from . import udf_and_scale as _udf_and_scale  # noqa: E402,F401
+from . import llm_text as _llm_text  # noqa: E402,F401  (needs udf_and_scale)
+from . import pipelines as _pipelines  # noqa: E402,F401
