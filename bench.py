@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "neardup_minhash_lsh",
     "knn_join_topk",
     "doc_fingerprint_simhash",
+    "steam_job1_prices_etl",
+    "world_map_job2_deviation",
+    "lang_id_ngram",
+    "simsearch_lsh_topk",
 ]
 
 
