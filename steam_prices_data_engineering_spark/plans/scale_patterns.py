@@ -1,0 +1,218 @@
+"""Scale patterns: the techniques a 100 TB deployment leans on, demonstrated
+as oracle-checked queries — manual salting for skewed aggregation, a
+stream-stream interval join, and streaming session windows. (AQE handles
+most skew automatically; the salted form is the explicit fallback when a
+single logical key exceeds what one task should hold.)
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table, table_path
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Two-phase salted aggregation. events.event_type has ~6 distinct values —
+# at 100 TB a plain groupBy funnels the whole table through 6 reducers.
+# Salting fans each hot key across 16 partial aggregates, then combines;
+# results are provably identical to the direct aggregation (the oracle IS
+# the direct aggregation).
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+_SALTED_AGG_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value,
+       {R('max(value)', 4)} AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("skew_salted_agg", _SALTED_AGG_SQL)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a low-cardinality (skew-prone) key.
+    Phase 1 shuffles on (event_type, salt) — 16x the reducers of the naive
+    plan; phase 2 combines the 16 partials per key (tiny). count/sum/max all
+    decompose associatively, so the result is exactly the direct GROUP BY."""
+    e = read_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.hash(F.col("event_id")), F.lit(_SALT_BUCKETS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("ps"),
+        F.max("value").alias("pm"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        dround(F.sum("ps"), 4).alias("sum_value"),
+        dround(F.max("pm"), 4).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming helpers (shared): the events fixture stores TIMESTAMP(NANOS);
+# under nanosAsLong the stream source yields longs, converted ns->us exactly
+# as the batch IO layer does (sources/tables.py).
+# ---------------------------------------------------------------------------
+
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_dir, fname = os.path.split(table_path(sf_dir, "events"))
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", fname)
+        .load(base_dir)
+        .withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    )
+
+
+def _run_to_memory(df: DataFrame, prefix: str, mode: str) -> str:
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: each purchase joined to the errors the same
+# user raised within the following 10 minutes. Watermarks on both sides
+# bound the join state; the time-interval condition lets Spark expire rows.
+# With one availableNow batch nothing is late, so the result equals the
+# batch interval join — which is the oracle.
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_SQL = f"""
+SELECT p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS e_epoch,
+       {R('p.value', 4)} AS purchase_value
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+"""
+
+
+@register("streaming_interval_join", _STREAM_JOIN_SQL)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + time-range condition
+    (purchase -> errors within 10 min, per user). State on both sides is
+    bounded by the watermark delay + interval width — the standard shape
+    for joining two live event streams at scale."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("p_epoch"),
+        F.col("e_ts").cast("long").alias("e_epoch"),
+        dround(F.col("p_value"), 4).alias("purchase_value"),
+    )
+    sink = _run_to_memory(joined, "stream_ivjoin", "append")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows: the batch session_stats plan run through
+# Structured Streaming (session_window + watermark). Oracle = the same
+# gaps-and-islands SQL as the batch variant.
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value
+FROM sessioned
+GROUP BY user_id, sess_id
+"""
+
+
+@register("streaming_session_window", _STREAM_SESSION_SQL)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) in Structured Streaming: session_window
+    merges adjacent state as events arrive; the watermark lets closed
+    sessions emit and their state drop — the scalable form of per-user
+    sessionization."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = _run_to_memory(agg, "stream_session", "complete")
+    return spark.table(sink)
