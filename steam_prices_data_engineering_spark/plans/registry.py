@@ -1048,3 +1048,4 @@ from . import llm_text as _llm_text  # noqa: E402,F401  (needs udf_and_scale)
 from . import pipelines as _pipelines  # noqa: E402,F401
 from . import coverage_extra as _coverage_extra  # noqa: E402,F401
 from . import scale_patterns as _scale_patterns  # noqa: E402,F401
+from . import sql_api as _sql_api  # noqa: E402,F401
