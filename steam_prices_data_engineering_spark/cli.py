@@ -1,0 +1,83 @@
+"""Config-driven job runner — the engine's equivalent of the reference's
+`run.py` entry point (O35, `/root/reference/run.py:17-67`): parse a YAML
+config, build the session, run job 1 (prices ETL) and job 2 (world-map
+deviation) sequentially, landing each as a run-partitioned snappy-parquet
+table (S7/S9). The reference's PNG render (S8) is a driver-side
+visualization of job 2's tiny aggregate and deliberately out of engine
+scope; job 2's output table carries every column the plot consumed.
+
+Usage:
+    python -m steam_prices_data_engineering_spark.cli configs/etl_config.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from datetime import datetime, timezone
+
+import yaml
+
+from pyspark.sql import functions as F
+
+from .plans.pipelines import steam_job1_prices_etl, world_map_job2_deviation
+from .session import get_spark
+
+log = logging.getLogger("steam_prices_spark")
+
+
+def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
+    """Run both jobs per the config; returns {job: output_path}. `run_ts`
+    is injectable for reproducible tests (the reference bakes
+    `datetime.now()` into its output keys, steam_prices_transformer.py:206 —
+    the non-determinism the survey flags as a test risk)."""
+    spark = spark or get_spark(app_name=config.get("app_name", "steam-prices-etl"))
+    sf_dir = config["source"]["sf_dir"]
+    out_root = config["target"]["output_dir"]
+    fmt = config["target"].get("run_key_date_format", "%Y%m%d%H%M%S")
+    run_key = run_ts or datetime.now(timezone.utc).strftime(fmt)
+
+    outputs = {}
+
+    prices_path = f"{out_root}/{config['target']['prices_key']}"
+    log.info("job 1: prices ETL -> %s (run %s)", prices_path, run_key)
+    (
+        steam_job1_prices_etl(spark, sf_dir)
+        .withColumn("run_key", F.lit(run_key))
+        .write.mode("append")
+        .partitionBy("run_key")
+        .parquet(prices_path)
+    )
+    outputs["prices"] = prices_path
+
+    worldmap_path = f"{out_root}/{config['target']['worldmap_key']}"
+    log.info("job 2: world-map deviation -> %s (run %s)", worldmap_path, run_key)
+    (
+        world_map_job2_deviation(spark, sf_dir)
+        .withColumn("run_key", F.lit(run_key))
+        .write.mode("append")
+        .partitionBy("run_key")
+        .parquet(worldmap_path)
+    )
+    outputs["worldmap"] = worldmap_path
+    return outputs
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config", help="path to the YAML job config")
+    args = parser.parse_args(argv)
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+    logging.basicConfig(
+        level=config.get("logging", {}).get("level", "INFO"),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    outputs = run_jobs(config)
+    for job, path in outputs.items():
+        log.info("done: %s -> %s", job, path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""End-to-end test of the config-driven job runner (cli.py — the run.py
+equivalent): both jobs land run-partitioned parquet, a second run appends a
+new partition, and the latest-run selection reads back exactly one run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import yaml
+
+from pyspark.sql import functions as F
+
+from steam_prices_data_engineering_spark.cli import run_jobs
+
+CONFIG = {
+    "app_name": "cli-test",
+    "source": {"sf_dir": "/root/testdata/sf0.001"},
+    "target": {
+        "output_dir": "/root/repo/.scratch/cli_test_out",
+        "prices_key": "steam_etl",
+        "worldmap_key": "world_map",
+    },
+}
+
+
+def test_cli_runs_both_jobs_with_run_partitions(spark):
+    shutil.rmtree(CONFIG["target"]["output_dir"], ignore_errors=True)
+    out1 = run_jobs(CONFIG, spark=spark, run_ts="20240101000000")
+    out2 = run_jobs(CONFIG, spark=spark, run_ts="20240102000000")
+    assert out1 == out2
+
+    prices = spark.read.parquet(out1["prices"])
+    # Reference schema (etl_config.yml:40) + the run partition column.
+    assert set(prices.columns) == {
+        "app", "country_iso", "currency_steam", "usd_price", "run_key",
+    }
+    assert prices.select("run_key").distinct().count() == 2
+
+    # Latest-run selection (S6/O32): max run_key, partition-pruned read.
+    latest = prices.agg(F.max("run_key").alias("k")).collect()[0].k
+    # Partition-column type inference yields a long for all-digit keys.
+    assert str(latest) == "20240102000000"
+    one_run = prices.filter(F.col("run_key") == latest)
+    assert one_run.count() == prices.count() / 2
+
+    worldmap = spark.read.parquet(out1["worldmap"])
+    assert "usd_dif" in worldmap.columns and "steam_value" in worldmap.columns
+    assert worldmap.filter(F.col("run_key") == latest).count() == 14
