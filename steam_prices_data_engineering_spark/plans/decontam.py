@@ -1,0 +1,131 @@
+"""Benchmark decontamination + JSON-lines source: two more LLM-pipeline
+staples. Decontamination flags training documents sharing any word-3-gram
+with a held-out benchmark set — the standard n-gram-overlap check run before
+training. The candidate test is a semi join on the shingle hash: shuffle on
+the shingle key, never a document cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround_sql as R  # noqa: F401 (symmetry w/ siblings)
+from ..functions.text import shingle_hash_array, token_hash_array
+from ..sources.tables import read_table, table_path
+from .registry import register
+
+# Benchmark stand-in: doc_id < 20 (in a real pipeline this is the eval-set
+# corpus). Flag = train doc shares >= 1 distinct 3-gram shingle hash.
+_BENCH_MAX_ID = 20
+
+_SQL_TOKEN_HASH = (
+    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+)
+_SHINGLE_P = 2_147_483_647
+
+_DECONTAM_SQL = f"""
+WITH th AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), {_SQL_TOKEN_HASH}) AS th
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(th) < 3 THEN []
+               ELSE list_transform(range(1, len(th) - 1),
+                    i -> (((th[i] * 8191 + th[i + 1]) % {_SHINGLE_P}) * 8191 + th[i + 2]) % {_SHINGLE_P})
+           END) AS hs
+    FROM th
+),
+bench AS (
+    SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+),
+train AS (
+    SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= {_BENCH_MAX_ID}
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON t.h = b.h
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id >= {_BENCH_MAX_ID}
+"""
+
+
+@register("decontaminate_ngram_overlap", _DECONTAM_SQL)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any word-3-gram with the benchmark set.
+    Shingle hashes explode to (doc, hash) rows; the overlap test is a left
+    semi join on the hash (shuffle on hash — high cardinality, no skew),
+    then a left join marks the flag on the full training set. At 100 TB
+    the benchmark side is small: broadcast the distinct benchmark hashes."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            shingle_hash_array(token_hash_array(F.col("text")))
+        ).alias("hs"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    contaminated = train.join(F.broadcast(bench), "h", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    return (
+        d.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .join(contaminated.withColumn("flag", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("flag"), F.lit(0)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines file source: the engine's JSON connector (the file-shaped
+# sibling of the payload extraction in steam_api_json_extract). Spark writes
+# events as jsonl, reads it back with an explicit schema, and aggregates;
+# the oracle aggregates the original parquet — the JSON hop must be lossless.
+# ---------------------------------------------------------------------------
+
+_JSONL_DIR = "/root/repo/.scratch/events_jsonl"
+
+_JSONL_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("jsonl_source_roundtrip", _JSONL_SQL)
+def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema (spark.read.json infers
+    nothing — schema-on-read is declared, so malformed rows fail fast the
+    way the survey's schema-system notes require)."""
+    from pyspark.sql import types as T
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    e.write.mode("overwrite").json(_JSONL_DIR)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(_JSONL_DIR)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
