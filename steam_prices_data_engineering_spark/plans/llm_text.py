@@ -130,6 +130,87 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pattern redaction (PII-scrub shape): digit runs -> <num>, long tokens ->
+# <long>. regexp_replace stays in codegen; the RE subset is RE2 ∩ java.regex
+# so both engines rewrite identically.
+# ---------------------------------------------------------------------------
+
+_REDACT_SQL = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                      '[a-zA-Z]{12,}', '<long>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+@register("text_redact_patterns", _REDACT_SQL)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction pass (the PII-scrub shape: replace digit runs and
+    over-long tokens with sentinel tags) + a redaction count for audit."""
+    d = read_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[0-9]+", "<num>"),
+        "[a-zA-Z]{12,}",
+        "<long>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (quality filter): share of the document's 3-gram
+# occurrences taken by its single most frequent 3-gram. High ratio ==
+# boilerplate/looping text. Pure higher-order expressions: no explode, no
+# shuffle — the whole feature is computed inside the row.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+WITH sh AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+                     i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+           END AS grams
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CASE WHEN len(grams) = 0 THEN NULL
+            ELSE {R("CAST(list_max(list_transform(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE) / len(grams)", 6)}
+       END AS top_gram_ratio
+FROM sh
+"""
+
+
+@register("doc_repetition_ratio", _REPETITION_SQL)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    grams = shingles(F.col("text"), n=3)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    ratio = F.when(F.size(grams) == 0, F.lit(None).cast("double")).otherwise(
+        dround(top_count.cast("double") / F.size(grams), 6)
+    )
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        ratio.alias("top_gram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup + LSH-bucketed ANN search. Bucket = sign bits of
 # 4 fixed random hyperplane projections (shared constants with
 # simsearch_lsh_buckets). The bucket id is the join/partition key — at scale
