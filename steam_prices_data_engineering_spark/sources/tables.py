@@ -11,8 +11,18 @@ NaN->NULL normalization (`nan_to_null`) is the single most important semantic
 shim: the reference emits ``np.nan`` on parse failure
 (`steam_prices_transformer.py:132`) and relies on pandas' NaN-skipping
 ``mean``/``max`` (`world_map_transformer.py:122,210`); Spark's ``avg``/``max``
-skip NULL but *propagate* NaN. Normalizing at ingest makes Spark, pandas, and
-DuckDB agree.
+skip NULL but *propagate* NaN. Normalizing makes Spark, pandas, and DuckDB
+agree.
+
+The normalization is applied at the INGEST boundary (connector payloads, the
+price parser — which already emits NULL, never NaN — and any landing-zone
+write), NOT inside `read_table`: wrapping every double column in
+``CASE WHEN isnan(c) ...`` on every read rewrites downstream predicates into
+non-pushable CASE expressions, silently disabling parquet predicate pushdown
+for all measure filters (a row-group-skipping disaster at 100 TB). Landed
+tables are NaN-free by contract; `tests/test_operators.py` guards the fixture
+data against NaN drift, and `nan_to_null` is the explicit operator ingest
+pipelines call before writing.
 """
 
 from __future__ import annotations
@@ -132,7 +142,8 @@ _DOUBLE_COLS: dict[str, tuple[str, ...]] = {
 
 def nan_to_null(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
     """Replace NaN with NULL in double columns (reference parity shim, see
-    module docstring; SURVEY.md §7.3 row 1)."""
+    module docstring; SURVEY.md §7.3 row 1). Call at the ingest boundary,
+    before landing data — not on the read path."""
     if cols is None:
         cols = tuple(
             f.name for f in df.schema.fields if isinstance(f.dataType, T.DoubleType)
@@ -178,6 +189,4 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         df = df.select(*[f.name for f in schema.fields])
-    if _DOUBLE_COLS[name]:
-        df = nan_to_null(df, _DOUBLE_COLS[name])
     return df

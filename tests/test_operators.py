@@ -76,3 +76,39 @@ def test_session_window_gap_edge(spark):
         n_sessions[r["user_id"]] = n_sessions.get(r["user_id"], 0) + 1
     assert n_sessions[1] == 2
     assert n_sessions[2] == 1
+
+
+def test_fixture_tables_are_nan_free():
+    """Landed-table contract backing the read-path design: NaN->NULL is an
+    ingest-boundary operator (sources/tables.py docstring), so read_table
+    must not re-normalize — which is only sound if the landed parquet never
+    contains NaN. Guard every double column at sf0.001."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        _DOUBLE_COLS,
+        table_path,
+    )
+
+    con = duckdb.connect()
+    for name, cols in _DOUBLE_COLS.items():
+        if not cols:
+            continue
+        path = table_path("/root/testdata/sf0.001", name)
+        expr = " + ".join(f"sum(CASE WHEN isnan({c}) THEN 1 ELSE 0 END)" for c in cols)
+        n = con.execute(f"SELECT {expr} FROM read_parquet('{path}')").fetchone()[0]
+        assert n == 0, f"{name} contains NaN in {cols}"
+
+
+def test_nan_to_null_at_ingest_boundary(spark):
+    """nan_to_null (the explicit ingest operator) turns NaN into NULL so
+    avg/max skip it — pandas-mean parity (world_map_transformer.py:122)."""
+    from steam_prices_data_engineering_spark.sources.tables import nan_to_null
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 3.0)], ["id", "v"]
+    )
+    out = nan_to_null(df)
+    agg = out.agg(F.avg("v").alias("m"), F.max("v").alias("mx")).collect()[0]
+    assert agg.m == 2.0 and agg.mx == 3.0

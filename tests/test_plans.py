@@ -106,3 +106,45 @@ def test_salted_agg_matches_direct(spark):
         .collect()
     }
     assert salted == direct
+
+
+def test_q6_all_predicates_pushed_no_shuffle(spark):
+    plan = _plan(spark, "tpch_q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+    # Single-row global agg: partial aggs feed one exchange at most.
+    tree = plan.split("\n\n")[0]
+    shuffles = tree.count("Exchange")
+    assert shuffles <= 1, tree
+
+
+def test_q4_semi_join_shuffles_both_facts(spark):
+    """The EXISTS decorrelation must become a LEFT SEMI join; fact-fact, so
+    no broadcast of lineitem-scale data on the build side at real scale."""
+    tree = _plan(spark, "tpch_q4_order_priority").split("\n\n")[0]
+    assert "LeftSemi" in tree, tree
+
+
+def test_pivot_avoids_distinct_values_job(spark):
+    """With explicit pivot values there is no distinct-values collect job;
+    the plan is the two-phase shape (pre-aggregate on (status, priority),
+    then pivot the tiny pre-agg) — two aggregate pairs, not one job per
+    pivot column, and nothing driver-side."""
+    tree = _plan(spark, "pivot_status_priority_counts").split("\n\n")[0]
+    assert tree.count("HashAggregate") == 4, tree
+    shuffles = tree.count("Exchange")
+    assert shuffles == 2, tree
+
+
+def test_gapfill_grid_broadcasts_onto_counts(spark):
+    """The dense hour x type grid is tiny and must broadcast; the observed-
+    counts side (the fact aggregation) must not be broadcast at scale."""
+    tree = _plan(spark, "timeseries_hourly_gapfill").split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
