@@ -1,0 +1,349 @@
+"""Second TPC-H-shaped coverage wave: the decorrelation-heavy query shapes
+(Q13/Q17/Q19/Q21/Q22) plus statistical aggregates and distribution window
+functions. The reference implements none of these (SURVEY.md §2a "explicitly
+absent": subqueries, distinct agg, analytic windows); they complete the
+standard analytic surface and exercise the plan shapes that dominate 100 TB
+workloads: outer-join aggregation, correlated-subquery decorrelation into
+pre-aggregated self-joins, disjunctive predicate pushdown, and double
+EXISTS / NOT EXISTS correlation.
+
+Each Spark implementation is the *decorrelated* join form a distributed
+engine must run (no per-row subquery evaluation); each oracle keeps the
+declarative correlated-subquery SQL, so the comparison proves the
+decorrelation is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table
+from .registry import register
+
+# ===========================================================================
+# TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join with a
+# predicate inside the join condition (so unmatched customers keep count 0),
+# then a second aggregation over the first's result.
+# ===========================================================================
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", _Q13_SQL)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-preserving distribution: the priority filter must live in the
+    JOIN CONDITION, not a WHERE (a post-join filter would drop the
+    order-less customers the histogram exists to count). First agg reuses
+    the join's hash partitioning on the customer key — no extra shuffle;
+    the second agg shuffles only |distinct counts| pre-combined rows."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                   "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ===========================================================================
+# TPC-H Q17 shape: correlated aggregate subquery (per-part average quantity)
+# decorrelated into a pre-aggregated self-join.
+# ===========================================================================
+
+_Q17_SQL = f"""
+SELECT {R('sum(l_extendedprice) / 7.0', 2)} AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = part.p_partkey
+  )
+"""
+
+
+@register("tpch_q17_small_quantity_revenue", _Q17_SQL)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated avg is decorrelated into groupBy(l_partkey).avg joined
+    back to the fact — one extra aggregation instead of a per-row subquery.
+    At scale the brand filter shrinks the part dim first and semi-filters
+    both the fact scan and the pre-aggregate via the broadcast dim, so the
+    per-part averages are only computed for the ~1/|brands| slice."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Broadcast the brand slice into both the fact and the pre-agg input so
+    # per-part averages are computed only where the subquery is correlated.
+    l_brand = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).drop("p_partkey")
+    thresholds = l_brand.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l_brand.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q19 shape: disjunctive OR-of-ANDs predicate spanning both join sides.
+# ===========================================================================
+
+_Q19_SQL = f"""
+SELECT {R("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("tpch_q19_disjunctive_revenue", _Q19_SQL)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides. Catalyst derives the per-table
+    implied disjunctions — (brand/size ORs) push to the part scan and
+    (quantity ORs) to the lineitem scan — so both scans prune before the
+    join instead of filtering the full cross section after it."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    arms = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(arms)
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ===========================================================================
+# TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation (suppliers who were
+# the only late shipper on a multi-supplier finalized order). Adapted to the
+# fixture schema: "late" = shipped >60 days after the order date (lineitem
+# has no commit/receipt dates).
+# ===========================================================================
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@register("tpch_q21_sole_late_supplier", _Q21_SQL)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both correlated quantifiers collapse into per-order WINDOW aggregates
+    over the joined fact: EXISTS(other supplier) == distinct supplier count
+    > 1, NOT EXISTS(other late supplier) == distinct LATE supplier count
+    == 1, both as size(collect_set(..)) over (partition by l_orderkey).
+    The window form scans lineitem ONCE and shuffles it once (a groupBy +
+    self-join form scans and shuffles it twice — Spark does not materialize
+    shared subplans); per-order line counts are small, so the collected
+    sets stay tiny at any scale."""
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = l.join(o, l.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    w = Window.partitionBy("l_orderkey")
+    per_line = base.select(
+        "l_suppkey",
+        late.alias("is_late"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    return (
+        per_line.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q22 shape: scalar aggregate subquery threshold + NOT EXISTS anti
+# join (rich customers with no urgent order, per nation). The fixture
+# generator gives nearly every customer at least one order, so "no order at
+# all" would be a degenerate empty anti join; "no URGENT order" keeps the
+# identical plan shape (the priority predicate pushes into the anti-join
+# build side's scan) with a non-trivial result.
+# ===========================================================================
+
+_Q22_SQL = f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       {R('sum(c_acctbal)', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_dormant_rich_customers", _Q22_SQL)
+def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar subquery becomes a 1-row aggregate broadcast-crossJoined
+    onto every customer (no driver collect — the threshold never leaves the
+    cluster); NOT EXISTS becomes a LEFT ANTI join on the order keys. Anti
+    joins cannot broadcast their probe side, so at scale this shuffles both
+    sides on custkey — the one unavoidable exchange here."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("bal_threshold")
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("bal_threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Statistical aggregates: correlation / covariance / spread / regression.
+# Spark and DuckDB share the two-pass-free single-pass formulations, so the
+# results agree to the dround scale.
+# ===========================================================================
+
+_STATS_SQL = f"""
+SELECT l_returnflag,
+       {R('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price,
+       {R('covar_samp(l_quantity, l_extendedprice)', 2)} AS covar_qty_price,
+       {R('stddev_samp(l_discount)', 6)} AS sd_disc,
+       {R('var_samp(l_quantity)', 4)} AS var_qty,
+       {R('regr_slope(l_extendedprice, l_quantity)', 4)} AS slope_price_qty,
+       {R('regr_intercept(l_extendedprice, l_quantity)', 2)} AS icept_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_corr_regr_by_flag", _STATS_SQL)
+def stats_corr_regr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass distributed moments: corr/covar/stddev/var/regr all
+    reduce to the same five partial sums (n, Σx, Σy, Σxy, Σx²), so the six
+    outputs cost one map-side-combinable aggregation — no second pass over
+    the data, the property that makes them usable at 100 TB."""
+    l = read_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return l.groupBy("l_returnflag").agg(
+        dround(F.corr(q, p), 6).alias("corr_qty_price"),
+        dround(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+        dround(F.stddev_samp(d), 6).alias("sd_disc"),
+        dround(F.var_samp(q), 4).alias("var_qty"),
+        dround(F.regr_slope(p, q), 4).alias("slope_price_qty"),
+        dround(F.regr_intercept(p, q), 2).alias("icept_price_qty"),
+    )
+
+
+# ===========================================================================
+# Distribution window functions: ntile / percent_rank / cume_dist plus
+# value-positional first/last/nth with an explicit full frame.
+# ===========================================================================
+
+_DISTRIB_SQL = f"""
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+       {R('percent_rank() OVER w', 6)} AS pct_rank,
+       {R('cume_dist() OVER w', 6)} AS cume,
+       {R('first_value(c_acctbal) OVER wf', 2)} AS seg_min_bal,
+       {R('last_value(c_acctbal) OVER wf', 2)} AS seg_max_bal,
+       {R('nth_value(c_acctbal, 2) OVER wf', 2)} AS seg_2nd_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_distribution_funcs", _DISTRIB_SQL)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles and rank distributions per market segment. last_value and
+    nth_value require the explicit UNBOUNDED FOLLOWING frame (the default
+    frame stops at CURRENT ROW, silently returning the running value);
+    the c_custkey tie-break makes every output deterministic."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+        dround(F.first(bal).over(wf), 2).alias("seg_min_bal"),
+        dround(F.last(bal).over(wf), 2).alias("seg_max_bal"),
+        dround(F.nth_value(bal, 2).over(wf), 2).alias("seg_2nd_bal"),
+    )

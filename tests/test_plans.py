@@ -148,3 +148,47 @@ def test_gapfill_grid_broadcasts_onto_counts(spark):
     counts side (the fact aggregation) must not be broadcast at scale."""
     tree = _plan(spark, "timeseries_hourly_gapfill").split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """The OR-of-ANDs must yield per-table implied disjunctions pushed into
+    BOTH parquet scans (brand/size to part, quantity to lineitem) — without
+    them each scan reads everything and filters after the join."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    assert "PushedFilters" in plan
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in plan, plan
+    assert "Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+
+
+def test_q13_join_partitioning_reused_by_agg(spark):
+    """LEFT join on c_custkey=o_custkey and the first groupBy(c_custkey)
+    share hash partitioning: two shuffles for join inputs, one for the
+    second (histogram) agg — no fourth exchange re-shuffling the join
+    output for the per-customer count."""
+    tree = _plan(spark, "tpch_q13_customer_distribution").split("\n\n")[0]
+    shuffles = tree.count("Exchange")
+    assert shuffles <= 3, tree
+    assert "LeftOuter" in tree or "BroadcastHashJoin" in tree, tree
+
+
+def test_q21_single_fact_shuffle_reused(spark):
+    """The window-form decorrelation must scan lineitem exactly once and
+    shuffle it exactly once (the window partition by l_orderkey), vs the
+    twice-each of a groupBy + self-join form; dims broadcast. 3 scans
+    total: lineitem, orders, supplier."""
+    tree = _plan(spark, "tpch_q21_sole_late_supplier").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3, tree
+    assert "Window" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_q22_threshold_stays_distributed(spark):
+    """The scalar avg threshold must enter the plan as a broadcast nested
+    loop / broadcast exchange (never a driver collect), and the dormancy
+    filter must be a LEFT ANTI join with the priority predicate pushed to
+    the orders scan."""
+    plan = _plan(spark, "tpch_q22_dormant_rich_customers")
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
