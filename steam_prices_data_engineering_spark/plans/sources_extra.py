@@ -1,0 +1,90 @@
+"""Remaining file-format source/sink coverage: ORC and line-text.
+
+The reference reads/writes exactly two at-rest formats — snappy parquet and
+PNG (`external_resources.py:49,64-68`); CSV and JSON-lines round-trips are
+covered in coverage_extra/decontam. ORC and text complete Spark's built-in
+columnar/row format surface. Same contract as jsonl_source_roundtrip: write
+to a scratch landing, read back with an explicitly declared schema (never
+inference — SURVEY.md §1.4's fail-fast rule), aggregate; the oracle computes
+the identical aggregate from the canonical parquet, so the comparison proves
+the round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table
+from .registry import register
+
+_ORC_DIR = "/root/repo/.scratch/orders_orc"
+_TEXT_DIR = "/root/repo/.scratch/documents_text"
+
+
+_ORC_SQL = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("orc_source_roundtrip", _ORC_SQL)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip. ORC is the other splittable columnar
+    format with predicate pushdown and column pruning; the same
+    PushedFilters/ReadSchema discipline as parquet applies, so a cluster
+    reading 100 TB of ORC gets identical stripe-level skipping."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(_ORC_DIR)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(_ORC_DIR)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_TEXT_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(source)) AS BIGINT) AS src_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_source_line_stats", _TEXT_SQL)
+def text_source_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + source (`spark.read.text` — the rawest
+    ingestion path, one row per line). Only newline-free columns may land
+    as text lines (document bodies contain newlines and would shred), so
+    the line is `lang\\tsource`; read-back splits the delimiter. This is
+    the log-file ingestion shape: splittable, schema applied by expression
+    after the scan."""
+    d = read_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", "lang", "source").alias("value")
+    )
+    d.write.mode("overwrite").text(_TEXT_DIR)
+    back = spark.read.text(_TEXT_DIR)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        back.select(
+            parts.getItem(0).alias("lang"), parts.getItem(1).alias("source")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("source")).cast("long").alias("src_chars"),
+        )
+    )

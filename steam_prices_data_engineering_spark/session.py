@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Legacy INT96 timestamps carry NO parquet min/max statistics, which
+        # silently disables file/row-group skipping on every date predicate
+        # over landed tables; micros carry full stats (tests/test_sinks.py).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert ns->us in the IO layer (DuckDB truncates
@@ -78,6 +82,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
         ),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # INT96 writes no footer stats -> no date-predicate skipping (see
+        # get_spark note + tests/test_sinks.py).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     }
     for k, v in runtime.items():
         try:

@@ -1,0 +1,74 @@
+"""Sink hygiene for 100 TB landings: small-file compaction and sorted/
+clustered writes. Small files are the classic large-table killer (every file
+is a task + a NameNode/liststore entry); unsorted measures mean every query
+reads every row group. These tests pin the two write-side disciplines the
+engine's sinks rely on."""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+
+from steam_prices_data_engineering_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _parquet_files(d: str) -> list[str]:
+    return glob.glob(f"{d}/*.parquet")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Repartition-on-read compaction: a 32-file landing collapses to 2
+    files with identical row count and content hash. (At scale: run as a
+    maintenance job per partition; AQE's coalescePartitions does the same
+    for shuffle outputs automatically.)"""
+    src = str(tmp_path / "small_files")
+    compacted = str(tmp_path / "compacted")
+    e = read_table(spark, SF, "events").select("event_id", "user_id", "value")
+    e.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(_parquet_files(src)) == 32
+
+    spark.read.parquet(src).repartition(2).write.mode("overwrite").parquet(
+        compacted
+    )
+    assert len(_parquet_files(compacted)) <= 2
+
+    con = duckdb.connect()
+    before = con.execute(
+        f"SELECT count(*), sum(event_id), sum(user_id) FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()
+    after = con.execute(
+        f"SELECT count(*), sum(event_id), sum(user_id) FROM read_parquet('{compacted}/*.parquet')"
+    ).fetchone()
+    assert before == after
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions on the clustering column
+    yields files with non-overlapping min/max ranges — the property that
+    lets parquet footer stats skip entire files/row groups for a date
+    predicate. Verified from the written footers themselves."""
+    out = str(tmp_path / "clustered")
+    l = read_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    (
+        l.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    con = duckdb.connect()
+    ranges = con.execute(
+        f"""
+        SELECT file_name,
+               min(stats_min_value::TIMESTAMP) AS lo,
+               max(stats_max_value::TIMESTAMP) AS hi
+        FROM parquet_metadata('{out}/*.parquet')
+        WHERE path_in_schema = 'l_shipdate'
+        GROUP BY file_name ORDER BY lo
+        """
+    ).fetchall()
+    assert len(ranges) == 4
+    for (_, _, prev_hi), (_, next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo, ranges
