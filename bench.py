@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "world_map_job2_deviation",
     "lang_id_ngram",
     "simsearch_lsh_topk",
+    "tpch_q6_revenue_forecast",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "trainset_selection_pipeline",
 ]
 
 

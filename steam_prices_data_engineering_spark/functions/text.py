@@ -87,6 +87,12 @@ def shingle_hash_array(th: Column, n: int = 3) -> Column:
     """Hashes of word n-grams composed from the token-hash array (no string
     materialization): h = ((th[i]*8191 + th[i+1]) % P) * 8191 + th[i+2] % P.
 
+    PERFORMANCE: pass `th` as a STAGED COLUMN (`.select(token_hash_array(
+    text).alias("th"))` first), never the inline expression — higher-order
+    functions are interpreted, so an inlined array expression is re-evaluated
+    by every `element_at` in the lambda: O(tokens^2) per document (measured
+    6x wall-clock on the decontamination pipeline).
+
     Composing from token hashes keeps the shingle-hash space near-injective
     even though the token hash itself is weak (tokens are few; shingle
     strings are many) — this is what keeps MinHash-LSH candidate counts at

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround_sql as R  # noqa: F401 (symmetry w/ siblings)
 from ..functions.text import shingle_hash_array, token_hash_array
-from ..sources.tables import read_table, table_path
+from ..sources.tables import read_table, spread, table_path
 from .registry import register
 
 # Benchmark stand-in: doc_id < 20 (in a real pipeline this is the eval-set
@@ -62,19 +62,33 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a left join marks the flag on the full training set. At 100 TB
     the benchmark side is small: broadcast the distinct benchmark hashes."""
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # spread(): the shingle hashing is interpreted-HOF CPU work; parallelize
+    # it across all cores even when the scan has few input splits.
+    # Stage the token-hash array in its own projection: HOFs are interpreted
+    # (not codegen'd), so an inlined token_hash_array would be re-evaluated
+    # by every element_at inside the shingle lambda — O(tokens^2) per doc.
+    sh = spread(d).select(
+        "doc_id", token_hash_array(F.col("text")).alias("th")
+    ).select(
         "doc_id",
-        F.array_distinct(
-            shingle_hash_array(token_hash_array(F.col("text")))
-        ).alias("hs"),
+        F.array_distinct(shingle_hash_array(F.col("th"))).alias("hs"),
     )
+    # explode_OUTER, not explode: plain explode makes InferFiltersFromGenerate
+    # synthesize `size(hs) > 0`, which predicate pushdown then drags below the
+    # spread() exchange into the scan stage WITH the whole shingle expression
+    # inlined — the entire corpus gets hashed twice, serially, on the scan's
+    # few input splits (measured 7x wall-clock). The outer variant infers
+    # nothing; the null rows from shingle-less docs drop right after.
     bench = (
         sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
-        .select(F.explode("hs").alias("h"))
+        .select(F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
     )
-    train = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
-        "doc_id", F.explode("hs").alias("h")
+    train = (
+        sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .select("doc_id", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
     )
     contaminated = train.join(F.broadcast(bench), "h", "left_semi").select(
         "doc_id"

@@ -1,0 +1,143 @@
+"""End-to-end training-set selection: the composite an LLM data pipeline
+actually runs, chaining the individually-tested operators into one plan —
+
+    language filter -> length/quality gates -> exact dedup (keep-first)
+    -> benchmark decontamination (3-gram overlap anti join) -> selection.
+
+Each stage exists standalone (`doc_quality_scores`, `dedup_exact_groups`,
+`decontaminate_ngram_overlap`); this query proves they compose into a single
+lazy plan — one documents scan feeds everything, Catalyst pipelines the
+scalar gates into the scan, and the only shuffles are the dedup window
+(by text) and the decontamination hash join. The oracle replays the full
+chain in SQL, so the composition (not just the parts) is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import (
+    quality_score,
+    shingle_hash_array,
+    token_count,
+    token_hash_array,
+)
+from ..sources.tables import read_table, spread
+from .decontam import _BENCH_MAX_ID, _SHINGLE_P, _SQL_TOKEN_HASH
+from .registry import register
+
+_KEEP_LANGS = ("en", "de", "fr", "es")
+_MIN_TOKENS = 8
+_MIN_QUALITY = 0.62
+
+_TRAINSET_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, text, string_split(text, ' ') AS sp FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, text,
+           CAST(len(sp) AS BIGINT) AS n_tokens,
+           0.5 * (CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp))
+         + 0.3 * (1 - CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp))
+         + 0.2 * least(len(sp) / 100.0, 1.0) AS quality
+    FROM t
+),
+gated AS (
+    SELECT * FROM scored
+    WHERE lang IN {_KEEP_LANGS!r}
+      AND n_tokens >= {_MIN_TOKENS}
+      AND quality >= {_MIN_QUALITY}
+      AND doc_id >= {_BENCH_MAX_ID}
+),
+dedup AS (
+    SELECT doc_id, lang, n_tokens, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+),
+th AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), {_SQL_TOKEN_HASH}) AS th
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(th) < 3 THEN []
+               ELSE list_transform(range(1, len(th) - 1),
+                    i -> (((th[i] * 8191 + th[i + 1]) % {_SHINGLE_P}) * 8191 + th[i + 2]) % {_SHINGLE_P})
+           END) AS hs
+    FROM th
+),
+bench AS (
+    SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+),
+contaminated AS (
+    SELECT DISTINCT s.doc_id
+    FROM (SELECT doc_id, unnest(hs) AS h FROM sh
+          WHERE doc_id >= {_BENCH_MAX_ID}) s
+    JOIN bench b ON s.h = b.h
+)
+SELECT d.doc_id, d.lang, d.n_tokens, {R('d.quality', 6)} AS quality
+FROM dedup d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+"""
+
+
+@register("trainset_selection_pipeline", _TRAINSET_SQL)
+def trainset_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage order is the 100 TB order: cheap scalar gates (lang, length,
+    quality — all codegen'd into the scan, no shuffle) run FIRST so the
+    dedup window and decontamination join only see survivors; the
+    benchmark shingle set is tiny and broadcasts. One pass over documents
+    for the selection path, one for the shingle index."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = spread(d).select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count(text).cast("long").alias("n_tokens"),
+        quality_score(text).alias("quality"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin(*_KEEP_LANGS)
+        & (F.col("n_tokens") >= _MIN_TOKENS)
+        & (F.col("quality") >= _MIN_QUALITY)
+        & (F.col("doc_id") >= _BENCH_MAX_ID)
+    )
+    keep_first = Window.partitionBy("text").orderBy("doc_id")
+    dedup = (
+        gated.withColumn("rn", F.row_number().over(keep_first))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+    # Stage th as a column first — inlining it re-evaluates the whole
+    # token-hash transform per element_at in the interpreted HOF path,
+    # O(tokens^2) per doc (see decontam.py / functions/text.py).
+    sh = spread(d).select(
+        "doc_id", token_hash_array(text).alias("th")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingle_hash_array(F.col("th"))).alias("hs"),
+    )
+    # explode_outer + isNotNull: see decontam.py — plain explode's inferred
+    # size>0 filter would push the full shingle expression below spread().
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .select("doc_id", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return dedup.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", dround(F.col("quality"), 6).alias("quality")
+    )

@@ -190,3 +190,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = df.select(*[f.name for f in schema.fields])
     return df
+
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row work (interpreted
+    higher-order functions, Arrow UDFs). A scan whose input splits underfill
+    the cluster — the single-file landing here, a handful of giant row
+    groups in production — serializes that work on a few cores; one cheap
+    row-level shuffle buys full parallelism for the expensive stage.
+    Defaults to the scheduler's defaultParallelism."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

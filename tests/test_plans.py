@@ -192,3 +192,17 @@ def test_q22_threshold_stays_distributed(spark):
     assert "LeftAnti" in tree, tree
     assert "BroadcastNestedLoopJoin" in tree, tree
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
+
+
+def test_trainset_no_inlined_shingle_filter_in_scan(spark):
+    """Regression: plain explode over the shingle array lets
+    InferFiltersFromGenerate + pushdown drag the ENTIRE inlined shingle
+    expression below the spread() exchange into the scan stage — the
+    corpus gets hashed serially on the scan's input splits. The
+    explode_outer form must keep lambda expressions out of the scan
+    filters entirely."""
+    for name in ("trainset_selection_pipeline", "decontaminate_ngram_overlap"):
+        plan = _plan(spark, name)
+        scan_side = plan.split("Exchange roundrobin", 1)[0]
+        assert "size(transform(split" not in plan, name
+        assert "lambdafunction" not in scan_side.split("== Physical Plan ==")[-1].split("Project")[0], name
