@@ -206,3 +206,31 @@ def test_trainset_no_inlined_shingle_filter_in_scan(spark):
         scan_side = plan.split("Exchange roundrobin", 1)[0]
         assert "size(transform(split" not in plan, name
         assert "lambdafunction" not in scan_side.split("== Physical Plan ==")[-1].split("Project")[0], name
+
+
+def test_q8_snowflake_broadcasts_every_dim(spark):
+    """Six-way snowflake: part/supplier/customer/nation x2/region all
+    broadcast; the only shuffle exchanges are the lineitem⋈orders
+    fact-fact join sides and the final year aggregation."""
+    tree = _plan(spark, "tpch_q8_market_share").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 6, tree
+    # At test SF even orders broadcasts; what must hold at any scale is
+    # that AT MOST one join shuffles (the fact-fact edge).
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1, tree
+
+
+def test_q15_max_threshold_broadcast_no_sort(spark):
+    """The HAVING-equals-max decorrelation must broadcast the 1-row max
+    back onto the revenue view (BroadcastNestedLoopJoin) — never a global
+    sort or a driver collect."""
+    tree = _plan(spark, "tpch_q15_top_supplier").split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or " Cross BuildRight" in tree, tree
+    assert "Sort" not in tree and "TakeOrdered" not in tree, tree
+
+
+def test_q16_not_in_is_plain_anti_join(spark):
+    """NOT IN over the non-nullable supplier key must plan as a cheap
+    LEFT ANTI broadcast join, not the null-aware variant."""
+    tree = _plan(spark, "tpch_q16_supplier_diversity").split("\n\n")[0]
+    assert "LeftAnti" in tree, tree
+    assert "BuildRight" in tree, tree
