@@ -1056,3 +1056,4 @@ from . import coverage_tpch2 as _coverage_tpch2  # noqa: E402,F401
 from . import sources_extra as _sources_extra  # noqa: E402,F401
 from . import trainset as _trainset  # noqa: E402,F401
 from . import coverage_tpch3 as _coverage_tpch3  # noqa: E402,F401
+from . import coverage_tpch4 as _coverage_tpch4  # noqa: E402,F401

@@ -234,3 +234,34 @@ def test_q16_not_in_is_plain_anti_join(spark):
     tree = _plan(spark, "tpch_q16_supplier_diversity").split("\n\n")[0]
     assert "LeftAnti" in tree, tree
     assert "BuildRight" in tree, tree
+
+
+def test_q2_window_min_single_shuffle(spark):
+    """Q2's correlated min decorrelates to one window pass: exactly one
+    hash-partition shuffle (on the part key) and four broadcast dims —
+    never a self-join re-scan of the filtered fact."""
+    tree = _plan(spark, "tpch_q2_min_cost_supplier").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 4, tree
+    assert tree.count("Window") == 1, tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, tree
+
+
+def test_q11_caches_the_grouped_view(spark):
+    """Both consumers of the per-part aggregate (row stream + global
+    threshold) must read the cached aggregated view — the fact-side
+    scan/join/partial-agg pipeline exists once, not twice."""
+    tree = _plan(spark, "tpch_q11_important_stock").split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") == 2, tree
+    # Every parquet scan lives INSIDE the cached relation (the formatted
+    # tree re-prints the cached plan per consumer); nothing above the first
+    # InMemoryRelation may touch parquet directly.
+    assert "Scan parquet" not in tree.split("InMemoryRelation", 1)[0], tree
+
+
+def test_q20_semi_join_broadcasts_qualified_set(spark):
+    """The HAVING-filtered qualified-supplier set is small by construction;
+    it must broadcast into the semi join so the supplier dim is never
+    shuffled."""
+    tree = _plan(spark, "tpch_q20_volume_suppliers").split("\n\n")[0]
+    assert "LeftSemi BuildRight" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
