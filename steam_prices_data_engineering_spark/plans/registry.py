@@ -1057,3 +1057,4 @@ from . import sources_extra as _sources_extra  # noqa: E402,F401
 from . import trainset as _trainset  # noqa: E402,F401
 from . import coverage_tpch3 as _coverage_tpch3  # noqa: E402,F401
 from . import coverage_tpch4 as _coverage_tpch4  # noqa: E402,F401
+from . import semistructured as _semistructured  # noqa: E402,F401
