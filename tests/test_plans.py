@@ -265,3 +265,13 @@ def test_q20_semi_join_broadcasts_qualified_set(spark):
     tree = _plan(spark, "tpch_q20_volume_suppliers").split("\n\n")[0]
     assert "LeftSemi BuildRight" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_multires_rollup_single_pass(spark):
+    """Both time grains must come from ONE fact pass: a single Expand node
+    feeding a single hash-partition aggregation — not one job per grain."""
+    tree = _plan(spark, "events_multires_rollup").split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+    shuffles = tree.count("+- Exchange") + tree.count(":- Exchange")
+    assert shuffles == 1, tree
