@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted only for approximate
-    aggregates, which are not exactly reproducible by design)."""
+    """DuckDB-runnable ANSI SQL per query. Omitted only for
+    `approx_aggregates` (sketch-based, not exactly reproducible) and
+    `kmeans_embeddings` (iterative algorithm) — both take the driver's
+    rows-only check by design."""
     return _registry.oracle_sql()
