@@ -112,3 +112,41 @@ def test_nan_to_null_at_ingest_boundary(spark):
     out = nan_to_null(df)
     agg = out.agg(F.avg("v").alias("m"), F.max("v").alias("mx")).collect()[0]
     assert agg.m == 2.0 and agg.mx == 3.0
+
+
+def test_transform_with_state_user_stats(spark):
+    """Spark 4 transformWithStateInPandas parity with the batch GROUP BY.
+    Skips where the protobuf package (required by the TWS state protocol)
+    is absent — see streaming/transform_with_state.py's module docstring."""
+    import pytest
+
+    from steam_prices_data_engineering_spark.streaming.transform_with_state import (
+        transform_with_state_available,
+        user_stats_tws,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not available: transformWithState gated off")
+
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.functions.rounding import dround
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.max_value)
+        for r in user_stats_tws(spark, sf).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value, r.max_value)
+        for r in read_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+            dround(F.max("value"), 4).alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
