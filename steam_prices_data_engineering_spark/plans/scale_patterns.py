@@ -283,3 +283,38 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit join-strategy control: SHUFFLE_HASH hint. At 100 TB the customer
+# dim exceeds autoBroadcastJoinThreshold, and Spark's default for the
+# orders⋈customer equi join becomes sort-merge — which sorts BOTH fact-scale
+# inputs. A shuffled hash join builds a per-partition hash map from the
+# smaller side instead: same shuffle, no sorts. The hint pins the strategy
+# the planner can't prove safe on its own (it must trust the build side
+# fits per-partition memory — our call to make, sized by partition count).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_HASH_SQL = f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("join_shuffle_hash_dim", _SHUFFLE_HASH_SQL)
+def join_shuffle_hash_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim revenue rollup with the dim side pinned to SHUFFLE_HASH
+    (build side = customer). Catalyst keeps the aggregation on the join's
+    hash partitioning, so the groupBy adds no fourth exchange."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -275,3 +275,12 @@ def test_multires_rollup_single_pass(spark):
     assert tree.count("Scan parquet") == 1, tree
     shuffles = tree.count("+- Exchange") + tree.count(":- Exchange")
     assert shuffles == 1, tree
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must yield a ShuffledHashJoin with the dim as
+    build side — no sort-merge (two fact-scale sorts) and no broadcast
+    (the dim is over threshold at real scale)."""
+    tree = _plan(spark, "join_shuffle_hash_dim").split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
