@@ -35,6 +35,8 @@ from ..functions.prices import (
 )
 from ..functions.rounding import dround, dround_sql as R
 from ..operators.deviation import group_vs_global_avg
+from ..sources.steam_api_source import API_PAYLOADS as _API_PAYLOADS
+from ..sources.steam_api_source import register_steam_source
 from ..sources.tables import read_table
 from .registry import register
 
@@ -298,24 +300,7 @@ def world_map_job2_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # get_json_object mirroring `external_resources.py:130-137,175`.
 # ---------------------------------------------------------------------------
 
-_API_PAYLOADS: list[tuple[int, str]] = [
-    (
-        10,
-        '{"10": {"success": true, "data": {"price_overview": '
-        '{"final_formatted": "$19.99", "currency": "USD"}}}}',
-    ),
-    (
-        20,
-        '{"20": {"success": true, "data": {"price_overview": '
-        '{"final_formatted": "22,50 €", "currency": "EUR"}}}}',
-    ),
-    (
-        30,
-        '{"30": {"success": true, "data": {"price_overview": '
-        '{"final_formatted": "1.299,00 kr", "currency": "SEK"}}}}',
-    ),
-    (40, '{"40": {"success": false}}'),
-]
+# Payload fixtures live with the connector: sources/steam_api_source.py.
 
 
 def _payload_values() -> str:
@@ -349,6 +334,38 @@ def steam_api_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's assert-and-skip becomes NULL propagation), then the same
     parse + FX pipeline as job 1."""
     payloads = spark.createDataFrame(_API_PAYLOADS, ["app", "body"])
+    extracted = payloads.select(
+        "app",
+        F.expr(
+            "get_json_object(body, concat('$.', app, '.data.price_overview.final_formatted'))"
+        ).alias("price_str"),
+        F.expr(
+            "get_json_object(body, concat('$.', app, '.data.price_overview.currency'))"
+        ).alias("currency"),
+    )
+    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    return extracted.join(
+        F.broadcast(fx), F.col("currency") == F.col("rate_cur"), "left"
+    ).select(
+        "app",
+        "price_str",
+        "currency",
+        dround(parse_price_usd(F.col("price_str"), F.col("rate")), 6).alias(
+            "usd_price"
+        ),
+    )
+
+
+@register("steam_pysource_extract", _API_JSON_SQL)
+def steam_pysource_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same S1 extraction, but the payloads arrive through the CUSTOM
+    PYTHON DATASOURCE (`spark.read.format("steam_appdetails")`,
+    sources/steam_api_source.py) instead of a driver-side createDataFrame:
+    one input partition per app id is the parallel-fetch contract a real
+    REST connector needs at scale. Downstream extraction/parse/FX join is
+    identical, so the oracle is shared with steam_api_json_extract."""
+    register_steam_source(spark)
+    payloads = spark.read.format("steam_appdetails").load()
     extracted = payloads.select(
         "app",
         F.expr(
