@@ -84,3 +84,69 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (same physical shape as semi_join_active_customers)."""
     _register_views(spark, sf_dir, ["part", "lineitem"])
     return spark.sql(_IN_SUBQ_SQL)
+
+
+# Unpivot (melt): wide measure columns -> long (measure, value) pairs.
+# Spark plans DataFrame.unpivot as an Expand — one scan, no shuffle until
+# the aggregation; the 4x row multiplication happens pipelined in the same
+# stage as the scan.
+_UNPIVOT_SQL = f"""
+SELECT l_returnflag, measure, {R('sum(val)', 2)} AS total
+FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+GROUP BY l_returnflag, measure
+"""
+
+
+@register("unpivot_lineitem_measures", _UNPIVOT_SQL)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): the four lineitem measures become
+    (measure, val) rows — the inverse of pivot — then a per-flag total.
+    The unpivot itself is an Expand in the scan stage; only the final
+    aggregation shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import dround
+
+    l = read_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dround(F.sum("val"), 2).alias("total")
+    )
+
+
+# Parameterized SQL (Spark 4 named parameter markers): the statement text
+# is constant — plan caching and injection safety come for free; only the
+# bound values vary per run.
+_PARAM_SQL_ORACLE = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_totalprice > 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized_query", _PARAM_SQL_ORACLE)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql with named parameter markers (:since, :min_total) — the
+    SQL doorway's prepared-statement form. Literals bind AFTER parsing,
+    so the pushed-down filters are identical to inlined constants."""
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST({R} AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderdate >= :since AND o_totalprice > :min_total
+        GROUP BY o_orderpriority
+        """.replace("{R}", R("sum(o_totalprice)", 2)),
+        args={"since": "1996-01-01 00:00:00", "min_total": 1000.0},
+    )
