@@ -72,3 +72,32 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (_, _, prev_hi), (_, next_lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi <= next_lo, ranges
+
+
+def test_png_sink_renders_decodable_artifact(spark, tmp_path):
+    """S8 parity: the world-map deviation aggregate renders to a valid PNG
+    (signature, IHDR geometry, IDAT inflates to the expected scanline
+    bytes) written atomically. The renderer is the stdlib encoder in
+    sinks/png.py — the matplotlib figure of the reference plugs into the
+    same collect-then-render contract."""
+    import struct
+    import zlib
+
+    from steam_prices_data_engineering_spark.plans import registry
+    from steam_prices_data_engineering_spark.sinks.png import world_map_png
+
+    df = registry.queries()["world_map_job2_deviation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    out = world_map_png(df, "usd_dif", "iso_a3", str(tmp_path / "world.png"))
+    blob = open(out, "rb").read()
+    assert blob.startswith(b"\x89PNG\r\n\x1a\n")
+    # IHDR: width = 4 px per country, height 32, 8-bit RGB.
+    w, h, depth, ctype = struct.unpack(">IIBB", blob[16:26])
+    assert h == 32 and depth == 8 and ctype == 2
+    assert w == 4 * df.count()
+    # IDAT inflates to h scanlines of (1 filter byte + 3*w pixel bytes).
+    idat_off = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
+    assert len(raw) == h * (1 + 3 * w)
