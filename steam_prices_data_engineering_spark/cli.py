@@ -2,9 +2,10 @@
 `run.py` entry point (O35, `/root/reference/run.py:17-67`): parse a YAML
 config, build the session, run job 1 (prices ETL) and job 2 (world-map
 deviation) sequentially, landing each as a run-partitioned snappy-parquet
-table (S7/S9). The reference's PNG render (S8) is a driver-side
-visualization of job 2's tiny aggregate and deliberately out of engine
-scope; job 2's output table carries every column the plot consumed.
+table (S7/S9), plus job 2's PNG artifact (S8) rendered driver-side from
+the collected aggregate by the dependency-free encoder in sinks/png.py —
+one parquet landing per job and one PNG per run, the same artifact set
+as a reference run.
 
 Usage:
     python -m steam_prices_data_engineering_spark.cli configs/etl_config.yml
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .plans.pipelines import steam_job1_prices_etl, world_map_job2_deviation
 from .session import get_spark
+from .sinks.png import world_map_png
 
 log = logging.getLogger("steam_prices_spark")
 
@@ -60,6 +62,12 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
         .parquet(worldmap_path)
     )
     outputs["worldmap"] = worldmap_path
+
+    png_path = f"{out_root}/{config['target'].get('worldmap_png_key', 'world_map_png')}/run_key={run_key}/world_map.png"
+    log.info("job 2: PNG artifact -> %s", png_path)
+    outputs["worldmap_png"] = world_map_png(
+        world_map_job2_deviation(spark, sf_dir), "usd_dif", "iso_a3", png_path
+    )
     return outputs
 
 

@@ -28,7 +28,14 @@ def test_cli_runs_both_jobs_with_run_partitions(spark):
     shutil.rmtree(CONFIG["target"]["output_dir"], ignore_errors=True)
     out1 = run_jobs(CONFIG, spark=spark, run_ts="20240101000000")
     out2 = run_jobs(CONFIG, spark=spark, run_ts="20240102000000")
-    assert out1 == out2
+    # Table roots are run-independent (runs append partitions under them);
+    # the PNG artifact (S8) is one file PER run.
+    assert out1["prices"] == out2["prices"]
+    assert out1["worldmap"] == out2["worldmap"]
+    assert out1["worldmap_png"] != out2["worldmap_png"]
+    for out in (out1, out2):
+        blob = open(out["worldmap_png"], "rb").read()
+        assert blob.startswith(b"\x89PNG\r\n\x1a\n")
 
     prices = spark.read.parquet(out1["prices"])
     # Reference schema (etl_config.yml:40) + the run partition column.
