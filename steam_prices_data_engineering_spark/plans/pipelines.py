@@ -388,6 +388,50 @@ def steam_pysource_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_steam_source_extract", _API_JSON_SQL)
+def streaming_steam_source_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector as a STREAM: readStream on the custom Python data
+    source (one REST poll per microbatch, cursor in the offset log — see
+    SteamAppDetailsStreamReader), then the identical extraction/parse/FX
+    plan on the stream, drained with availableNow into a memory sink. One
+    poll covers all fixture payloads, so the result equals the batch
+    form and shares its oracle."""
+    import uuid
+
+    register_steam_source(spark)
+    payloads = spark.readStream.format("steam_appdetails").load()
+    extracted = payloads.select(
+        "app",
+        F.expr(
+            "get_json_object(body, concat('$.', app, '.data.price_overview.final_formatted'))"
+        ).alias("price_str"),
+        F.expr(
+            "get_json_object(body, concat('$.', app, '.data.price_overview.currency'))"
+        ).alias("currency"),
+    )
+    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    result = extracted.join(
+        F.broadcast(fx), F.col("currency") == F.col("rate_cur"), "left"
+    ).select(
+        "app",
+        "price_str",
+        "currency",
+        dround(parse_price_usd(F.col("price_str"), F.col("rate")), 6).alias(
+            "usd_price"
+        ),
+    )
+    sink = f"stream_steam_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Partitioned parquet sink + latest-run discovery (S7/S9 write, S6/O32 read).
 # ---------------------------------------------------------------------------

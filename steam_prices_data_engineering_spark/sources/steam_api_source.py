@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 # Deterministic appdetails payloads: 3 parsable locales + 1 failed fetch
@@ -78,8 +79,44 @@ class SteamAppDetailsReader(DataSourceReader):
         yield app, _fetch(app)
 
 
+class SteamAppDetailsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each microbatch is one POLL of the endpoint, and a
+    poll returns everything past the reader's cursor (offset = index into
+    the app list; a live connector tracks the endpoint's change cursor the
+    same way). The offset contract — initialOffset / read -> (rows, next)
+    / exact replay via readBetweenOffsets — is what gives the stream
+    end-to-end-exactly-once over a restart: committed offsets re-read the
+    same rows. An availableNow trigger drains one poll and stops."""
+
+    def __init__(self, options):
+        ids = options.get("app_ids")
+        self._app_ids = (
+            [int(x) for x in ids.split(",")]
+            if ids
+            else [app for app, _ in API_PAYLOADS]
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        i = start["index"]
+        end = len(self._app_ids)
+        # A LIST, not a generator: the prefetched batch is pickled into the
+        # offset log cache for replay.
+        rows = [(app, _fetch(app)) for app in self._app_ids[i:end]]
+        return rows, {"index": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for i in range(start["index"], end["index"]):
+            app = self._app_ids[i]
+            yield app, _fetch(app)
+
+
 class SteamAppDetailsDataSource(DataSource):
-    """`spark.read.format("steam_appdetails").option("app_ids", "10,20")`."""
+    """`spark.read.format("steam_appdetails").option("app_ids", "10,20")`;
+    also `spark.readStream.format("steam_appdetails")` (one poll per
+    microbatch via SteamAppDetailsStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -90,6 +127,9 @@ class SteamAppDetailsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SteamAppDetailsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SteamAppDetailsStreamReader(self.options)
 
 
 def register_steam_source(spark) -> None:
