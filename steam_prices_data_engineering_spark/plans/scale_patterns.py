@@ -318,3 +318,66 @@ def join_shuffle_hash_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink: the production pattern for streaming -> table. The
+# memory sink is a test harness; real deployments write each microbatch
+# with foreachBatch, keyed by batchId so a replayed batch OVERWRITES its
+# own partition instead of duplicating rows — idempotence is what turns
+# Spark's at-least-once batch replay into exactly-once table contents.
+# ---------------------------------------------------------------------------
+
+_FOREACH_BATCH_SQL = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_foreachbatch_sink", _FOREACH_BATCH_SQL)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type totals written by foreachBatch into a
+    batch_id-partitioned parquet table with dynamic partition overwrite:
+    replaying a batch rewrites exactly its own partition (idempotent).
+    One availableNow batch => the read-back table equals the batch GROUP
+    BY oracle."""
+    import shutil
+    import uuid
+
+    out_dir = f"/root/repo/.scratch/febatch_{uuid.uuid4().hex[:8]}"
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(out_dir)
+        .select("event_type", "n_events", "sum_value")
+        .cache()
+    )
+    result.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
