@@ -1,0 +1,129 @@
+"""Data-hygiene operators: constraint validation and CDC-style latest-row
+compaction.
+
+The reference enforces data quality with connector-edge runtime asserts
+(`external_resources.py:129-134`, O33 in SURVEY §2a) that kill the row (or
+the run). At scale validation is itself a QUERY: scan once, count every
+rule's violations, ship the report — bad rows are quarantined by joins,
+not exceptions. `dq_validation_report` is that shape; all four rules ride
+one pass over each input (conditional-sum aggregates + one broadcast anti
+join), not one job per rule.
+
+`cdc_latest_event_per_user` is the read-side of upsert ingestion: the
+newest row per key via a ranking window — the standard compaction for
+change streams landing in append-only storage (the engine-side
+generalization of the reference's newest-file pick, S6/O32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table
+from .registry import register
+
+# ===========================================================================
+# Constraint validation report: one row per rule.
+# ===========================================================================
+
+_DQ_SQL = """
+SELECT 'null_custkey' AS rule,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'duplicate_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orphan_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+@register("dq_validation_report", _DQ_SQL)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four constraint classes in two fact passes: null/range/uniqueness
+    fold into ONE aggregation over orders (conditional sums + a distinct
+    count); referential integrity is a broadcast LEFT ANTI against the
+    customer key set, counted. The report is rows, not exceptions — at
+    100 TB a validator that throws on first violation is useless."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+
+    base = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_totalprice"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "duplicate_orderkey"
+        ),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    wide = base.crossJoin(F.broadcast(orphans))
+    long = wide.unpivot(
+        ids=[],
+        values=[
+            "null_custkey",
+            "nonpositive_totalprice",
+            "duplicate_orderkey",
+            "orphan_custkey",
+        ],
+        variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
+    return long.select("rule", F.col("n_violations").cast("long"))
+
+
+# ===========================================================================
+# CDC latest-row compaction: newest event per user.
+# ===========================================================================
+
+_CDC_SQL = f"""
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+       event_type AS last_type,
+       {R('value', 4)} AS last_value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("cdc_latest_event_per_user", _CDC_SQL)
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest row per key (deterministic tie-break on event_id): one
+    ranking window = one shuffle on the key. This is upsert-read
+    compaction over an append-only change log — and Spark rewrites the
+    rn=1 filter into a per-partition top-1 (WindowGroupLimit), so each
+    task keeps one candidate row per key instead of sorting whole
+    partitions of history."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            dround(F.col("value"), 4).alias("last_value"),
+        )
+    )
