@@ -23,6 +23,7 @@ from ..functions.text import (
     shingle_hash_array,
     token_count,
     token_hash_array,
+    tokens,
 )
 from ..sources.tables import read_table, spread
 from .decontam import _BENCH_MAX_ID, _SHINGLE_P, _SQL_TOKEN_HASH
@@ -140,4 +141,115 @@ def trainset_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens", dround(F.col("quality"), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split. Random samplers are engine- and
+# partitioning-dependent; a SPLIT MUST BE A PURE FUNCTION OF THE KEY so it
+# is reproducible across engines, re-runs, and re-partitioning — the
+# property every training pipeline audit asks for. Knuth multiplicative
+# hashing on doc_id (exact in 64-bit integer arithmetic on both engines)
+# assigns buckets 0-9: 8 train / 1 val / 1 test.
+# ---------------------------------------------------------------------------
+
+_SPLIT_EXPR = "((doc_id * 2654435761) % 4294967296) % 10"
+
+_SPLIT_SQL = f"""
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+FROM (
+    SELECT CASE WHEN {_SPLIT_EXPR} < 8 THEN 'train'
+                WHEN {_SPLIT_EXPR} = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, text
+    FROM documents
+)
+GROUP BY split, lang
+"""
+
+
+@register("trainset_hash_split", _SPLIT_SQL)
+def trainset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split as a pure function of doc_id (multiplicative hash,
+    exact integer arithmetic — NOT Spark's partitioning-dependent
+    sample()), reported as per-(split, lang) doc and token counts. New
+    documents never reshuffle old assignments — the split is stable
+    under corpus growth."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", tokens(F.col("text")).alias("toks"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing: assign documents to training-context
+# "packs" of <= N tokens. Greedy packing is inherently order-dependent, so
+# the deterministic distributed form fixes the order (doc_id within lang)
+# and derives the pack id from the RUNNING token total — a prefix-sum
+# window, one shuffle per lang partition, no driver loop.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+_SEQPACK_SQL = f"""
+WITH counted AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cumulated AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS running
+    FROM counted
+)
+SELECT lang,
+       CAST(floor((running - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cumulated
+GROUP BY lang, pack_id
+"""
+
+
+@register("seqpack_token_budget", _SEQPACK_SQL)
+def seqpack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack id = floor(tokens-before-this-doc / budget): documents flow
+    into ~256-token packs in deterministic doc_id order per lang. The
+    whole assignment is one prefix-sum window + one aggregation — the
+    scalable stand-in for a driver-side greedy packer (same guarantee:
+    no pack STARTS above budget; a long doc may overflow its pack, which
+    real packers handle by splitting the doc downstream)."""
+    d = read_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counted.withColumn("running", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("running") - F.col("n_tokens")) / _PACK_BUDGET).cast(
+        "long"
+    )
+    return (
+        cum.groupBy("lang", pack.alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
     )
