@@ -491,3 +491,35 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dround literals as DECIMAL (same pattern as sql_tpch_q18)."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 30-minute average per user — the frame
+# is defined by the ORDER value (epoch seconds), not a row count, so sparse
+# and bursty users both get a true time window. One shuffle on user_id; no
+# self-join, no explode-per-minute grid.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = f"""
+SELECT user_id, event_id,
+       {R("avg(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts)) RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)", 4)} AS trailing_avg
+FROM events
+"""
+
+
+@register("timeseries_range_frame_avg", _RANGE_FRAME_SQL)
+def timeseries_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN over epoch seconds (Spark's rangeBetween needs a
+    numeric sort key, so ts casts to long): each row averages the events
+    of ITS OWN trailing 30 minutes."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        dround(F.avg("value").over(w), 4).alias("trailing_avg"),
+    )

@@ -253,3 +253,67 @@ def seqpack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture resampling: hit target per-language proportions by
+# DOWN-sampling over-represented languages — the keep decision is the same
+# pure-function-of-key hashing as trainset_hash_split (bucket < rate*100),
+# so the resample is reproducible and stable. Rates are derived inside the
+# query from the observed counts vs the target mixture; only broadcast-
+# scale aggregates cross stages.
+# ---------------------------------------------------------------------------
+
+_TARGET_MIX = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {w}" for lang, w in _TARGET_MIX.items()
+)
+
+_MIX_SQL = f"""
+WITH counted AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+-- scale: the largest target/observed ratio saturates at keep-rate 1.0
+rated AS (
+    SELECT lang, n,
+           (CASE lang {_MIX_CASE} ELSE 0.0 END) AS w,
+           (CASE lang {_MIX_CASE} ELSE 0.0 END) / n AS wpn
+    FROM counted
+),
+scaled AS (
+    SELECT lang, least(1.0, wpn / (SELECT max(wpn) FROM rated)) AS keep_rate
+    FROM rated
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN scaled s ON d.lang = s.lang
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 100 < floor(s.keep_rate * 100 + 0.5)
+GROUP BY d.lang
+"""
+
+
+@register("corpus_mixture_resample", _MIX_SQL)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates = target weight / observed count, scaled so
+    the scarcest language keeps 100%; each doc's keep decision hashes its
+    id against the rate. The rates come from a broadcast-scale aggregate
+    joined back onto the corpus — one fact pass to count, one to filter."""
+    d = read_table(spark, sf_dir, "documents")
+    w_expr = F.lit(0.0)
+    for lang, w in _TARGET_MIX.items():
+        w_expr = F.when(F.col("lang") == lang, F.lit(w)).otherwise(w_expr)
+    counted = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rated = counted.select("lang", (w_expr / F.col("n")).alias("wpn"))
+    max_wpn = rated.agg(F.max("wpn").alias("max_wpn"))
+    scaled = rated.crossJoin(F.broadcast(max_wpn)).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("wpn") / F.col("max_wpn")).alias("keep_rate"),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    return (
+        d.join(F.broadcast(scaled), "lang")
+        .filter(bucket < F.floor(F.col("keep_rate") * 100 + F.lit(0.5)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
