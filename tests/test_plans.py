@@ -284,3 +284,19 @@ def test_shuffle_hash_hint_respected(spark):
     tree = _plan(spark, "join_shuffle_hash_dim").split("\n\n")[0]
     assert "ShuffledHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_cdc_latest_uses_window_group_limit(spark):
+    """rn=1 over the ranking window must be rewritten to per-partition
+    top-1 (WindowGroupLimit) — tasks keep one candidate per key instead
+    of sorting whole history partitions."""
+    tree = _plan(spark, "cdc_latest_event_per_user").split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_unpivot_is_expand_single_scan(spark):
+    """The melt must be an Expand over ONE scan (no per-measure union of
+    re-scans), shuffling only for the final aggregate."""
+    tree = _plan(spark, "unpivot_lineitem_measures").split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
