@@ -1,0 +1,211 @@
+"""Corpus-preparation operators rounding out the LLM-training-data surface
+(SURVEY.md §2b north star): TF-IDF term ranking, overlapping sequence
+chunking, and int8 embedding quantization. All oracle-checked.
+
+Scale notes: each plan shuffles at most twice (token agg + doc-frequency
+join); chunking and quantization are pure narrow maps — no shuffle at all
+beyond the source scan, so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import tokens
+from ..functions.vectors import to_double_array
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# TF-IDF: rank each document's most characteristic terms. IDF uses the
+# BM25-style ODDS form (N - df + 0.5) / (df + 0.5) WITHOUT the log: ln() is
+# not correctly rounded across libm/JVM, and the log is a monotone transform
+# so the per-document ranking is identical. Pure rational arithmetic keeps
+# both engines bit-equal.
+# At 100 TB: tf aggregates once on (doc_id, term) with map-side partials
+# absorbing the explode; df is a second agg over tf keyed by term; the
+# tf ⋈ df join shuffles on term (vocabulary-sized — Zipf-bounded, far
+# smaller than the corpus; AQE handles hot stopword keys). N is a 1-row
+# broadcast, never a driver collect.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+           {R("tf.tf * (n.n_docs - idf.df + 0.5) / (idf.df + 0.5)", 6)} AS score
+    FROM tf JOIN idf USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, df, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (odds-form idf, deterministic
+    (score DESC, term ASC) tiebreak). The per-doc top-k is a ranking
+    window -> WindowGroupLimit, so tasks keep k candidates per doc."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            dround(
+                (F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5))
+                / (F.col("df") + 0.5),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping sequence chunking: split each document into fixed-size token
+# windows with overlap (the context-window packing precursor — every LLM
+# data pipeline chunks long documents before tokenizer/packing stages).
+# chunk_size=32, stride=24 => 8-token overlap. Pure narrow map: the start
+# offsets are a per-row `sequence`, the chunk a `slice` — no shuffle, no
+# UDF, linear in corpus bytes at any scale.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(1, len(toks) + 1, {_STRIDE})) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(list_slice(toks, start, start + {_CHUNK - 1})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start, start + {_CHUNK - 1}), ' ') AS chunk_text
+FROM s
+"""
+
+
+@register("doc_chunk_overlap", _CHUNK_SQL)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document. chunk_idx is derived
+    arithmetically from the start offset ((start-1)/stride) so no
+    ordinality/posexplode coordination is needed across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    rows = staged.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK)
+    return rows.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(_STRIDE)).cast("int").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (symmetric, per-vector max-abs scale): the
+# standard 4x-compression step before shipping an embedding corpus to an ANN
+# index. q_i = floor(x_i/scale + 0.5) with scale = amax/127; the report
+# carries the quantization geometry (q range) and reconstruction MSE.
+# Zero vectors quantize to all-zero via a scale=1 guard (identical CASE in
+# both engines). floor(x + 0.5) is pure IEEE arithmetic — bit-equal across
+# engines — and the MSE fold is a left-to-right reduce in both, so even the
+# error sums match exactly before rounding.
+# Narrow map, no shuffle; arrays are staged through projections so each
+# higher-order pass runs once per row (HOFs are interpreted, SPARK-36718).
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+s AS (SELECT vec_id, v, amax,
+             CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS sc
+      FROM a),
+q AS (SELECT vec_id, v, amax, sc,
+             list_transform(v, x -> floor(x / sc + 0.5)) AS q
+      FROM s)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS n_dims,
+       amax,
+       CAST(list_min(q) AS BIGINT) AS q_min,
+       CAST(list_max(q) AS BIGINT) AS q_max,
+       {R("list_reduce(list_transform(range(1, len(v) + 1),"
+          " i -> (v[i] - q[i] * sc) * (v[i] - q[i] * sc)),"
+          " (x, y) -> x + y) / len(v)", 9)} AS mse
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_SQL)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization report: dims, max-abs, the
+    achieved q range, and reconstruction MSE."""
+    e = read_table(spark, sf_dir, "embeddings")
+    st1 = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    st2 = st1.select(
+        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("amax")
+    )
+    st3 = st2.withColumn(
+        "sc",
+        F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / 127.0),
+    )
+    st4 = st3.withColumn(
+        "q", F.transform("v", lambda x: F.floor(x / F.col("sc") + 0.5))
+    )
+    sq_err = F.zip_with(
+        "v",
+        "q",
+        lambda x, qi: (x - qi * F.col("sc")) * (x - qi * F.col("sc")),
+    )
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size("v")
+    )
+    return st4.select(
+        "vec_id",
+        F.size("v").cast("long").alias("n_dims"),
+        F.col("amax"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        dround(mse, 9).alias("mse"),
+    )
