@@ -1,0 +1,157 @@
+"""Behavioral / retrieval-support operators: ordered event-funnel analysis
+over `events` and inverted-index construction over `documents`. Both
+oracle-checked.
+
+Scale notes: the funnel chain keys every join and aggregate on `user_id`,
+so one hash partitioning is reused across all three stages (no re-shuffle
+between steps under AQE); the inverted index bounds its posting lists with
+a per-term WindowGroupLimit BEFORE collect_list, so no task ever
+materializes an unbounded list for a stopword-grade term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase. Stage N counts only events
+# strictly after the user's stage-(N-1) timestamp — the sequential
+# conversion semantics, not mere set membership. Expressed as a chain of
+# min-aggregates (the distributed funnel form: per-user scalars, never a
+# per-user event sort).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    GROUP BY 1
+)
+SELECT v.user_id,
+       CAST(floor(epoch(v.v_ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(c.c_ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.p_ts)) AS BIGINT) AS purchase_epoch,
+       CAST(1 + (c.user_id IS NOT NULL)::INTEGER
+              + (p.user_id IS NOT NULL)::INTEGER AS INTEGER) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_SQL)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first view, first click AFTER that view,
+    first purchase AFTER that click, and the stage reached (1-3)."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("v_ts").cast("long").alias("view_epoch"),
+            F.col("c_ts").cast("long").alias("click_epoch"),
+            F.col("p_ts").cast("long").alias("purchase_epoch"),
+            (
+                F.lit(1)
+                + F.col("c_ts").isNotNull().cast("int")
+                + F.col("p_ts").isNotNull().cast("int")
+            ).cast("int").alias("stage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> document frequency + the first-K posting list
+# (doc_ids ascending, comma-joined for cross-engine hashing — value
+# comparison over arrays is engine-sensitive, strings are not). The K-cap
+# is applied by a ranking window BEFORE the list aggregate, so the rn<=K
+# filter compiles to WindowGroupLimit: tasks keep K candidates per term
+# instead of buffering full postings for high-df terms.
+# ---------------------------------------------------------------------------
+
+_POSTINGS_K = 20
+
+_INVIDX_SQL = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+),
+df AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+top AS (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tok
+),
+post AS (
+    SELECT term,
+           array_to_string(list_transform(list(doc_id ORDER BY doc_id),
+                                          x -> CAST(x AS VARCHAR)), ',') AS top_postings
+    FROM top WHERE rn <= {_POSTINGS_K} GROUP BY term
+)
+SELECT df.term, CAST(df.df AS BIGINT) AS df, post.top_postings
+FROM df JOIN post ON df.term = post.term
+"""
+
+
+@register("inverted_index_postings", _INVIDX_SQL)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with bounded posting lists: per-term df over the full
+    corpus plus the first 20 doc_ids (ascending)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_K)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top_postings")
+        )
+    )
+    return dfreq.join(post, "term").select(
+        "term", F.col("df").cast("long").alias("df"), "top_postings"
+    )

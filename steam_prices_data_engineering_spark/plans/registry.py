@@ -1060,3 +1060,4 @@ from . import coverage_tpch4 as _coverage_tpch4  # noqa: E402,F401
 from . import semistructured as _semistructured  # noqa: E402,F401
 from . import quality as _quality  # noqa: E402,F401
 from . import corpus_ops as _corpus_ops  # noqa: E402,F401
+from . import behavioral as _behavioral  # noqa: E402,F401
