@@ -136,22 +136,24 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).distinct()
-    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("term").orderBy("doc_id")
-    post = (
-        tok.withColumn("rn", F.row_number().over(w))
+    # df as a count window over the SAME distinct subtree (not a second
+    # aggregate joined back, which would recompute the distinct and re-scan
+    # the corpus); both windows share the `term` partitioning, so the plan
+    # is one (doc_id,term) shuffle + one (term) shuffle total.
+    wdf = Window.partitionBy("term")
+    wr = Window.partitionBy("term").orderBy("doc_id")
+    ranked = (
+        tok.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _POSTINGS_K)
-        .groupBy("term")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("top_postings")
-        )
     )
-    return dfreq.join(post, "term").select(
-        "term", F.col("df").cast("long").alias("df"), "top_postings"
-    )
+    return ranked.groupBy("term").agg(
+        F.first("df").cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_postings"),
+    ).select("term", "df", "top_postings")

@@ -300,3 +300,33 @@ def test_unpivot_is_expand_single_scan(spark):
     tree = _plan(spark, "unpivot_lineitem_measures").split("\n\n")[0]
     assert tree.count("Expand") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_tfidf_df_is_window_not_rejoined_agg(spark):
+    """df must be a count window over the shared tf subtree: one corpus
+    scan for tf + one count-only scan for N, and the per-doc top-k must
+    hit the WindowGroupLimit rewrite."""
+    tree = _plan(spark, "tfidf_top_terms").split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+    assert tree.count("Scan parquet") == 2, tree
+
+
+def test_inverted_index_single_scan_two_shuffles(spark):
+    """distinct + df-window + rank + collect must reuse one subtree: one
+    scan, one (doc_id,term) shuffle, one (term) shuffle — and the posting
+    cap must prune via WindowGroupLimit before collect_list."""
+    tree = _plan(spark, "inverted_index_postings").split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_chunk_overlap", "embedding_quantize_int8"]
+)
+def test_narrow_map_operators_have_no_shuffle(spark, name):
+    """Chunking and quantization are pure narrow maps: zero exchanges,
+    one scan — they scale linearly with input splits."""
+    tree = _plan(spark, name).split("\n\n")[0]
+    assert tree.count("Exchange") == 0, tree
+    assert tree.count("Scan parquet") == 1, tree
