@@ -127,3 +127,61 @@ def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("value"), 4).alias("last_value"),
         )
     )
+
+
+# ===========================================================================
+# Winsorized robust statistics: clip each group's values at its own
+# [p05, p95] percentile band, report raw vs winsorized means and the clip
+# counts — the standard outlier treatment before feature normalization.
+# The percentile thresholds are WINDOW aggregates over the group (one
+# shuffle on the group key; the subsequent groupBy reuses that
+# partitioning — no join-back, no second scan). Thresholds are dround'ed
+# to 4dp BEFORE the comparisons so both engines clip on bit-identical
+# boundaries. Exact percentile materializes per-group sorted state — the
+# sketch path for wider-than-memory groups is `approx_aggregates`.
+# ===========================================================================
+
+_WINSOR_SQL = f"""
+WITH st AS (
+    SELECT l_returnflag, l_extendedprice,
+           {R("quantile_cont(l_extendedprice, 0.05) OVER (PARTITION BY l_returnflag)", 4)} AS lo,
+           {R("quantile_cont(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag)", 4)} AS hi
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       {R("avg(l_extendedprice)", 4)} AS raw_mean,
+       {R("avg(least(greatest(l_extendedprice, lo), hi))", 4)} AS winsorized_mean,
+       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       min(lo) AS p05,
+       min(hi) AS p95
+FROM st GROUP BY 1
+"""
+
+
+@register("winsorized_stats_by_flag", _WINSOR_SQL)
+def winsorized_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report: [p05,p95] clip band, raw vs
+    winsorized mean, and how many rows each tail clipped."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    st = li.select("l_returnflag", "l_extendedprice").select(
+        "*",
+        dround(F.percentile("l_extendedprice", 0.05).over(w), 4).alias("lo"),
+        dround(F.percentile("l_extendedprice", 0.95).over(w), 4).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return st.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+        dround(F.avg(clipped), 4).alias("winsorized_mean"),
+        F.sum((F.col("l_extendedprice") < F.col("lo")).cast("int"))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum((F.col("l_extendedprice") > F.col("hi")).cast("int"))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.min("lo").alias("p05"),
+        F.min("hi").alias("p95"),
+    )

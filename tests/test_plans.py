@@ -330,3 +330,11 @@ def test_narrow_map_operators_have_no_shuffle(spark, name):
     tree = _plan(spark, name).split("\n\n")[0]
     assert tree.count("Exchange") == 0, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_winsorized_stats_single_shuffle(spark):
+    """Percentile thresholds via window + groupBy on the same key must
+    reuse one partitioning: one scan, one exchange total."""
+    tree = _plan(spark, "winsorized_stats_by_flag").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
