@@ -157,3 +157,102 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("top_postings"),
     ).select("term", "df", "top_postings")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day, counted on each
+# subsequent activity-day offset. The cohort day is a min-window over the
+# deduplicated (user, day) activity set — the same partitioning then feeds
+# the user-level window, so the plan is scan -> distinct shuffle ->
+# user-window shuffle -> final cohort aggregate. The standard
+# retention-triangle input.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+coh AS (
+    SELECT user_id, day,
+           min(day) OVER (PARTITION BY user_id) AS cohort_day
+    FROM act
+)
+SELECT CAST(floor(epoch(cohort_day)) AS BIGINT) AS cohort_epoch,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM coh GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_daily", _COHORT_SQL)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention counts: (first-activity day, day offset) ->
+    distinct active users."""
+    e = read_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    coh = act.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        coh.groupBy(
+            F.col("cohort_day").cast("long").alias("cohort_epoch"),
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("cohort_epoch", "day_offset", "n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (Markov bigrams): for each user's time-ordered
+# event stream, count src -> dst transitions and each destination's share
+# of its source's outgoing edges. One lead-window pass over (user_id
+# order by ts, event_id) — the deterministic total order — then a tiny
+# (src, dst) aggregate; the share is a count window over src, reusing the
+# aggregate's output (5x5 matrix — negligible).
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH nxt AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+),
+cnt AS (
+    SELECT src, dst, count(*) AS n FROM nxt
+    WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src)) * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM cnt
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_SQL)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src -> dst transition counts and per-source shares over each user's
+    time-ordered event stream."""
+    from ..functions.rounding import dround
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    cnt = (
+        nxt.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        dround(F.col("n").cast("double") / F.sum("n").over(ws), 6).alias("share"),
+    )
