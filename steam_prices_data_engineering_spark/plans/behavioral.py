@@ -1,6 +1,6 @@
-"""Behavioral / retrieval-support operators: ordered event-funnel analysis
-over `events` and inverted-index construction over `documents`. Both
-oracle-checked.
+"""Behavioral / retrieval-support operators: ordered event-funnel analysis,
+cohort retention, and event-transition matrices over `events`, plus
+inverted-index construction over `documents`. All oracle-checked.
 
 Scale notes: the funnel chain keys every join and aggregate on `user_id`,
 so one hash partitioning is reused across all three stages (no re-shuffle

@@ -185,3 +185,59 @@ def winsorized_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("p05"),
         F.min("hi").alias("p95"),
     )
+
+
+# ===========================================================================
+# Fixed-width value histogram with cumulative distribution: the profiling
+# view of a numeric column. Bucketing is a narrow map (floor division by
+# the bucket width — no data-dependent bounds, so no pre-pass); the heavy
+# lifting is one aggregate on bucket_id. The running/total windows run on
+# POST-AGGREGATE rows (bounded by value-range/width, here ~13 rows), where
+# a single-partition window is harmless — the fact table itself never
+# passes through an empty-partition window.
+# ===========================================================================
+
+_HIST_WIDTH = 5000.0
+
+_HIST_SQL = f"""
+WITH b AS (
+    SELECT CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS INTEGER) AS bucket_id,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+)
+SELECT bucket_id,
+       bucket_id * {_HIST_WIDTH} AS lo,
+       bucket_id * {_HIST_WIDTH} + {_HIST_WIDTH} AS hi,
+       CAST(n AS BIGINT) AS n,
+       {R("CAST(sum(n) OVER (ORDER BY bucket_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / sum(n) OVER ()", 6)} AS cum_share
+FROM b
+"""
+
+
+@register("histogram_extendedprice", _HIST_SQL)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice with bucket bounds and the
+    cumulative distribution share."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / _HIST_WIDTH)
+            .cast("int")
+            .alias("bucket_id")
+        )
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_run = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return b.select(
+        "bucket_id",
+        (F.col("bucket_id") * _HIST_WIDTH).alias("lo"),
+        (F.col("bucket_id") * _HIST_WIDTH + _HIST_WIDTH).alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        dround(
+            F.sum("n").over(w_run).cast("double") / F.sum("n").over(w_all), 6
+        ).alias("cum_share"),
+    )
