@@ -241,3 +241,71 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w_run).cast("double") / F.sum("n").over(w_all), 6
         ).alias("cum_share"),
     )
+
+
+# ===========================================================================
+# Incremental-ingest dedup: the production shape for a GROWING corpus —
+# dedupe an incoming batch (doc_id >= T) against the landed history
+# (doc_id < T) on a PREFIX fingerprint (rolling hash over the first 8
+# tokens — the boilerplate-header dedup key; every fixture text is unique
+# in full, prefixes genuinely collide), then dedupe within the batch
+# itself (keep lowest doc_id per fingerprint). History and batch are
+# separate PRUNED scans (the doc_id split predicate pushes to the parquet
+# row groups — at scale two pruned scans beat one full scan re-split by a
+# shuffle); the anti join and the within-batch window both key on `fp`,
+# so one hash partitioning serves both.
+# ===========================================================================
+
+_INGEST_SPLIT = 400
+_INGEST_PREFIX = 8
+
+
+def _ingest_sql() -> str:
+    from .registry import _SQL_TOKENS, _SQL_TOKEN_HASH
+
+    return f"""
+WITH fp AS (
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_slice({_SQL_TOKENS}, 1, {_INGEST_PREFIX}),
+                               {_SQL_TOKEN_HASH})),
+                (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+    FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {_INGEST_SPLIT}),
+inc AS (SELECT doc_id, fp FROM fp WHERE doc_id >= {_INGEST_SPLIT}),
+surv AS (
+    SELECT i.doc_id, i.fp,
+           row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = i.fp)
+)
+SELECT doc_id, fp FROM surv WHERE rn = 1
+"""
+
+
+@register("incremental_dedup_ingest", _ingest_sql())
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents from the incoming batch that are new: their 8-token
+    prefix fingerprint appears neither in the landed history nor earlier
+    (by doc_id) within the batch."""
+    from ..functions.text import fingerprint_from_hashes, token_hash, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    prefix_hashes = F.transform(
+        F.slice(tokens(F.col("text")), 1, _INGEST_PREFIX), token_hash
+    )
+    fp = d.select(
+        "doc_id", fingerprint_from_hashes(prefix_hashes).alias("fp")
+    )
+    hist = (
+        fp.filter(F.col("doc_id") < _INGEST_SPLIT).select("fp").distinct()
+    )
+    inc = fp.filter(F.col("doc_id") >= _INGEST_SPLIT)
+    surv = inc.join(hist, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
