@@ -256,3 +256,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         dround(F.col("n").cast("double") / F.sum("n").over(ws), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA (exponentially weighted moving average) over each user's
+# time-ordered values — recursive smoothing, an operator Spark has no
+# built-in for, expressed as an ordered fold: collect (ts, event_id,
+# value) structs, array_sort (lexicographic on the unique (ts, event_id)
+# prefix = the deterministic event order), then a sequential aggregate
+# with s_t = a*x_t + (1-a)*s_{t-1}. alpha = 0.5 is binary-exact, and both
+# engines fold left-to-right from the first element, so the result is
+# bit-identical before rounding. Per-user state is bounded by per-user
+# history (the streaming form is applyInPandasWithState —
+# `stateful_user_totals`); one shuffle on user_id total.
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(list_reduce(list(value ORDER BY ts, event_id),
+                         (a, b) -> 0.5 * b + 0.5 * a) * 1000000.0 + 0.5)
+           / 1000000.0 AS ewma_value
+FROM events GROUP BY 1
+"""
+
+
+@register("ewma_user_value", _EWMA_SQL)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.5) of each user's value series in event order."""
+    from ..functions.rounding import dround
+
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("series"),
+    )
+    ewma = F.aggregate(
+        F.col("series"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["value"]).otherwise(
+            0.5 * s["value"] + 0.5 * acc
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        dround(ewma, 6).alias("ewma_value"),
+    )
