@@ -381,3 +381,49 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the scratch dir is removed
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: the live event stream joined to a slowly
+# changing dimension (customer -> nation) read as a plain batch table.
+# The static side is broadcast, so enrichment is STATELESS — no watermark,
+# no join state, each microbatch maps through the dim — the canonical
+# at-scale shape for attaching reference data to a firehose. With one
+# availableNow batch the result equals the batch join, which is the
+# oracle.
+# ---------------------------------------------------------------------------
+
+_STREAM_ENRICH_SQL = f"""
+SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type,
+       {R('e.value', 4)} AS value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@register("streaming_static_enrichment", _STREAM_ENRICH_SQL)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static broadcast join: events stream enriched with
+    the customer's nation (c_custkey = user_id + 1, the fixture key map)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "nation"
+    )
+    s = _events_stream(spark, sf_dir)
+    enriched = s.join(
+        F.broadcast(dim), s.user_id + 1 == dim.c_custkey
+    ).select(
+        "event_id",
+        "user_id",
+        "nation",
+        "event_type",
+        dround(F.col("value"), 4).alias("value"),
+    )
+    sink = _run_to_memory(enriched, "enrich", "append")
+    return spark.table(sink)
