@@ -12,10 +12,10 @@ verify it with a recursive CTE computing true reachability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import dround
+from ..functions.rounding import dround, dround_sql as R
 from ..operators.dedup import minhash_lsh_pairs
 from ..sources.tables import read_table
 from .registry import _NEARDUP_MINHASH_SQL, register
@@ -154,4 +154,102 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         dround(F.sum("dist"), 4).alias("inertia"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph (oracle-checked iterative
+# algorithm: fixed 3 power iterations unrolled identically in the SQL).
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    d = _PR_DAMPING
+    iters = [
+        """
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+    SELECT node, (1 - {d}) / n + {d} * coalesce(c.contrib, 0.0) AS rank
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS cn, sum(r.rank * e.w) AS contrib
+        FROM edges e JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+    ) c ON c.cn = node
+)""")
+    return f"""
+WITH seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+ecount AS (
+    SELECT prev_type AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS cnt
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+edges AS (
+    SELECT src, dst, cnt / sum(cnt) OVER (PARTITION BY src) AS w FROM ecount
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+{",".join(iters)}
+SELECT node AS event_type, {R('rank', 6)} AS pagerank FROM r{_PR_ITERS}
+"""
+
+
+@register("pagerank_event_transitions", _pagerank_sql())
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed power iterations) over the directed
+    graph of consecutive event-type transitions per user — "which event
+    state accumulates behavioral mass". Edge weights are per-source
+    normalized transition counts (one lag window + one agg + one
+    normalization window, same partition, no re-join). Each iteration is
+    edges ⋈ ranks -> groupBy(dst) — with the rank table broadcast, the big
+    edge side never shuffles; at web scale this flips to the standard
+    partitioned-join PR loop with localCheckpoint every few rounds to cut
+    lineage (the kmeans loop above shows the driver-coordinated variant).
+    Dangling-node mass is dropped, identically in both engines. The oracle
+    unrolls the SAME 3 iterations as nested CTEs, so this iterative
+    algorithm is fully hash-verified — not a rows-only exemption."""
+    e = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w_user).alias("prev_type")
+    )
+    ecount = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    edges = ecount.select(
+        "src",
+        "dst",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
+    )
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    n = nodes.count()  # driver sees one scalar: the node count
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("cn"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.node == F.col("cn"), "left").select(
+            "node",
+            (
+                F.lit((1 - _PR_DAMPING) / n)
+                + F.lit(_PR_DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"), dround(F.col("rank"), 6).alias("pagerank")
     )

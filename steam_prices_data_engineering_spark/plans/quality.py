@@ -309,3 +309,90 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "fp")
     )
+
+
+# ===========================================================================
+# Canonical-record selection: per near-dup bucket, keep the highest-quality
+# document (the standard "which copy survives" policy in corpus dedup —
+# dedup_exact_groups keeps min-id; this keeps best-quality).
+# ===========================================================================
+
+def _sql_simhash16(hs: str) -> str:
+    """16-bit SimHash over a BIGINT hash list, bit-parallel majority vote —
+    mirrors operators/dedup.py:simhash_from_hashes."""
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hs}, h -> (h >> {bit}) & 1 = 1)) "
+        f"> len({hs}) THEN {1 << bit} ELSE 0 END)"
+        for bit in range(16)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _canonical_sql() -> str:
+    from .registry import _SQL_TOKEN_HASH, _SQL_TOKENS
+
+    quality = (
+        "0.5 * (CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp)) "
+        "+ 0.3 * (1 - CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp)) "
+        "+ 0.2 * least(len(sp) / 100.0, 1.0)"
+    )
+    return f"""
+WITH feat AS (
+    SELECT doc_id,
+           list_transform({_SQL_TOKENS}, {_SQL_TOKEN_HASH}) AS hs,
+           {_SQL_TOKENS} AS sp
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, {_sql_simhash16('hs')} AS bucket, {R(quality, 6)} AS quality
+    FROM feat
+),
+ranked AS (
+    SELECT doc_id, bucket, quality,
+           row_number() OVER (PARTITION BY bucket ORDER BY quality DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY bucket) AS n_members
+    FROM scored
+)
+SELECT bucket, CAST(doc_id AS BIGINT) AS keeper_id, quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_by_quality", _canonical_sql())
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection per SimHash bucket: documents
+    whose 16-bit SimHash collides are treated as one near-dup cluster, and
+    the member with the highest composite quality score (tie: lowest
+    doc_id) survives. One shuffle on the bucket key; both the rank and the
+    member count ride the SAME window partition (no second groupBy+join —
+    see the subtree-reuse pitfall in tests/test_plans.py). Quality is
+    rounded BEFORE ranking so the keeper choice is bit-identical across
+    engines. Scale: bucket cardinality ~2^16 per shard is skew-safe for
+    ranking; real corpora widen the hash (operators/dedup.py simhash bits
+    param) to keep buckets small."""
+    from ..functions.text import quality_score, token_hash_array
+    from ..operators.dedup import simhash_from_hashes
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        simhash_from_hashes(token_hash_array(F.col("text")), bits=16).alias("bucket"),
+        dround(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("bucket")
+    ranked = scored.select(
+        "doc_id",
+        "bucket",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "bucket",
+        F.col("doc_id").cast("long").alias("keeper_id"),
+        "quality",
+        F.col("n_members").cast("long").alias("n_members"),
+    )

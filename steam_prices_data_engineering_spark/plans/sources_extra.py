@@ -88,3 +88,55 @@ def text_source_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("source")).cast("long").alias("src_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: the file-per-record ingestion path for multimodal data.
+# ---------------------------------------------------------------------------
+
+_BINARY_DIR = "/root/repo/.scratch/documents_bin"
+_BINARY_MAX_ID = 64  # bounded, sf-independent landing set
+
+_BINARYFILE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {_BINARY_MAX_ID}
+"""
+
+
+@register("binaryfile_source_metadata", _BINARYFILE_SQL)
+def binaryfile_source_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-per-record binary ingestion via `spark.read.format("binaryFile")`
+    — the scan shape for image/audio/video corpora (one opaque blob per
+    file, typed metadata columns `path`/`length`/`modificationTime` for
+    free). The record key is recovered from the filename executor-side
+    (`regexp_extract` on `path`) and the content features (byte length,
+    md5) are computed on the raw bytes, exactly where a real image decoder
+    would plug in (operators/multimodal.py). At 100 TB the binaryFile
+    source parallelizes across files, so millions of blobs scan wide; the
+    driver only stages the fixture files here (bounded to doc_id < 64,
+    constant across scale factors). Oracle recomputes both features from
+    the canonical text, proving the bytes round-tripped unchanged."""
+    import os
+    import shutil
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _BINARY_MAX_ID
+    )
+    rows = d.select("doc_id", "text").collect()  # bounded: < 64 records
+    shutil.rmtree(_BINARY_DIR, ignore_errors=True)
+    os.makedirs(_BINARY_DIR, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(_BINARY_DIR, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+
+    back = spark.read.format("binaryFile").load(_BINARY_DIR)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
