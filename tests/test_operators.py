@@ -150,3 +150,29 @@ def test_transform_with_state_user_stats(spark):
         .collect()
     }
     assert got == want
+
+
+def test_observe_metrics_ride_the_job(spark):
+    """`df.observe` collects accumulator-style metrics DURING the action —
+    no second scan. At 100 TB this is how row counts / quality gauges are
+    gathered for free alongside the real job (vs a separate count() that
+    re-reads the input)."""
+    from pyspark.sql import Observation
+
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    obs = Observation("ingest_stats")
+    o = read_table(spark, "/root/testdata/sf0.001", "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    agg = o.groupBy("o_orderstatus").count()
+    n_out = agg.count()  # one action drives both the agg and the metrics
+    got = obs.get
+    assert n_out >= 1
+    assert got["n_rows"] == read_table(
+        spark, "/root/testdata/sf0.001", "orders"
+    ).count()
+    assert got["total_price"] > 0
