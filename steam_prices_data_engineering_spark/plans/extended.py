@@ -371,3 +371,135 @@ def string_agg_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("p_brand").agg(
         F.concat_ws(",", F.sort_array(F.collect_set("p_type"))).alias("types")
     )
+
+
+# ---------------------------------------------------------------------------
+# String scalar functions (cross-engine-exact subset)
+# ---------------------------------------------------------------------------
+
+_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS up_name,
+       CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+       left(p_name, 4) AS head4,
+       right(p_name, 3) AS tail3,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       replace(p_name, ' ', '_') AS snake,
+       split_part(p_name, ' ', 2) AS second_word,
+       reverse(p_name) AS rev,
+       repeat(left(p_name, 1), 3) AS tri_initial,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       CAST(starts_with(p_name, 'red') AS BOOLEAN) AS is_red
+FROM part
+"""
+
+
+@register("string_scalar_funcs", _STRING_FUNCS_SQL)
+def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string scalar library (upper/strpos/left/right/translate/replace/
+    split_part/reverse/repeat/lpad/starts_with) — rounds out the scalar
+    families (date_scalar_funcs, math_scalar_funcs). All JVM-codegen'd
+    expressions; the reference's string work (case normalize O22, value
+    remap O23, regex parse O20) composes from exactly this layer. initcap
+    and soundex are excluded: their word/phonetic semantics differ across
+    engines."""
+    p = read_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.upper(name).alias("up_name"),
+        F.instr(name, "e").cast("long").alias("first_e"),
+        F.left(name, F.lit(4)).alias("head4"),
+        F.right(name, F.lit(3)).alias("tail3"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("snake"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.reverse(name).alias("rev"),
+        F.repeat(F.left(name, F.lit(1)), 3).alias("tri_initial"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.startswith(name, F.lit("red")).alias("is_red"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates + shifts
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_custkey) AS BIGINT) AS and_cust,
+       CAST(bit_or(o_custkey) AS BIGINT) AS or_cust,
+       CAST(bit_xor(o_custkey) AS BIGINT) AS xor_cust,
+       CAST(sum(o_orderkey << 1) AS BIGINT) AS sum_shifted,
+       CAST(sum(xor(o_orderkey, o_custkey) & 255) AS BIGINT) AS sum_xor_low,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("bitwise_agg_funcs", _BITWISE_SQL)
+def bitwise_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor — order-insensitive, so
+    shuffle-partial-safe) plus scalar shift/xor/mask arithmetic. These back
+    bitmap-style set encodings (the SimHash band trick in operators/dedup.py
+    is the same algebra). DuckDB's `^` is exponentiation, so the oracle
+    spells xor(); Spark-side it's the `^` column operator."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").cast("long").alias("and_cust"),
+        F.bit_or("o_custkey").cast("long").alias("or_cust"),
+        F.bit_xor("o_custkey").cast("long").alias("xor_cust"),
+        F.sum(F.shiftleft(F.col("o_orderkey"), 1)).cast("long").alias("sum_shifted"),
+        F.sum(
+            (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).bitwiseAND(F.lit(255))
+        )
+        .cast("long")
+        .alias("sum_xor_low"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType columns: JSON -> typed map -> entry explosion
+# ---------------------------------------------------------------------------
+
+_MAP_FUNCS_SQL = f"""
+WITH entries AS (
+    SELECT event_type,
+           unnest(json_keys(props)) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS v
+    FROM events
+)
+SELECT event_type, k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       {R('avg(CAST(v AS DOUBLE))', 4)} AS avg_v
+FROM entries
+GROUP BY 1, 2
+"""
+
+
+@register("map_column_funcs", _MAP_FUNCS_SQL)
+def map_column_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: `from_json` into `map<string,int>` (parse ONCE —
+    events_variant_props_bands shows the Variant form), then
+    `explode(map_entries(...))` into (key, value) rows and per-key stats.
+    This is the schema-on-read shape for ragged property bags where keys
+    aren't known at write time; the map explode is a narrow Generate, the
+    only shuffle is the final small aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    entry = F.explode(F.map_entries(m)).alias("entry")
+    flat = e.select("event_type", entry).select(
+        "event_type",
+        F.col("entry.key").alias("k"),
+        F.col("entry.value").alias("v"),
+    )
+    return flat.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+        dround(F.avg(F.col("v").cast("double")), 4).alias("avg_v"),
+    )
