@@ -338,3 +338,29 @@ def test_winsorized_stats_single_shuffle(spark):
     tree = _plan(spark, "winsorized_stats_by_flag").split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_canonical_dedup_single_shuffle_one_scan(spark):
+    """Rank and member count must ride ONE window partitioning on the
+    bucket key: one scan of documents, one exchange total."""
+    tree = _plan(spark, "dedup_canonical_by_quality").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "WindowGroupLimit" in tree or "Window" in tree
+
+
+def test_pagerank_rank_side_broadcasts(spark):
+    """Every power iteration joins edges against the (tiny) rank table —
+    the rank side must broadcast so the edge list never re-shuffles for
+    the join; no sort-merge join anywhere."""
+    tree = _plan(spark, "pagerank_event_transitions").split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+
+
+def test_map_explode_single_shuffle(spark):
+    """Map-entry explosion is a narrow Generate; the only exchange is the
+    final per-key aggregation."""
+    tree = _plan(spark, "map_column_funcs").split("\n\n")[0]
+    assert tree.count("Generate") == 1, tree
+    assert tree.count("Exchange") == 1, tree
