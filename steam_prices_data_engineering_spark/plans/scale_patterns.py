@@ -427,3 +427,66 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(enriched, "enrich", "append")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Salted SHUFFLE JOIN: the companion to skew_salted_agg for the join case.
+# When one join key dominates (a celebrity user, a default id), the naive
+# shuffle join lands that key's entire volume on one task. Salting splits
+# the big side's hot key across N sub-keys and replicates the small side's
+# matching rows N times, so the hot key occupies N tasks. Results are
+# provably identical to the unsalted join (the oracle IS the plain join).
+# ---------------------------------------------------------------------------
+
+_JOIN_SALT = 8
+
+_SALTED_JOIN_SQL = f"""
+SELECT event_type, u.segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R('sum(value)', 4)} AS sum_value
+FROM events e
+JOIN (SELECT DISTINCT user_id, CASE WHEN user_id % 3 = 0 THEN 'power' ELSE 'casual' END AS segment
+      FROM events) u
+  ON e.user_id = u.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("skew_salted_join", _SALTED_JOIN_SQL)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the fact side gets `salt = crc32-free modulo of
+    its own row key` (deterministic, uniform), the dim side is exploded
+    x{_JOIN_SALT} so every (user_id, salt) probe finds its match. The join
+    keys become (user_id, salt) — a hot user_id now hashes to {_JOIN_SALT}
+    distinct reducers instead of one. SHUFFLE_MERGE hint keeps it a real
+    shuffle join (broadcast would hide the pattern at this toy scale; at
+    100 TB neither side broadcasts). The oracle is the unsalted join —
+    identical results."""
+    e = read_table(spark, sf_dir, "events")
+    users = (
+        e.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, F.lit("power"))
+            .otherwise(F.lit("casual"))
+            .alias("segment"),
+        )
+    )
+    salted_facts = e.select(
+        "user_id", "event_type", "value",
+        (F.col("event_id") % _JOIN_SALT).alias("salt"),
+    )
+    salted_dim = users.select(
+        "user_id",
+        "segment",
+        F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))).alias("salt"),
+    )
+    joined = salted_facts.hint("SHUFFLE_MERGE").join(
+        salted_dim,
+        (salted_facts.user_id == salted_dim.user_id)
+        & (salted_facts.salt == salted_dim.salt),
+    )
+    return joined.groupBy(F.col("event_type"), F.col("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value"), 4).alias("sum_value"),
+    )

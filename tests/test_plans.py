@@ -364,3 +364,36 @@ def test_map_explode_single_shuffle(spark):
     tree = _plan(spark, "map_column_funcs").split("\n\n")[0]
     assert tree.count("Generate") == 1, tree
     assert tree.count("Exchange") == 1, tree
+
+
+def test_salted_join_is_shuffle_join_not_broadcast(spark):
+    """The salted-join pattern only matters on a shuffle join; the hint
+    must hold so both sides hash-partition on (key, salt)."""
+    tree = _plan(spark, "skew_salted_join").split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+
+
+def test_partitioned_landing_prunes_to_one_partition(spark):
+    """A literal filter on the partition column of the run-partitioned
+    landing must become a PartitionFilter (directory pruning) — no data
+    filter, no scan of other runs. This is the scan-side proof of the
+    S6/O32 'latest run' design at scale."""
+    from steam_prices_data_engineering_spark.plans.pipelines import _SINK_DIR
+
+    # Materialize the landing via the registered query, then re-read.
+    registry.queries()["sink_partitioned_latest_run"](spark, SF).collect()
+    landed = spark.read.parquet(_SINK_DIR)
+    yrs = [r.yr for r in landed.select("yr").distinct().collect()]
+    pick = sorted(yrs)[0]
+    df = landed.filter(f"yr = {pick}")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and re.search(rf"\(yr#\d+ = {pick}\)", pf_lines[0]), plan
+    # The partition predicate must NOT survive as a post-scan data filter:
+    # no Filter operator at all — the scan's directory pruning is the
+    # entire predicate.
+    assert "Filter (" not in plan, plan
