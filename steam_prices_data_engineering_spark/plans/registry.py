@@ -50,6 +50,7 @@ from ..sources.tables import read_table
 from ..streaming.windows import (
     session_stats,
     sliding_counts,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
     tumbling_counts,
 )
@@ -990,6 +991,16 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return streaming_tumbling_counts(
         spark, table_path(sf_dir, "events"), "10 minutes", watermark="1 hour"
+    )
+
+
+@register("streaming_sliding_window", _SLIDING_SQL)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import table_path
+
+    return streaming_sliding_counts(
+        spark, table_path(sf_dir, "events"), "10 minutes", "5 minutes",
+        watermark="1 hour",
     )
 
 

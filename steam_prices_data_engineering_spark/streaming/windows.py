@@ -76,19 +76,16 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def streaming_tumbling_counts(
-    spark,
-    events_path: str,
-    duration: str = "10 minutes",
-    watermark: str = "1 hour",
-) -> DataFrame:
-    """Structured Streaming version of tumbling_counts: parquet readStream ->
-    withWatermark -> windowed agg -> memory sink, run to completion with
-    availableNow, then return the materialized result."""
+def events_stream(spark, events_path: str, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked parquet readStream over the events fixture.
+
+    The fixture stores ts as TIMESTAMP(NANOS); under nanosAsLong the source
+    yields a long, converted here ns->us exactly as the batch IO layer does.
+    """
+    import os
+
     from pyspark.sql import types as T
 
-    # The fixture stores ts as TIMESTAMP(NANOS); under nanosAsLong the source
-    # yields a long, converted here ns->us exactly as the batch IO layer does.
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -99,12 +96,10 @@ def streaming_tumbling_counts(
             T.StructField("props", T.StringType()),
         ]
     )
-    import os
-
     # FileStreamSource requires a directory; point it at the parent dir with
     # a glob filter for the single events file.
     base_dir, fname = os.path.split(events_path)
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", fname)
@@ -112,6 +107,34 @@ def streaming_tumbling_counts(
         .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
         .withWatermark("ts", watermark)
     )
+
+
+def run_to_memory_sink(agg: DataFrame, prefix: str):
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink; return the materialized table."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(sink)
+
+
+def streaming_tumbling_counts(
+    spark,
+    events_path: str,
+    duration: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Structured Streaming version of tumbling_counts: parquet readStream ->
+    withWatermark -> windowed agg -> memory sink, run to completion with
+    availableNow, then return the materialized result."""
+    stream = events_stream(spark, events_path, watermark)
     agg = (
         stream.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
@@ -125,13 +148,32 @@ def streaming_tumbling_counts(
             "sum_value",
         )
     )
-    sink = f"stream_tumble_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory_sink(agg, "stream_tumble")
+
+
+def streaming_sliding_counts(
+    spark,
+    events_path: str,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Structured Streaming version of sliding_counts: each event enters
+    duration/slide overlapping windows; state holds one row per open window
+    and the watermark bounds how long a window stays open. With a single
+    availableNow replay nothing is late, so the result equals the batch
+    sliding plan and the batch oracle applies."""
+    stream = events_stream(spark, events_path, watermark)
+    agg = (
+        stream.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
     )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(agg, "stream_slide")
