@@ -228,12 +228,16 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
+    # The derived edge/node tables are tiny (≤ |event_types|² rows) but their
+    # lineage holds the full lag-window scan of events — persist so the big
+    # subtree runs ONCE, not once per iteration (the plan dump showed 4
+    # recomputed scans before this).
     edges = ecount.select(
         "src",
         "dst",
         (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
-    )
-    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    ).persist()
+    nodes = e.select(F.col("event_type").alias("node")).distinct().persist()
     n = nodes.count()  # driver sees one scalar: the node count
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
@@ -243,7 +247,7 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("cn"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        ranks = nodes.join(contrib, nodes.node == F.col("cn"), "left").select(
+        ranks = nodes.join(F.broadcast(contrib), nodes.node == F.col("cn"), "left").select(
             "node",
             (
                 F.lit((1 - _PR_DAMPING) / n)
