@@ -503,3 +503,39 @@ def map_column_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("max_v"),
         dround(F.avg(F.col("v").cast("double")), 4).alias("avg_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* arithmetic: per-row error absorption as expressions
+# ---------------------------------------------------------------------------
+
+_TRY_FUNCS_SQL = f"""
+SELECT o_orderkey,
+       {R('o_totalprice / nullif(o_custkey % 5, 0)', 4)} AS per_bucket,
+       CAST(try_cast(o_orderpriority AS INTEGER) AS BIGINT) AS prio_raw,
+       CAST(try_cast(left(o_orderpriority, 1) AS INTEGER) AS BIGINT) AS prio_num,
+       CAST(coalesce(try_cast(left(o_orderpriority, 1) AS INTEGER), -1) AS BIGINT) AS prio_filled
+FROM orders
+"""
+
+
+@register("try_arithmetic_funcs", _TRY_FUNCS_SQL)
+def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_*/NULL-absorbing expression family — the engine-level form
+    of the reference's per-row try/except -> NaN policy (O33,
+    steam_prices_transformer.py:119-132): division by zero and failed
+    casts yield NULL in-row, never an exception that kills the partition.
+    `try_divide` ≡ `a / nullif(b, 0)` in the oracle; `try_cast` exists in
+    both engines. The coalesce(-1) shows the quarantine-with-sentinel
+    variant."""
+    o = read_table(spark, sf_dir, "orders")
+    prio1 = F.left(F.col("o_orderpriority"), F.lit(1)).try_cast("int")
+    return o.select(
+        "o_orderkey",
+        dround(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 4
+        ).alias("per_bucket"),
+        F.col("o_orderpriority").try_cast("int").cast("long").alias("prio_raw"),
+        prio1.cast("long").alias("prio_num"),
+        F.coalesce(prio1, F.lit(-1)).cast("long").alias("prio_filled"),
+    )
