@@ -396,3 +396,49 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+# ===========================================================================
+# Robust statistics: median absolute deviation (MAD) per group.
+# ===========================================================================
+
+_MAD_SQL = f"""
+WITH dev AS (
+    SELECT l_returnflag,
+           median(l_extendedprice) OVER (PARTITION BY l_returnflag) AS med,
+           l_extendedprice
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       {R('min(med)', 4)} AS median_price,
+       {R('median(abs(l_extendedprice - med))', 4)} AS mad_price
+FROM dev
+GROUP BY l_returnflag
+"""
+
+
+@register("robust_stats_mad", _MAD_SQL)
+def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the outlier-robust spread
+    measure (quality gates prefer MAD over stddev because one corrupt
+    price doesn't move it). Two median passes are inherent, but both ride
+    ONE hash partitioning on the group key: the per-row median arrives via
+    a window, the MAD via a groupBy on the same key — one scan, one
+    shuffle, exactly the winsorization plan shape. Both engines
+    interpolate percentile_cont-style, so the oracle is exact."""
+    l = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    med = F.expr("percentile(l_extendedprice, 0.5)").over(w)
+    dev = l.select(
+        "l_returnflag",
+        med.alias("med"),
+        F.col("l_extendedprice"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.min("med"), 4).alias("median_price"),
+        dround(
+            F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 4
+        ).alias("mad_price"),
+    )

@@ -317,3 +317,43 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: K docs per language by hash order.
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+_STRAT_SQL = f"""
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= {_STRAT_K}
+"""
+
+
+@register("stratified_sample_per_lang", _STRAT_SQL)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the first K documents per language
+    in multiplicative-hash order — a reproducible stand-in for per-stratum
+    random sampling (Spark's sample()/sampleBy() depend on partitioning;
+    this is a pure function of the data). The rank filter sits directly on
+    its window, so WindowGroupLimit prunes each partition to K rows before
+    the full sort completes. This is the "inspect K examples per slice" /
+    "cap per-source contribution" primitive in corpus curation."""
+    d = read_table(spark, sf_dir, "documents")
+    hash_order = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(hash_order.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("lang", F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("rn").cast("long").alias("rn"))
+    )

@@ -397,3 +397,18 @@ def test_partitioned_landing_prunes_to_one_partition(spark):
     # no Filter operator at all — the scan's directory pruning is the
     # entire predicate.
     assert "Filter (" not in plan, plan
+
+
+def test_mad_single_shuffle_one_scan(spark):
+    """Window median + groupBy MAD on the same key must reuse one
+    partitioning: one scan, one exchange (the winsorization shape)."""
+    tree = _plan(spark, "robust_stats_mad").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """The rank<=K filter sits directly on its window, so each partition
+    prunes to K rows via WindowGroupLimit before the full sort."""
+    tree = _plan(spark, "stratified_sample_per_lang").split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
