@@ -344,3 +344,112 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al., SIGMOD 2002 — the MOSS
+# scheme): per sliding window of w consecutive k-gram hashes keep the
+# minimum; documents sharing >= 2 selected fingerprints are near-dup
+# candidates. Complements SimHash (doc_fingerprint_simhash) and MinHash-LSH
+# (neardup_minhash_lsh): winnowing guarantees any shared run of
+# w + k - 1 tokens is detected, independent of document length.
+# North-star §2b "document fingerprinting (rolling hash)".
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of 4 consecutive 3-gram hashes => any shared 6-token run is caught
+
+_SQL_TOKEN_HASH_L = (
+    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+)
+_SHINGLE_P_L = 2_147_483_647
+
+_WINNOW_SQL = f"""
+WITH th AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), {_SQL_TOKEN_HASH_L}) AS th
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(th) < 3 THEN []
+                ELSE list_transform(range(1, len(th) - 1),
+                     i -> (((th[i] * 8191 + th[i + 1]) % {_SHINGLE_P_L}) * 8191 + th[i + 2]) % {_SHINGLE_P_L})
+           END AS hs
+    FROM th
+),
+wm AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN []
+                WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+                ELSE list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                     i -> list_min(hs[i:i + {_WINNOW_W - 1}])))
+           END AS wm
+    FROM sh
+),
+fps AS (SELECT doc_id, unnest(wm) AS fp FROM wm)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_id_a, doc_id_b
+HAVING count(*) >= 2
+"""
+
+
+@register("neardup_winnow_fingerprints", _WINNOW_SQL)
+def neardup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints -> shared-fingerprint pair counts.
+
+    Scale shape: the winnow selection is pure per-row HOF work (no shuffle,
+    linear in corpus size after `spread()`); candidate generation is a
+    self-equi-join on the fingerprint value — high-cardinality key, no skew
+    (each fingerprint selects ~1/w of a document's shingles), so the shuffle
+    partitions evenly at 100 TB. Selectivity is tuned by w alone.
+
+    Staging discipline (see spark-perf-pitfalls): the token-hash array and
+    the shingle-hash array are each materialized in their own projection so
+    the interpreted HOF lambdas never re-evaluate an inlined array, and the
+    explode is `explode_outer` + not-null filter so
+    InferFiltersFromGenerate cannot drag the shingle expression into the
+    scan stage.
+    """
+    from ..functions.text import shingle_hash_array, token_hash_array
+    from ..sources.tables import spread
+
+    w = _WINNOW_W
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        spread(d)
+        .select("doc_id", token_hash_array(F.col("text")).alias("th"))
+        .select("doc_id", shingle_hash_array(F.col("th")).alias("hs"))
+    )
+    wm = sh.select(
+        "doc_id",
+        F.when(F.size("hs") == 0, F.array().cast("array<bigint>"))
+        .when(F.size("hs") < w, F.array(F.array_min("hs")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                    lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+                )
+            )
+        )
+        .alias("wm"),
+    )
+    fps = wm.select(
+        "doc_id", F.explode_outer("wm").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
