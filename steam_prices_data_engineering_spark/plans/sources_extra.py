@@ -140,3 +140,46 @@ def binaryfile_source_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+_XML_DIR = "/root/repo/.scratch/supplier_xml"
+
+_XML_SQL = f"""
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       {R('sum(s_acctbal)', 2)} AS total_acctbal
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("xml_source_roundtrip", _XML_SQL)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + source (built into Spark 4: `format("xml")` with a
+    rowTag — no external package). XML is the interchange format the other
+    round-trips don't cover: row-oriented, self-describing, splittable on
+    the row tag. Schema is declared on read (never inferred) and numeric
+    round-tripping is exact because the writer emits shortest-repr doubles.
+    The oracle aggregates the canonical parquet, proving the hop lossless."""
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(
+        _XML_DIR
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(_XML_DIR)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dround(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
