@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import events_stream as _events_stream
 from ..sources.tables import read_table, table_path
 from .registry import register
 
@@ -59,36 +60,6 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.max("pm"), 4).alias("max_value"),
     )
 
-
-# ---------------------------------------------------------------------------
-# Streaming helpers (shared): the events fixture stores TIMESTAMP(NANOS);
-# under nanosAsLong the stream source yields longs, converted ns->us exactly
-# as the batch IO layer does (sources/tables.py).
-# ---------------------------------------------------------------------------
-
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base_dir, fname = os.path.split(table_path(sf_dir, "events"))
-    return (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", fname)
-        .load(base_dir)
-        .withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
-    )
 
 
 def _run_to_memory(df: DataFrame, prefix: str, mode: str) -> str:

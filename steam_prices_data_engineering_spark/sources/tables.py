@@ -192,6 +192,45 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-watermarked parquet readStream over the events fixture, with `ts`
+    normalized to TimestampType exactly as `read_table` does for batch.
+
+    The driver has shipped the fixture with `ts` as TIMESTAMP(NANOS) (which
+    surfaces as a raw long under nanosAsLong) and as TIMESTAMP(MICROS) in
+    different generations; a streaming source needs an explicit schema, so
+    peek at the footer with a one-off batch read and adapt. FileStreamSource
+    requires a directory — point it at the parent with a glob for the single
+    events file."""
+    path = table_path(sf_dir, "events")
+    base_dir, fname = os.path.split(path)
+    physical = spark.read.parquet(path).schema["ts"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", physical),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    df = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", fname)
+        .load(base_dir)
+    )
+    if isinstance(physical, T.LongType):
+        # nanos-as-long: truncate ns->us like DuckDB materializing TIMESTAMP_NS
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    elif not isinstance(physical, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before CPU-heavy per-row work (interpreted
     higher-order functions, Arrow UDFs). A scan whose input splits underfill

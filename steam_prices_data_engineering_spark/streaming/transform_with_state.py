@@ -57,19 +57,8 @@ def user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    from ..sources.tables import table_path
+    from ..sources.tables import events_stream
 
-    base_dir, fname = os.path.split(table_path(sf_dir, "events"))
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -118,16 +107,7 @@ def user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
     try:
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", fname)
-            .load(base_dir)
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
-            )
-        )
+        stream = events_stream(spark, sf_dir)
         result = stream.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=UserStats(),
             outputStructType=out_schema,

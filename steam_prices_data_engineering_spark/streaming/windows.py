@@ -77,35 +77,14 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def events_stream(spark, events_path: str, watermark: str = "1 hour") -> DataFrame:
-    """Watermarked parquet readStream over the events fixture.
-
-    The fixture stores ts as TIMESTAMP(NANOS); under nanosAsLong the source
-    yields a long, converted here ns->us exactly as the batch IO layer does.
-    """
+    """Watermarked parquet readStream over the events fixture; ts type
+    adaptation lives in the shared source helper."""
     import os
 
-    from pyspark.sql import types as T
+    from ..sources.tables import events_stream as _source
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # FileStreamSource requires a directory; point it at the parent dir with
-    # a glob filter for the single events file.
-    base_dir, fname = os.path.split(events_path)
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", fname)
-        .load(base_dir)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-        .withWatermark("ts", watermark)
+    return _source(spark, os.path.dirname(events_path)).withWatermark(
+        "ts", watermark
     )
 
 
