@@ -539,3 +539,120 @@ def try_arithmetic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prio1.cast("long").alias("prio_num"),
         F.coalesce(prio1, F.lit(-1)).cast("long").alias("prio_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: keep unmatched rows from BOTH sides. The two inputs are
+# deliberately filtered to different key subsets so every outer-join row
+# class (left-only / right-only / matched) appears in the result.
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+           FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1),
+     s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp
+           FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1)
+SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+FROM c FULL JOIN s ON c.k = s.k
+"""
+
+
+@register("full_outer_join_nation_counts", _FULL_OUTER_SQL)
+def full_outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi join (absent from the reference — pandas `merge`
+    how='outer' is never used; SURVEY.md §2a "explicitly absent"). Both
+    sides are pre-aggregated so the join input is tiny regardless of fact
+    size; at scale the outer join itself shuffles both sides on the key
+    (broadcast cannot implement full-outer for the unmatched build side)."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") % 2 == 0)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 3 == 0)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.ck == s.sk, "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of vanishing from the join.
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_JOIN_SQL = f"""
+WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+     b AS (SELECT nullif(o_orderstatus, 'P') AS k,
+                  {R('sum(o_totalprice)', 2)} AS total
+           FROM orders GROUP BY 1)
+SELECT coalesce(a.k, '<null>') AS status_key, a.n_orders, b.total
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("nullsafe_join_status", _NULLSAFE_JOIN_SQL)
+def nullsafe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join via `eqNullSafe` (SQL `<=>`). A plain equality
+    join silently drops NULL-keyed rows; `<=>` keeps them AND still plans
+    as a hash-partitionable equi join (Catalyst treats `<=>` as a join
+    key, so this shuffles on the key like any equi join — no fallback to
+    nested-loop). The 'P' status is nulled out to manufacture a NULL key
+    class from the fixture data."""
+    o = read_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = o.groupBy(k.alias("ka")).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = o.groupBy(k.alias("kb")).agg(dround(F.sum("o_totalprice"), 2).alias("total"))
+    return a.join(b, a.ka.eqNullSafe(b.kb)).select(
+        F.coalesce("ka", F.lit("<null>")).alias("status_key"), "n_orders", "total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment aggregates: skewness / kurtosis / median. Spark computes
+# these in one pass with streaming central-moment updates; the oracle
+# takes the textbook two-pass route (mean first, then centered powers).
+# ---------------------------------------------------------------------------
+
+_MOMENTS_SQL = f"""
+WITH m AS (
+    SELECT l_returnflag, avg(l_extendedprice) AS mu,
+           count(*) AS n, median(l_extendedprice) AS med
+    FROM lineitem GROUP BY 1
+),
+agg AS (
+    SELECT l.l_returnflag, m.med,
+           sum(pow(l.l_extendedprice - m.mu, 2)) / m.n AS m2,
+           sum(pow(l.l_extendedprice - m.mu, 3)) / m.n AS m3,
+           sum(pow(l.l_extendedprice - m.mu, 4)) / m.n AS m4
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med, m.mu, m.n
+)
+SELECT l_returnflag,
+       {R('med', 2)} AS median_price,
+       {R('m3 / pow(m2, 1.5)', 4)} AS skew,
+       {R('m4 / pow(m2, 2) - 3.0', 4)} AS kurt
+FROM agg
+"""
+
+
+@register("moments_skew_kurtosis", _MOMENTS_SQL)
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness, excess kurtosis, and exact interpolated median
+    per return flag — one distributed pass (Spark's skewness/kurtosis
+    merge per-partition central moments; median is percentile_cont(0.5)).
+    The oracle recomputes all three from first principles, so agreement
+    checks the moment algebra, not just the API name."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.median("l_extendedprice"), 2).alias("median_price"),
+        dround(F.skewness("l_extendedprice"), 4).alias("skew"),
+        dround(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
+    )

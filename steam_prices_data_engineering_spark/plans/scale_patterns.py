@@ -134,6 +134,84 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join. Unlike the inner variant, the
+# null-extended rows are emitted by STATE EXPIRY: an unmatched purchase
+# only surfaces once the watermark guarantees no matching error can still
+# arrive. The oracle encodes exactly that eviction rule (verified
+# empirically on this Spark): global watermark = min over both inputs of
+# (max event time − delay); an unmatched purchase emits iff
+# p_ts + interval < watermark. Purchases younger than that are still in
+# state when the query stops and are correctly absent.
+# ---------------------------------------------------------------------------
+
+_STREAM_LOJOIN_SQL = f"""
+WITH wm AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'error')
+    ) - INTERVAL 60 MINUTE AS w
+),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+j AS (
+    SELECT p.user_id, p.ts AS p_ts, e.ts AS e_ts, p.value AS value
+    FROM p LEFT JOIN e ON p.user_id = e.user_id
+       AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+)
+SELECT user_id,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS p_epoch,
+       CAST(floor(epoch(e_ts)) AS BIGINT) AS e_epoch,
+       {R('value', 4)} AS purchase_value
+FROM j
+WHERE e_ts IS NOT NULL
+   OR p_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+"""
+
+
+@register("streaming_leftouter_interval_join", _STREAM_LOJOIN_SQL)
+def streaming_leftouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks + time-range condition:
+    purchases with no error in the following 10 minutes emit null-extended —
+    but only after the watermark passes their join window (state expiry).
+    Matched rows emit eagerly like the inner join. The availableNow run ends
+    with a no-data micro-batch that advances the watermark to
+    min(max p_ts, max e_ts) − 1 h, which is what flushes the expired
+    unmatched rows; the oracle reproduces that rule in SQL."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("p_epoch"),
+        F.col("e_ts").cast("long").alias("e_epoch"),
+        dround(F.col("p_value"), 4).alias("purchase_value"),
+    )
+    sink = _run_to_memory(joined, "stream_lojoin", "append")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
 # Streaming session windows: the batch session_stats plan run through
 # Structured Streaming (session_window + watermark). Oracle = the same
 # gaps-and-islands SQL as the batch variant.
