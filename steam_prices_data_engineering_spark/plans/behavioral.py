@@ -305,3 +305,135 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         dround(ewma, 6).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: turn a change-event stream into a versioned dimension with
+# validity intervals — the standard warehouse history table. One window
+# partitioning (user_id, ordered by ts) produces version numbers, the
+# valid_to horizon (lead), and the is_current flag in a single shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _scd2_sql() -> str:
+    from ..functions.rounding import dround_sql as R
+
+    return f"""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+       CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+       {R('value', 4)} AS value
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_purchase_history", _scd2_sql())
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: each purchase becomes a
+    versioned row [valid_from, valid_to) with an is_current marker. At
+    scale this is one shuffle on the natural key; version/lead/is_current
+    all ride the same window partitioning, and the output supports as-of
+    lookups (`valid_from <= t < valid_to`) without touching the raw log."""
+    from ..functions.rounding import dround
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").cast("long").alias("valid_from"),
+        nxt.cast("long").alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        dround(F.col("value"), 4).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert: apply a batch of changes to a keyed target state.
+# Vanilla Spark has no MERGE INTO (that's a table-format feature); the
+# idiomatic engine form is a full outer join on the key with
+# newest-wins coalesce — exactly what a Delta/Iceberg MERGE compiles to.
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2024-01-20 00:00:00"
+
+
+def _merge_upsert_sql() -> str:
+    from ..functions.rounding import dround_sql as R
+
+    return f"""
+WITH tgt AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_MERGE_CUTOFF}'
+    ) WHERE rn = 1
+),
+src AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ) WHERE rn = 1
+)
+SELECT coalesce(src.user_id, tgt.user_id) AS user_id,
+       CAST(floor(epoch(coalesce(src.ts, tgt.ts))) AS BIGINT) AS state_ts,
+       {R('coalesce(src.value, tgt.value)', 4)} AS state_value,
+       CASE WHEN tgt.user_id IS NULL THEN 'insert'
+            WHEN src.user_id IS NULL THEN 'keep'
+            ELSE 'update' END AS op
+FROM tgt FULL JOIN src ON tgt.user_id = src.user_id
+"""
+
+
+@register("merge_upsert_user_state", _merge_upsert_sql())
+def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a vanilla-Spark plan: target = latest
+    per-user purchase state before the cutoff, source = the change batch
+    after it; full outer join on the key, source wins when matched
+    ('update'), source-only inserts, target-only rows persist ('keep').
+    At scale both sides arrive pre-compacted (one row per key via
+    WindowGroupLimit top-1), so the merge join is keys-only — the shape
+    Delta/Iceberg MERGE lowers to under the hood."""
+    from ..functions.rounding import dround
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    tgt = latest(e.filter(F.col("ts") < cutoff), "t")
+    src = latest(e.filter(F.col("ts") >= cutoff), "s")
+    merged = tgt.join(src, tgt.t_user == src.s_user, "full_outer")
+    return merged.select(
+        F.coalesce("s_user", "t_user").alias("user_id"),
+        F.coalesce("s_ts", "t_ts").cast("long").alias("state_ts"),
+        dround(F.coalesce("s_value", "t_value"), 4).alias("state_value"),
+        F.when(F.col("t_user").isNull(), F.lit("insert"))
+        .when(F.col("s_user").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
