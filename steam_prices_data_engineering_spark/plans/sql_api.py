@@ -150,3 +150,76 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """.replace("{R}", R("sum(o_totalprice)", 2)),
         args={"since": "1996-01-01 00:00:00", "min_total": 1000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): bounded-depth path enumeration over the
+# event-transition graph. The edge set is derived relationally (lead
+# window over each user's stream, then distinct); recursion walks it.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_PATHS = """
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT event_type AS src, next_type AS dst
+    FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    WHERE next_type IS NOT NULL
+),
+paths(path, last, depth) AS (
+    SELECT CAST('signup' AS STRING), CAST('signup' AS STRING), 0
+    UNION ALL
+    SELECT p.path || '->' || e.dst, e.dst, p.depth + 1
+    FROM paths p JOIN edges e ON p.last = e.src
+    WHERE p.depth < 3
+)
+SELECT path, CAST(depth AS BIGINT) AS depth FROM paths
+"""
+
+# DuckDB spells the anchor's types differently; otherwise identical.
+_RECURSIVE_PATHS_ORACLE = _RECURSIVE_PATHS.replace(
+    "CAST('signup' AS STRING), CAST('signup' AS STRING), 0",
+    "CAST('signup' AS VARCHAR), CAST('signup' AS VARCHAR), 0",
+)
+
+
+@register("sql_recursive_cte_paths", _RECURSIVE_PATHS_ORACLE)
+def sql_recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): enumerate all event-type paths of length
+    <= 3 starting at 'signup', over edges observed in any user stream.
+    Each recursion step is a join against the (tiny, broadcastable) edge
+    relation; the depth guard bounds the iteration exactly like the
+    unrolled-CTE PageRank oracle, but here the ENGINE drives the loop."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(_RECURSIVE_PATHS)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: top-3 customers by balance per nation.
+# Catalyst decorrelates the lateral into a ranked window under the hood;
+# the SQL stays the natural "for each row, run this subquery" shape.
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOPN = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) t
+"""
+
+
+@register("sql_lateral_topn", _LATERAL_TOPN)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery (Spark 4): per-nation top-3 customers by account
+    balance, written as a correlated per-row subquery. Catalyst rewrites
+    the decorrelated form into a partitioned rank — same physical shape
+    as the explicit window, so the ergonomic SQL costs nothing extra."""
+    _register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(_LATERAL_TOPN)
