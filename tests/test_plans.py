@@ -412,3 +412,39 @@ def test_stratified_sample_uses_window_group_limit(spark):
     prunes to K rows via WindowGroupLimit before the full sort."""
     tree = _plan(spark, "stratified_sample_per_lang").split("\n\n")[0]
     assert "WindowGroupLimit" in tree, tree
+
+
+def test_runtime_bloom_filter_injected_on_fact_side(spark):
+    """Runtime row-filter injection: a selective filter on the dim side of
+    a shuffle join becomes a bloom-filter pre-filter on the FACT side's
+    scan (might_contain over the join key) — Spark's adaptive semi-join
+    reduction. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can possibly match; the
+    thresholds are lowered here because the local fixture is far below the
+    production defaults (10 GB application-side scan)."""
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set(thresh_key, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, SF, "lineitem")
+        p = read_table(spark, SF, "part").filter(F.col("p_size") == 1)
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_size")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.unset(thresh_key)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
