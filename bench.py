@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_late_supplier",
     "trainset_selection_pipeline",
+    "scd2_purchase_history",
+    "merge_upsert_user_state",
+    "moments_skew_kurtosis",
 ]
 
 
