@@ -85,3 +85,86 @@ def test_streaming_checkpoint_restart(spark, tmp_path):
     # and run 1 genuinely saw only half the data (the restart added state,
     # it did not recompute from scratch via a full re-read)
     assert n1 < sum(expected.values())
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Watermark enforcement across restarts: rows older than the advanced
+    watermark are DROPPED, not aggregated. Run 1 processes hours 0-9 and
+    leaves the watermark at 8h; run 2 delivers one late row (hour 2, far
+    behind the watermark) plus fresh rows (hour 12). The late row must not
+    resurrect its long-finalized window, and the union of appended outputs
+    must equal the batch aggregation of the on-time data only."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def rows(hours):
+        return [
+            (i, base + datetime.timedelta(hours=h, minutes=7), 1.0)
+            for i, h in enumerate(hours)
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run(_prefix):
+        # memory sink cannot recover from a checkpoint in append mode; the
+        # file sink is the production shape and makes both runs' emissions
+        # durable + unioned for free.
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("h"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    on_time = rows(range(10))  # hours 0..9 -> watermark ends at 8h
+    spark.createDataFrame(on_time, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out1 = run("late1")
+
+    late_and_fresh = [(100, base + datetime.timedelta(hours=2, minutes=30), 1.0),
+                      (101, base + datetime.timedelta(hours=12, minutes=7), 1.0)]
+    spark.createDataFrame(late_and_fresh, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out2 = run("late2")
+
+    def epoch(h):
+        return int((base + datetime.timedelta(hours=h)).timestamp())
+
+    # run 1: watermark ended at 8h07, so exactly windows 0..7 are final
+    assert {r.h for r in out1} == {epoch(h) for h in range(8)}
+
+    # cumulative output after run 2: each on-time hour 0..9 exactly once
+    # with count 1 — the late hour-2 row did NOT bump its window (it would
+    # show as n=2), and hour 12 stays in state (watermark 11h < end 13h)
+    got = {}
+    for r in out2:
+        assert r.h not in got, "window emitted twice across restarts"
+        got[r.h] = r.n
+    assert got == {epoch(h): 1 for h in range(10)}
