@@ -118,6 +118,26 @@ SHOWCASE: list[tuple[str, str]] = [
         "ONE window partitioning on the SimHash bucket — one scan, one "
         "exchange total.",
     ),
+    (
+        "scd2_purchase_history",
+        "SCD Type 2 build: version numbers, the valid_to horizon (lead), "
+        "and is_current all ride ONE window partitioning on the natural "
+        "key — one scan, one shuffle for the whole history table.",
+    ),
+    (
+        "merge_upsert_user_state",
+        "MERGE-as-join: both sides compact to one row per key via "
+        "WindowGroupLimit BEFORE the full outer join, so the merge "
+        "shuffles keys-state only, never raw change-log rows.",
+    ),
+    (
+        "moments_skew_kurtosis",
+        "Skewness/kurtosis in one pass: partial HashAggregate merges "
+        "per-partition central moments — the exchange carries a few "
+        "doubles per (partition, group), constant in fact rows. Exact "
+        "median is deliberately excluded: it is non-mergeable and would "
+        "drag the aggregate off the partial-agg path (measured 4x).",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
