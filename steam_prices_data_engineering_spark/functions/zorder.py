@@ -1,0 +1,80 @@
+"""Z-order (Morton) clustering key: multi-column data skipping for
+parquet landings.
+
+A single-column sort gives tight row-group min/max stats for ONE column;
+filters on any other column still read every row group. Interleaving the
+bits of two rank-normalized columns puts rows that are close in BOTH
+dimensions into the same row groups, so footer stats prune scans for
+filters on EITHER column — the layout trick behind Delta OPTIMIZE ZORDER
+and Iceberg's sort-order z-curve, here as a pure Column expression over
+built-in functions (no UDF, no shuffle beyond the final range partition).
+
+Normalization uses global min/max (two scalar aggregates, broadcast back)
+rather than rank/ntile — a window rank over the whole table would funnel
+it through one partition, which is exactly what a 100 TB write job cannot
+do. Min/max normalization is distribution-sensitive (skewed values crowd
+cells) but preserves the pruning property for range predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 12  # 12 bits/dim -> 24-bit key: 4096 cells/dim, plenty for layout
+
+
+def _normalize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale c to an integer in [0, 2^bits) using global [lo, hi]."""
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    frac = (c.cast("double") - lo) / span
+    scaled = F.floor(frac * ((1 << bits) - 1) + 0.5).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), scaled))
+
+
+def _interleave(a: Column, b: Column, bits: int) -> Column:
+    """Morton-interleave two bits-wide ints: a's bit i -> 2i+1, b's -> 2i.
+
+    Shifts are spelled as power-of-two arithmetic because the shift amount
+    varies per sequence element (pyspark's shiftleft/shiftright take only
+    Python-int amounts); 2^e through double pow is exact far beyond the
+    2*bits range used here."""
+
+    def p2(e: Column) -> Column:
+        return F.pow(F.lit(2.0), e.cast("double")).cast("long")
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (F.floor(a / p2(i)).cast("long") % 2) * p2(2 * i + 1)
+        + (F.floor(b / p2(i)).cast("long") % 2) * p2(2 * i),
+    )
+
+
+def with_zorder_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = BITS
+) -> DataFrame:
+    """Append a `zkey` column: the Morton code of (col_a, col_b).
+
+    Write pattern for a clustered landing:
+        with_zorder_key(df, "a", "b")
+          .repartitionByRange(n_files, "zkey")
+          .sortWithinPartitions("zkey")
+          .write.parquet(path)
+    RepartitionByRange samples the key (no full sort); each output file
+    then covers a compact z-range = a compact rectangle-ish region in
+    (a, b) space, so min/max footer stats prune on either column.
+    """
+    mm = df.agg(
+        F.min(col_a).cast("double").alias("_lo_a"),
+        F.max(col_a).cast("double").alias("_hi_a"),
+        F.min(col_b).cast("double").alias("_lo_b"),
+        F.max(col_b).cast("double").alias("_hi_b"),
+    )
+    with_mm = df.crossJoin(F.broadcast(mm))
+    na = _normalize(F.col(col_a), F.col("_lo_a"), F.col("_hi_a"), bits)
+    nb = _normalize(F.col(col_b), F.col("_lo_b"), F.col("_hi_b"), bits)
+    return with_mm.withColumn("zkey", _interleave(na, nb, bits)).drop(
+        "_lo_a", "_hi_a", "_lo_b", "_hi_b"
+    )

@@ -101,3 +101,56 @@ def test_png_sink_renders_decodable_artifact(spark, tmp_path):
     idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
     raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
     assert len(raw) == h * (1 + 3 * w)
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """Z-order clustering: after a Morton-key range-partitioned write,
+    every file's footer min/max covers only a FRACTION of both join keys'
+    domains — so a filter on either column prunes files/row groups. A
+    single-column sort would give this for one column and leave the other
+    at ~full coverage; Z-order buys both at once."""
+    import pyarrow.parquet as pq
+
+    from steam_prices_data_engineering_spark.functions.zorder import (
+        with_zorder_key,
+    )
+
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "zordered")
+    (
+        with_zorder_key(li, "l_partkey", "l_suppkey")
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = _parquet_files(out)
+    assert len(files) >= 6  # range partitioner may merge near-empty ends
+
+    def coverage(col: str) -> list[float]:
+        glo, ghi = None, None
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        return [(hi - lo) / (ghi - glo) for lo, hi in spans]
+
+    cov_a = coverage("l_partkey")
+    cov_b = coverage("l_suppkey")
+    # Mean per-file coverage must be well below full-domain (~1.0 for a
+    # random layout) on BOTH dimensions simultaneously.
+    assert sum(cov_a) / len(cov_a) < 0.7, cov_a
+    assert sum(cov_b) / len(cov_b) < 0.7, cov_b
