@@ -1,0 +1,75 @@
+"""Malformed-record ingestion policy: at 100 TB some fraction of any JSON
+landing is garbage, and a single bad line must not kill a thousand-task
+job (the engine-level form of the reference's per-row try/except -> NaN
+policy, `steam_prices_transformer.py:119-132`). Spark's three parser
+modes cover the triage spectrum; these tests pin their contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GOOD = [
+    '{"doc_id": 1, "text": "alpha", "n_chars": 5}',
+    '{"doc_id": 2, "text": "beta", "n_chars": 4}',
+    '{"doc_id": 3, "text": "gamma", "n_chars": 5}',
+]
+BAD = [
+    '{"doc_id": 4, "text": "unterminated',
+    "not json at all",
+]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "landing.jsonl"
+    p.write_text("\n".join(GOOD + BAD) + "\n")
+    return str(p)
+
+
+def test_permissive_quarantines_corrupt_rows(spark, jsonl_path):
+    """PERMISSIVE (default): bad lines become rows with every data column
+    NULL and the raw line preserved in _corrupt_record — the quarantine
+    pattern: good rows flow on, bad rows land in a reject table for
+    inspection, nothing throws."""
+    df = (
+        spark.read.schema(SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(jsonl_path)
+    ).cache()  # corrupt-column queries require a materialized frame
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 2
+    assert good.agg(F.sum("n_chars")).collect()[0][0] == 14
+    # the raw line survives verbatim for the reject table
+    assert set(r._corrupt_record for r in bad.collect()) == set(BAD)
+    df.unpersist()
+
+
+def test_dropmalformed_keeps_only_parseable(spark, jsonl_path):
+    schema = T.StructType(SCHEMA.fields[:3])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(jsonl_path)
+    )
+    assert [r.doc_id for r in df.orderBy("doc_id").collect()] == [1, 2, 3]
+
+
+def test_failfast_raises_on_first_corrupt(spark, jsonl_path):
+    schema = T.StructType(SCHEMA.fields[:3])
+    df = spark.read.schema(schema).option("mode", "FAILFAST").json(jsonl_path)
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        df.collect()
