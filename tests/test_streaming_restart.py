@@ -168,3 +168,58 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         assert r.h not in got, "window emitted twice across restarts"
         got[r.h] = r.n
     assert got == {epoch(h): 1 for h in range(10)}
+
+
+def test_streaming_listener_reports_progress_metrics(spark, tmp_path):
+    """Ops observability: a StreamingQueryListener receives progress events
+    carrying row counts and state metrics — the hook a production
+    deployment uses for lag/throughput dashboards and SLO alerts. The
+    summed numInputRows across progress events must equal the rows
+    actually ingested."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    seen = {"rows": 0, "progress": 0, "terminated": threading.Event()}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            seen["rows"] += event.progress.numInputRows
+            seen["progress"] += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"].set()
+
+    src = str(tmp_path / "listener_src")
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    n_rows = events.count()
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(events.schema).format("parquet").load(src)
+        )
+        agg = stream.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert seen["terminated"].wait(timeout=30)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert seen["progress"] >= 1
+    assert seen["rows"] == n_rows
