@@ -24,11 +24,15 @@ driver-side variant uses (`API_PAYLOADS` below); a live deployment swaps
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Deterministic appdetails payloads: 3 parsable locales + 1 failed fetch
@@ -113,10 +117,83 @@ class SteamAppDetailsStreamReader(SimpleDataSourceStreamReader):
             yield app, _fetch(app)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class SteamUploadWriter(DataSourceWriter):
+    """The sink half of the connector (S7's `upload_fileobj` shape,
+    `external_resources.py:38-52`) with the exactly-once two-phase
+    protocol the reference lacks:
+
+    - `write(iterator)` runs once per partition (executor-side): rows are
+      serialized to a STAGED object invisible to readers (the dotfile
+      prefix — a real deployment stages under a temp key / multipart
+      upload), and a commit message describes what was staged.
+    - `commit(messages)` runs once on the driver only after EVERY
+      partition succeeded: staged objects are promoted and a manifest
+      records the exact committed file set — readers trust the manifest,
+      so partial job failures can never expose half a write.
+    - `abort(messages)` deletes whatever was staged.
+    """
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("steam_appdetails writer requires option 'path'")
+        self._fail_on = options.get("fail_on_value")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        staged = os.path.join(self._path, f".staged-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                if self._fail_on is not None and str(
+                    d.get("app")
+                ) == self._fail_on:
+                    raise RuntimeError(f"injected failure for app={d['app']}")
+                f.write(json.dumps(d, default=str) + "\n")
+                n += 1
+        return _StagedFile(path=staged, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        final_names = []
+        for m in messages:
+            final = os.path.join(
+                self._path, os.path.basename(m.path).lstrip(".")
+            )
+            os.rename(m.path, final)
+            final_names.append(
+                {"file": os.path.basename(final), "rows": m.rows}
+            )
+        with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
+            json.dump({"files": final_names}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SteamAppDetailsDataSource(DataSource):
     """`spark.read.format("steam_appdetails").option("app_ids", "10,20")`;
-    also `spark.readStream.format("steam_appdetails")` (one poll per
-    microbatch via SteamAppDetailsStreamReader)."""
+    `spark.readStream.format("steam_appdetails")` (one poll per microbatch
+    via SteamAppDetailsStreamReader); and
+    `df.write.format("steam_appdetails").option("path", dir)` (two-phase
+    staged upload via SteamUploadWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -130,6 +207,9 @@ class SteamAppDetailsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return SteamAppDetailsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return SteamUploadWriter(self.options)
 
 
 def register_steam_source(spark) -> None:

@@ -154,3 +154,67 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
     # random layout) on BOTH dimensions simultaneously.
     assert sum(cov_a) / len(cov_a) < 0.7, cov_a
     assert sum(cov_b) / len(cov_b) < 0.7, cov_b
+
+
+def test_custom_writer_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource WRITER: per-partition staged files promote
+    only at driver commit, with a manifest recording the committed set —
+    the exactly-once upload contract (S7's save_df_to_parquet shape with
+    the atomicity the reference lacks)."""
+    import json
+    import os
+
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        register_steam_source,
+    )
+
+    register_steam_source(spark)
+    out = str(tmp_path / "upload")
+    df = spark.createDataFrame(
+        [(i, f"body-{i}") for i in range(20)], "app LONG, body STRING"
+    ).repartition(4)
+    df.write.format("steam_appdetails").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(e["rows"] for e in manifest["files"]) == 20
+    # every manifest file exists, no stray staging files remain
+    listed = set(os.listdir(out)) - {"_MANIFEST.json"}
+    assert {e["file"] for e in manifest["files"]} == listed
+    assert not any(name.startswith(".") for name in listed)
+    # content round-trips
+    rows = []
+    for name in listed:
+        with open(os.path.join(out, name)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted((r["app"], r["body"]) for r in rows) == [
+        (i, f"body-{i}") for i in range(20)
+    ]
+
+
+def test_custom_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """If any partition fails, abort removes staged objects and no
+    manifest appears: a failed job is invisible to readers."""
+    import os
+
+    import pytest
+
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        register_steam_source,
+    )
+
+    register_steam_source(spark)
+    out = str(tmp_path / "upload_fail")
+    df = spark.createDataFrame(
+        [(i, f"body-{i}") for i in range(20)], "app LONG, body STRING"
+    ).repartition(4)
+    with pytest.raises(Exception, match="injected failure"):
+        df.write.format("steam_appdetails").option("path", out).option(
+            "fail_on_value", "13"
+        ).mode("append").save()
+    visible = [
+        n for n in os.listdir(out) if not n.startswith(".")
+    ] if os.path.isdir(out) else []
+    assert "_MANIFEST.json" not in visible
+    assert visible == []
