@@ -448,3 +448,50 @@ def test_runtime_bloom_filter_injected_on_fact_side(spark):
     finally:
         spark.conf.unset(thresh_key)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: when one join key holds most of the rows,
+    the skewed reduce partition is split across multiple tasks at runtime
+    (SortMergeJoin(skew=true) reading via 'AQEShuffleRead skewed') instead
+    of serializing the hot key through one straggler — the automatic
+    complement to the explicit salting patterns (skew_salted_agg/join).
+    Thresholds are shrunk to fire at fixture scale; forceOptimize is
+    needed because the join output feeds another exchange and plain mode
+    refuses splits that add a shuffle."""
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF, "lineitem").repartition(8).withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        orders = read_table(spark, SF, "orders").withColumn(
+            "k", F.col("o_orderkey")
+        )
+        j = (
+            li.join(orders, "k")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()  # drive THIS QueryExecution so the AQE plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k in conf:
+            spark.conf.unset(k)
