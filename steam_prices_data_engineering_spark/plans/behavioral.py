@@ -437,3 +437,51 @@ def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("op"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (LOCF): carry the last observed purchase value onto each
+# subsequent event of the same user. last(... ignorenulls) over a running
+# frame — the sparse->dense time-series primitive, one window shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _locf_sql() -> str:
+    from ..functions.rounding import dround_sql as R
+
+    return f"""
+WITH marked AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value END AS pv
+    FROM events
+)
+SELECT event_id, user_id,
+       {R("last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)", 4)} AS last_purchase_value
+FROM marked
+"""
+
+
+@register("timeseries_forward_fill", _locf_sql())
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: each event carries the most
+    recent purchase value of its user (NULL until the first purchase).
+    `last(col, ignorenulls=True)` over a running frame computes the fill
+    in one pass on one user_id shuffle — no self-join, no as-of join,
+    no grid materialization; the frame state is a single scalar per
+    partition regardless of history length."""
+    from ..functions.rounding import dround
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        dround(F.last(pv, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )
