@@ -589,6 +589,33 @@ def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_HASH_SQL = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_by_hash", _DEDUP_HASH_SQL)
+def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on a CONTENT HASH — the 100 TB form of
+    dedup_exact_groups. Grouping by raw text shuffles every document body
+    as its own grouping key; grouping by md5 shuffles 32 bytes per doc
+    and the map-side partial aggregate already collapses local
+    duplicates. Collision risk at 128 bits is ~n^2/2^129 — zero in
+    practice (and a paranoid deployment re-verifies within groups)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # Shared SQL fragments for shingle-based dedup. DuckDB list_slice is 1-based
 # inclusive; range(a, b) is exclusive of b — mirrors Spark's
 # sequence(1, size-2) guarded by the size<3 empty case.
