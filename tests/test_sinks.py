@@ -218,3 +218,33 @@ def test_custom_writer_abort_leaves_nothing_visible(spark, tmp_path):
     ] if os.path.isdir(out) else []
     assert "_MANIFEST.json" not in visible
     assert visible == []
+
+
+def test_zorder_interleave_matches_reference_morton(spark):
+    """The expression-built Morton code must equal the textbook bitwise
+    interleave exactly: full 16x16 grid, bijective, a-bits at odd and
+    b-bits at even positions."""
+    from steam_prices_data_engineering_spark.functions.zorder import (
+        _interleave,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(16)
+        .selectExpr("id AS a")
+        .crossJoin(spark.range(16).selectExpr("id AS b"))
+        .select("a", "b", _interleave(F.col("a"), F.col("b"), 4).alias("z"))
+    )
+    rows = df.collect()
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert len(rows) == 256
+    assert len({r.z for r in rows}) == 256
+    for r in rows:
+        assert r.z == morton(r.a, r.b), (r.a, r.b, r.z)
