@@ -223,3 +223,92 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the explicit window, so the ergonomic SQL costs nothing extra."""
     _register_views(spark, sf_dir, ["nation", "customer"])
     return spark.sql(_LATERAL_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Session variables (Spark 4): DECLARE / SET VARIABLE from a scalar query,
+# then reference the variable in later SQL — parameterized pipelines
+# without string templating.
+# ---------------------------------------------------------------------------
+
+_VARIABLES_ORACLE = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY 1
+"""
+
+
+@register("sql_session_variables", _VARIABLES_ORACLE)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARE/SET VARIABLE (Spark 4 session variables): the price bar is
+    computed once into a typed variable and referenced like a literal in
+    the follow-up query — Catalyst constant-folds it, so the filter
+    arrives at the scan as a plain comparison (same plan as hand-inlining
+    the number, minus the injection-prone string templating)."""
+    _register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_bar DOUBLE")
+    spark.sql(
+        "SET VARIABLE price_bar = (SELECT avg(o_totalprice) FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_above
+        FROM orders
+        WHERE o_totalprice > price_bar
+        GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4): BEGIN ... END with local variables and a WHILE
+# loop — procedural control flow driven by the engine. The oracle
+# replicates the loop with a recursive CTE (identical doubling
+# arithmetic, so no transcendental-function drift).
+# ---------------------------------------------------------------------------
+
+_SCRIPTING_ORACLE = """
+WITH RECURSIVE d(p, i) AS (
+    SELECT CAST(1.0 AS DOUBLE), 0
+    UNION ALL
+    SELECT p * 2, i + 1 FROM d
+    WHERE p <= (SELECT avg(o_totalprice) FROM orders)
+)
+SELECT CAST(max(i) AS BIGINT) AS doublings,
+       max(p) AS pow2_above
+FROM d
+"""
+
+
+@register("sql_scripting_while_loop", _SCRIPTING_ORACLE)
+def sql_scripting_while_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (BEGIN/END, DECLARE, WHILE): find the smallest power
+    of two above the average order price by iterated doubling. The loop
+    runs driver-side over scalar state; each data-touching statement is
+    still a full Catalyst plan — procedural glue, declarative heavy
+    lifting."""
+    _register_views(spark, sf_dir, ["orders"])
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE bar DOUBLE;
+              DECLARE p DOUBLE DEFAULT 1.0;
+              DECLARE iters INT DEFAULT 0;
+              SET bar = (SELECT avg(o_totalprice) FROM orders);
+              WHILE p <= bar DO
+                SET p = p * 2;
+                SET iters = iters + 1;
+              END WHILE;
+              SELECT CAST(iters AS BIGINT) AS doublings, p AS pow2_above;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
