@@ -1,0 +1,67 @@
+"""Empty-input robustness: a fresh partition, an all-filtered read, or a
+not-yet-landed table must degrade to an empty (or dim-only) result — never
+a driver-side IndexError from a seed collect, a divide-by-zero, or a
+window over nothing. Every family representative runs against a fixture
+directory of schema-correct but row-free tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from steam_prices_data_engineering_spark.plans import registry
+from steam_prices_data_engineering_spark.sources.tables import TABLE_SCHEMAS
+
+REPRESENTATIVES = [
+    "flagship_nation_price_dev",
+    "window_max_fill",
+    "moments_skew_kurtosis",
+    "scd2_purchase_history",
+    "merge_upsert_user_state",
+    "dedup_exact_groups",
+    "dedup_exact_by_hash",
+    "neardup_minhash_lsh",
+    "knn_join_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_volume",
+    "events_session_window",
+    "token_topk",
+    "top1_recency",
+    "timeseries_forward_fill",
+    "full_outer_join_nation_counts",
+    "histogram_extendedprice",
+    "timeseries_hourly_gapfill",
+    "lang_id_ngram",
+    "simsearch_topk_cosine",
+    "corpus_mixture_resample",
+    "trainset_selection_pipeline",
+    "cohort_retention_daily",
+    "steam_job1_prices_etl",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for name, schema in TABLE_SCHEMAS.items():
+        spark.createDataFrame([], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_query_survives_empty_tables(spark, empty_dir, name):
+    df = registry.queries()[name](spark, empty_dir)
+    assert df.count() == 0
+
+
+def test_dim_backed_pipeline_keeps_dim_rows_on_empty_facts(spark, empty_dir):
+    """world_map_job2_deviation left-joins prices onto the static geo dim:
+    with no facts it must still return one row per country (NULL-priced,
+    zero-filled steam_value) — the reference renders exactly that 'no
+    data' base layer."""
+    df = registry.queries()["world_map_job2_deviation"](spark, empty_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.usd_price is None for r in rows)
+    assert all(r.steam_value == 0.0 for r in rows)
