@@ -73,3 +73,29 @@ def test_failfast_raises_on_first_corrupt(spark, jsonl_path):
     df = spark.read.schema(schema).option("mode", "FAILFAST").json(jsonl_path)
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         df.collect()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Landed tables evolve: a later batch adds a column. mergeSchema
+    unions the footers — old files surface NULL for the new column, new
+    files fill it; an explicit-schema read of the common subset keeps
+    working against BOTH generations (the contract that lets readers and
+    writers deploy independently)."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id LONG, text STRING"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "gamma", "en")], "doc_id LONG, text STRING, lang STRING"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+
+    # explicit-subset read spans both file generations
+    subset = (
+        spark.read.schema("doc_id LONG, text STRING").parquet(out).collect()
+    )
+    assert sorted(r.doc_id for r in subset) == [1, 2, 3]
