@@ -109,12 +109,17 @@ def neardup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking is recall-lossless here). Completes the dedup family: exact /
     n-gram-Jaccard / MinHash-LSH / SimHash / embedding-cosine."""
     d = read_table(spark, sf_dir, "documents")
+    # Cached on purpose: the band explode (4 rows/doc) and BOTH sides of
+    # the self-join consume `sims`; without persistence the tokenize ->
+    # hash -> bit-majority chain re-executes per consumer (measured 2.6x
+    # slower at sf0.1). The signature table is doc_id + one long — the
+    # standard persist-the-sketch stage of an LSH pipeline.
     sims = d.select(
         "doc_id",
         simhash_from_hashes(token_hash_array(F.col("text")), bits=_SIMHASH_BITS).alias(
             "sim"
         ),
-    )
+    ).cache()
     bands = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band_idx"))
     banded = sims.crossJoin(F.broadcast(bands)).select(
         "doc_id",
