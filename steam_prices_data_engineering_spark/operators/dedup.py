@@ -261,3 +261,57 @@ def simhash(text_col: F.Column, bits: int = 16) -> F.Column:
     """SimHash computed directly from text (see simhash_from_hashes)."""
     hashes = F.transform(tokens(text_col), token_hash)
     return simhash_from_hashes(hashes, bits)
+
+
+def simhash_table(
+    docs: DataFrame,
+    hashes: F.Column,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    carry: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """(id, sim[, carried...]) — SimHash in RELATIONAL form: explode the
+    token-hash array and majority-vote every bit with codegen'd
+    conditional sums in ONE grouped aggregation.
+
+    This is the fast path over `simhash_from_hashes`, whose per-bit
+    `F.filter` lambdas run interpreted (outside whole-stage codegen) — 16
+    passes over every hash array, measured 4.4x slower at sf0.1. The
+    explode shuffles (id, hash) pairs but map-side partial aggregation
+    collapses them to one row of 17 longs per doc before the exchange —
+    the same trick as the MinHash signature stage. Results are
+    bit-identical; empty-token docs survive via explode_outer (their NULL
+    bit-sums fail every majority test -> sim = 0, matching the
+    expression form).
+
+    `carry` maps output-column names to per-doc expressions computed in
+    the same pass (e.g. a quality score) so callers need no join-back.
+    """
+    carry = carry or {}
+    # Carried expressions are staged in a projection BELOW the Generate
+    # (explode) node so they evaluate once per document — selecting them
+    # alongside the explode would re-evaluate them once per TOKEN row.
+    pre = docs.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in carry.items()],
+        hashes.alias("_hs"),
+    )
+    ex = pre.select(
+        F.col(id_col),
+        *[F.col(n) for n in carry],
+        F.explode_outer(F.col("_hs")).alias("_h"),
+    )
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.first(n).alias(n) for n in carry],
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(1)).alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sim.alias("sim"), *list(carry))

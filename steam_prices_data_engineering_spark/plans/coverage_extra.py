@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import token_hash_array
 from ..functions.vectors import cosine
-from ..operators.dedup import simhash_from_hashes
+from ..operators.dedup import simhash_table
 from ..sources.tables import read_table
 from .registry import register
 
@@ -109,16 +109,13 @@ def neardup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking is recall-lossless here). Completes the dedup family: exact /
     n-gram-Jaccard / MinHash-LSH / SimHash / embedding-cosine."""
     d = read_table(spark, sf_dir, "documents")
-    # Cached on purpose: the band explode (4 rows/doc) and BOTH sides of
-    # the self-join consume `sims`; without persistence the tokenize ->
-    # hash -> bit-majority chain re-executes per consumer (measured 2.6x
-    # slower at sf0.1). The signature table is doc_id + one long — the
-    # standard persist-the-sketch stage of an LSH pipeline.
-    sims = d.select(
-        "doc_id",
-        simhash_from_hashes(token_hash_array(F.col("text")), bits=_SIMHASH_BITS).alias(
-            "sim"
-        ),
+    # Relational SimHash (operators/dedup.py:simhash_table), cached on
+    # purpose: the band explode (4 rows/doc) and BOTH sides of the
+    # self-join consume `sims`; without persistence the signature chain
+    # re-executes per consumer. doc_id + one long — the standard
+    # persist-the-sketch stage of an LSH pipeline.
+    sims = simhash_table(
+        d, token_hash_array(F.col("text")), bits=_SIMHASH_BITS
     ).cache()
     bands = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band_idx"))
     banded = sims.crossJoin(F.broadcast(bands)).select(

@@ -364,22 +364,25 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked canonical selection per SimHash bucket: documents
     whose 16-bit SimHash collides are treated as one near-dup cluster, and
     the member with the highest composite quality score (tie: lowest
-    doc_id) survives. One shuffle on the bucket key; both the rank and the
-    member count ride the SAME window partition (no second groupBy+join —
-    see the subtree-reuse pitfall in tests/test_plans.py). Quality is
-    rounded BEFORE ranking so the keeper choice is bit-identical across
-    engines. Scale: bucket cardinality ~2^16 per shard is skew-safe for
-    ranking; real corpora widen the hash (operators/dedup.py simhash bits
-    param) to keep buckets small."""
+    doc_id) survives. Two-stage plan: the relational SimHash aggregation
+    (explode -> per-doc bit sums, quality carried in the same pass) then
+    the bucket window where rank and member count ride the SAME partition
+    (no second groupBy+join — see the subtree-reuse pitfall in
+    tests/test_plans.py). Quality is rounded BEFORE ranking so the keeper
+    choice is bit-identical across engines. Scale: bucket cardinality
+    ~2^16 per shard is skew-safe for ranking; real corpora widen the hash
+    (operators/dedup.py simhash bits param) to keep buckets small."""
     from ..functions.text import quality_score, token_hash_array
-    from ..operators.dedup import simhash_from_hashes
+    from ..operators.dedup import simhash_table
 
     d = read_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        simhash_from_hashes(token_hash_array(F.col("text")), bits=16).alias("bucket"),
-        dround(quality_score(F.col("text")), 6).alias("quality"),
-    )
+    # Relational SimHash (see operators/dedup.py:simhash_table) with the
+    # quality score carried through the same grouped pass — no join-back.
+    scored = simhash_table(
+        d,
+        token_hash_array(F.col("text")),
+        carry={"quality": dround(quality_score(F.col("text")), 6)},
+    ).select("doc_id", F.col("sim").alias("bucket"), "quality")
     w = Window.partitionBy("bucket")
     ranked = scored.select(
         "doc_id",

@@ -340,13 +340,20 @@ def test_winsorized_stats_single_shuffle(spark):
     assert tree.count("Scan parquet") == 1, tree
 
 
-def test_canonical_dedup_single_shuffle_one_scan(spark):
-    """Rank and member count must ride ONE window partitioning on the
-    bucket key: one scan of documents, one exchange total."""
+def test_canonical_dedup_two_stage_one_scan(spark):
+    """Relational SimHash + ranked selection: ONE scan of documents,
+    exactly two exchanges — the explode's per-doc aggregation (where
+    map-side partials collapse token rows to 17 longs/doc) and the
+    bucket window that both rank and member count ride. The quality
+    score must be staged BELOW the Generate so it evaluates per doc,
+    not per token row."""
     tree = _plan(spark, "dedup_canonical_by_quality").split("\n\n")[0]
-    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Exchange") == 2, tree
     assert tree.count("Scan parquet") == 1, tree
+    assert "Generate" in tree, tree
     assert "WindowGroupLimit" in tree or "Window" in tree
+    # partial aggregation before the doc_id exchange
+    assert tree.count("HashAggregate") >= 2, tree
 
 
 def test_pagerank_rank_side_broadcasts(spark):
