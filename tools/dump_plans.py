@@ -114,9 +114,11 @@ SHOWCASE: list[tuple[str, str]] = [
     ),
     (
         "dedup_canonical_by_quality",
-        "Canonical-survivor selection: rank and bucket-member count ride "
-        "ONE window partitioning on the SimHash bucket — one scan, one "
-        "exchange total.",
+        "Canonical-survivor selection, two-stage: relational SimHash "
+        "(explode -> codegen'd bit-majority sums, quality carried below "
+        "the Generate so it evaluates per doc) then rank + member count "
+        "riding ONE bucket-window partitioning — one scan, two "
+        "exchanges, no interpreted lambdas.",
     ),
     (
         "scd2_purchase_history",
