@@ -658,3 +658,34 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.skewness("l_extendedprice"), 4).alias("skew"),
         dround(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cryptographic hash scalars: content addressing / integrity columns.
+# md5 and sha2-256 agree byte-for-byte across engines (unlike the
+# engine-specific hash()/xxhash64 used for partitioning).
+# ---------------------------------------------------------------------------
+
+_HASH_FUNCS_SQL = """
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       CAST(length(md5(text)) AS BIGINT) AS md5_len
+FROM documents
+"""
+
+
+@register("hash_scalar_funcs", _HASH_FUNCS_SQL)
+def hash_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing hashes per document (md5 + sha2-256 hex) — the
+    integrity/lineage columns a landing pipeline stamps on every record.
+    Standardized digests, so both engines agree byte-for-byte; Spark's
+    hash()/xxhash64 are engine-internal and stay out of compared output."""
+    d = read_table(spark, sf_dir, "documents")
+    text_bin = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(text_bin).alias("md5_hex"),
+        F.lower(F.sha2(text_bin, 256)).alias("sha256_hex"),
+        F.length(F.md5(text_bin)).cast("long").alias("md5_len"),
+    )
