@@ -25,11 +25,20 @@ BITS = 12  # 12 bits/dim -> 24-bit key: 4096 cells/dim, plenty for layout
 
 
 def _normalize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
-    """Scale c to an integer in [0, 2^bits) using global [lo, hi]."""
+    """Scale c to an integer in [0, 2^bits) using global [lo, hi].
+
+    NULL values map to cell 0 (the min corner) by explicit choice: Spark's
+    greatest/least SKIP NULL arguments, so without the coalesce a NULL
+    input would normalize to the MAX cell and silently cluster NULL rows
+    with the true-max rows, diluting footer min/max pruning for that
+    region. Cell 0 groups all NULLs into one compact z-range instead
+    (matching the convention that NULLS FIRST sorts land them low)."""
     span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
     frac = (c.cast("double") - lo) / span
     scaled = F.floor(frac * ((1 << bits) - 1) + 0.5).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), scaled))
+    return F.greatest(
+        F.lit(0), F.least(F.lit((1 << bits) - 1), F.coalesce(scaled, F.lit(0)))
+    )
 
 
 def _interleave(a: Column, b: Column, bits: int) -> Column:

@@ -78,8 +78,27 @@ def ngram_jaccard_pairs(
     shingle ever materialize and the intersection size falls out of a
     count — never a per-pair array intersection, never a cross product.
 
+    Blocking compares docs whose length bands differ by AT MOST ONE:
+    a 98-char vs 102-char near-dup straddles the 100-char band edge, and
+    same-band-only blocking would never compare them. The right side of
+    the inverted-index join therefore probes {blk-1, blk, blk+1} (3x its
+    explode) while the left keeps its own band, so every pair with
+    |blk_a - blk_b| <= 1 meets under EXACTLY one key — counts stay exact,
+    no dedup pass needed. Pairs >1 band apart (length ratio far from 1,
+    Jaccard necessarily low at these thresholds) remain blocked out; that
+    is the recall contract.
+
+    Contract: only pairs sharing >= 1 shingle are representable — a
+    threshold <= 0 cannot return the (jaccard = 0) non-overlapping pairs
+    a naive all-pairs scorer would. Asserted at entry.
+
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
     """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the inverted-index "
+            "form only materializes pairs sharing at least one shingle"
+        )
     prepped = docs.select(
         "doc_id",
         "lang",
@@ -98,22 +117,28 @@ def ngram_jaccard_pairs(
     ex = prepped.select(
         "doc_id", "lang", "blk", "sz", F.explode("sh").alias("g")
     )
+    # Left probes its own band; right fans each shingle row into the three
+    # join bands {blk-1, blk, blk+1}. A pair (a@b1, b@b2) with |b1-b2| <= 1
+    # matches on key jb = b1 exactly once (the right row whose offset lands
+    # on b1), so the per-pair join count is still exactly |A∩B|.
     left = ex.select(
         F.col("doc_id").alias("doc_id_a"),
         "lang",
-        "blk",
+        F.col("blk").alias("jb"),
         F.col("sz").alias("sz_a"),
         "g",
     )
     right = ex.select(
         F.col("doc_id").alias("doc_id_b"),
         "lang",
-        "blk",
+        F.explode(
+            F.array(F.col("blk") - 1, F.col("blk"), F.col("blk") + 1)
+        ).alias("jb"),
         F.col("sz").alias("sz_b"),
         "g",
     )
     inter = (
-        left.join(right, ["lang", "blk", "g"])
+        left.join(right, ["lang", "jb", "g"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))

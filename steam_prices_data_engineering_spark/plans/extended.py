@@ -627,7 +627,11 @@ def nullsafe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOMENTS_SQL = f"""
 WITH m AS (
-    SELECT l_returnflag, avg(l_extendedprice) AS mu, count(*) AS n
+    -- count(l_extendedprice), not count(*): Spark's skewness/kurtosis use
+    -- the NON-NULL count, and mu is the NULL-skipping avg — both engines
+    -- must agree on n should the measure ever contain NULLs.
+    SELECT l_returnflag, avg(l_extendedprice) AS mu,
+           count(l_extendedprice) AS n
     FROM lineitem GROUP BY 1
 ),
 agg AS (

@@ -644,7 +644,10 @@ scored AS (
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            {R("CASE WHEN len(list_distinct(list_cat(a.sh, b.sh))) > 0 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_cat(a.sh, b.sh))) ELSE 0.0 END", 6)} AS jaccard
     FROM blocked a
-    JOIN blocked b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    -- adjacent-band probing: near-dups straddling a 100-char band edge
+    -- (98 vs 102 chars) still compare; mirrors operators/dedup.py
+    JOIN blocked b ON a.lang = b.lang AND abs(a.blk - b.blk) <= 1
+                  AND a.doc_id < b.doc_id
 )
 SELECT doc_id_a, doc_id_b, jaccard FROM scored WHERE jaccard >= 0.5
 """

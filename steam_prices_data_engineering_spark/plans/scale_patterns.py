@@ -140,8 +140,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrive. The oracle encodes exactly that eviction rule (verified
 # empirically on this Spark): global watermark = min over both inputs of
 # (max event time − delay); an unmatched purchase emits iff
-# p_ts + interval < watermark. Purchases younger than that are still in
-# state when the query stops and are correctly absent.
+# p_ts + interval < watermark — STRICTLY less: a purchase whose join
+# window ends exactly ON the watermark is still in state and does not
+# emit. tests/test_streaming_boundary.py pins that boundary on the
+# installed Spark (see configs/etl_config.yml engine pin); if an upgrade
+# flips the rule to <=, that test fails and this oracle changes with it.
+# Purchases younger than the watermark are still in state when the query
+# stops and are correctly absent.
 # ---------------------------------------------------------------------------
 
 _STREAM_LOJOIN_SQL = f"""

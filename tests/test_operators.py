@@ -176,3 +176,50 @@ def test_observe_metrics_ride_the_job(spark):
         spark, "/root/testdata/sf0.001", "orders"
     ).count()
     assert got["total_price"] > 0
+
+
+def test_ngram_jaccard_adjacent_band_recall(spark):
+    """Near-dups straddling a length-band edge (98 vs 104 chars around the
+    100-char boundary) ARE compared — the right side of the inverted-index
+    join probes {blk-1, blk, blk+1}. Docs >1 band apart stay blocked out
+    (the documented recall contract), and the join-count intersection is
+    exact (no double counting from the 3-band fan-out)."""
+    from steam_prices_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the quiet grey town at night"
+    )
+    text_b = text_a + " again"
+    df = spark.createDataFrame(
+        [
+            (1, text_a, "en", len(text_a)),   # 93 chars -> band 0
+            (2, text_b, "en", len(text_b)),   # 99+ chars -> band 0/1 edge
+            (3, text_b + "!", "en", 104),     # forced just over the edge
+            (4, text_a, "en", 350),           # same text, 2+ bands away
+        ],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs, pairs  # band 0 vs band 1: found via probing
+    assert (2, 3) in pairs, pairs
+    assert (1, 2) in pairs, pairs  # same band still found exactly once
+    assert all(4 not in p for p in pairs), pairs  # >1 band apart: blocked
+    # exact-count sanity: jaccard of (1,2) is 17 shared / 18 union
+    assert abs(pairs[(1, 2)] - 17.0 / 18.0) < 1e-6
+
+
+def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
+    from steam_prices_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d", "en", 7)],
+                               ["doc_id", "text", "lang", "n_chars"])
+    with pytest.raises(ValueError, match="threshold > 0"):
+        ngram_jaccard_pairs(df, threshold=0.0)
