@@ -54,8 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Omitted only for
-    `approx_aggregates` (sketch-based, not exactly reproducible) and
-    `kmeans_embeddings` (iterative algorithm) — both take the driver's
-    rows-only check by design."""
+    """DuckDB-runnable ANSI SQL per query — one for EVERY query, none
+    exempted: iterative algorithms (kmeans, pagerank, connected
+    components) unroll their fixed iterations as nested CTEs, and the
+    sketch-based `approx_aggregates` emits exact companions plus
+    error-bound booleans the oracle asserts."""
     return _registry.oracle_sql()

@@ -92,16 +92,84 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic k-means over embeddings (rows-only check: iterative, and the
-# unrolled SQL equivalent is impractical — the contract's documented
-# exemption). Fixed seeds + fixed iteration count => deterministic output.
+# Deterministic k-means over embeddings, HASH-VERIFIED like pagerank: the
+# oracle unrolls the same 3 Lloyd iterations as nested CTEs (assign ->
+# update -> carry-on-empty), so the iterative algorithm is checked
+# end-to-end, not rows-only. Fixed seeds (vec_id < K) + fixed iteration
+# count + deterministic argmin tie-break (lowest cluster wins, strict <
+# in Spark == ORDER BY d, cluster in SQL) make both engines agree; the
+# only cross-engine freedom is double-summation order, absorbed by the
+# dround(…, 4) on inertia and the non-degenerate distance gaps of the
+# fixture embeddings.
 # ---------------------------------------------------------------------------
 
 _KMEANS_K = 4
 _KMEANS_ITERS = 3
 
 
-@register("kmeans_embeddings", None)
+def _kmeans_sql() -> str:
+    ctes = [
+        f"""
+vecs AS (
+    SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+),
+cent0 AS (
+    SELECT CAST(vec_id AS INTEGER) AS cluster, dim, val AS cval
+    FROM vecs WHERE vec_id < {_KMEANS_K}
+)"""
+    ]
+    for i in range(1, _KMEANS_ITERS + 1):
+        ctes.append(f"""
+dist{i} AS (
+    SELECT v.vec_id, c.cluster,
+           sum((v.val - c.cval) * (v.val - c.cval)) AS d
+    FROM vecs v JOIN cent{i - 1} c ON v.dim = c.dim
+    GROUP BY 1, 2
+),
+asg{i} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{i}
+    ) t WHERE rn = 1
+),
+newc{i} AS (
+    SELECT a.cluster, v.dim, avg(v.val) AS cval
+    FROM asg{i} a JOIN vecs v ON v.vec_id = a.vec_id
+    GROUP BY 1, 2
+),
+cent{i} AS (
+    -- empty clusters keep their previous centroid (Spark: cents.get(i, old))
+    SELECT p.cluster, p.dim, coalesce(n.cval, p.cval) AS cval
+    FROM cent{i - 1} p
+    LEFT JOIN newc{i} n ON n.cluster = p.cluster AND n.dim = p.dim
+)""")
+    final = _KMEANS_ITERS + 1
+    return f"""
+WITH {",".join(ctes)},
+dist{final} AS (
+    SELECT v.vec_id, c.cluster,
+           sum((v.val - c.cval) * (v.val - c.cval)) AS d
+    FROM vecs v JOIN cent{_KMEANS_ITERS} c ON v.dim = c.dim
+    GROUP BY 1, 2
+),
+asg{final} AS (
+    SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{final}
+    ) t WHERE rn = 1
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+       {R('sum(d)', 4)} AS inertia
+FROM asg{final} GROUP BY cluster
+"""
+
+
+@register("kmeans_embeddings", _kmeans_sql())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, K=4, 3 iterations, seeds = vec_id < K. Assignment
     is a broadcast argmin over K centroids (narrow map over the corpus);

@@ -1068,20 +1068,65 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Extension: approximate aggregates (rows-only — approx results are
-# intentionally not hash-comparable to an exact oracle)
+# Extension: approximate aggregates — HASH-VERIFIABLE form. The sketch
+# values themselves can't be reproduced by an exact engine, but their
+# ERROR BOUNDS can be asserted: the query emits exact companions plus
+# booleans checking the sketches against them, and the oracle asserts the
+# booleans are TRUE. percentile_approx with accuracy=10000 GUARANTEES
+# rank error <= 1/accuracy, so the +-0.01-quantile brackets below are
+# deterministic, not probabilistic; approx_count_distinct at rsd=0.01
+# against a 5% bound is a 5-sigma margin (holds for any regenerated
+# fixture). The exact companions exist only to make the sketch quality
+# assertable at test scale — the 100 TB production path runs the sketch
+# side alone (one pass, mergeable state, no per-value buffering).
 # ===========================================================================
 
+_APPROX_AGG_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_users_ok,
+       TRUE AS p50_sketch_ok,
+       TRUE AS p95_sketch_ok
+FROM events
+"""
 
-@register("approx_aggregates", None)
+
+@register("approx_aggregates", _APPROX_AGG_SQL)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + percentile_approx — the 100 TB-friendly
-    forms of O27/O30-class statistics."""
+    forms of O27/O30-class statistics — verified against exact companions
+    computed in the same job.
+
+    Two single-row aggregates are cross-joined rather than mixed into one:
+    the sketch aggregate stays on the mergeable partial-agg fast path,
+    while the exact-percentile aggregate (which buffers values per group)
+    is quarantined to the verification side (see plans/extended.py moments
+    note: mixing non-mergeable aggs drags the whole aggregate off partial
+    aggregation)."""
     e = read_table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.95).alias("p95_value"),
+    sketch = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_sketch"),
+        F.percentile_approx("value", 0.95, 10000).alias("_p95_sketch"),
+    )
+    exact = e.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.expr(
+            "percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D))"
+        ).alias("_pb"),
+    )
+    both = sketch.crossJoin(F.broadcast(exact))
+    return both.select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_users_ok"),
+        F.col("_p50_sketch").between(
+            F.col("_pb")[0], F.col("_pb")[1]
+        ).alias("p50_sketch_ok"),
+        F.col("_p95_sketch").between(
+            F.col("_pb")[2], F.col("_pb")[3]
+        ).alias("p95_sketch_ok"),
     )
 
 
