@@ -69,12 +69,97 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's CORRECTNESS gate samples the FIRST 50 entries of `queries()`,
+# so the exported order is not cosmetic: it decides which operators get
+# driver-verified rows each round. This list front-loads one representative
+# of EVERY operator family (reference-parity pipeline/sources/sinks,
+# relational core, TPC-H/SQL surface, each dedup tier, similarity search,
+# text analysis, trainset ops, multimodal, streaming incl. stream-stream
+# joins, iterative algorithms, approx sketches, CDC/SCD/merge, the Arrow
+# UDF surface, skew handling). Everything else follows in registration
+# order and is covered by the full local gate (tools/check_oracle.py).
+_PRIORITY: tuple[str, ...] = (
+    # §2a reference parity: pipelines, sources, sinks
+    "flagship_nation_price_dev",
+    "steam_job1_prices_etl",
+    "world_map_job2_deviation",
+    "steam_api_json_extract",
+    "steam_pysource_extract",
+    "sink_partitioned_latest_run",
+    "csv_source_pruned",
+    # §2a relational operator core
+    "price_parse_locale",
+    "proj_filter_customers",
+    "window_max_fill",
+    "top1_recency",
+    "anti_join_substring",
+    "try_arithmetic_funcs",
+    # TPC-H / SQL API surface
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_volume",
+    "sql_tpch_q18_large_orders",
+    "sql_recursive_cte_paths",
+    "sql_scripting_while_loop",
+    "sql_session_variables",
+    "sql_lateral_topn",
+    # deduplication tiers
+    "dedup_exact_by_hash",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "doc_fingerprint_simhash",
+    "neardup_winnow_fingerprints",
+    "dedup_connected_components",
+    # similarity search
+    "simsearch_topk_cosine",
+    "simsearch_lsh_topk",
+    "simsearch_ivf_cells",
+    # text analysis
+    "text_stats_by_lang",
+    "lang_id_ngram",
+    "tfidf_top_terms",
+    "doc_quality_scores",
+    # trainset ops
+    "trainset_selection_pipeline",
+    "decontaminate_ngram_overlap",
+    # multimodal
+    "multimodal_bytes",
+    "multimodal_frame_sample",
+    # streaming
+    "streaming_tumbling_window",
+    "streaming_interval_join",
+    "streaming_leftouter_interval_join",
+    "streaming_dedup_within_watermark",
+    "stateful_user_totals",
+    # iterative algorithms + approx sketches
+    "kmeans_embeddings",
+    "pagerank_event_transitions",
+    "approx_aggregates",
+    # CDC / SCD / merge
+    "scd2_purchase_history",
+    "merge_upsert_user_state",
+    # Arrow UDF surface
+    "pandas_udf_grouped_mean",
+    "apply_in_pandas_zscore",
+    # skew handling
+    "skew_salted_join",
+)
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"priority names not registered: {missing}")
+    prio = set(_PRIORITY)
+    rest = (n for n in _REGISTRY if n not in prio)
+    return {n: _REGISTRY[n] for n in (*_PRIORITY, *rest)}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _ordered().items() if sql is not None}
 
 
 # ===========================================================================
