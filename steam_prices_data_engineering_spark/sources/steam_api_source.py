@@ -143,6 +143,25 @@ class SteamUploadWriter(DataSourceWriter):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("steam_appdetails writer requires option 'path'")
+        # Object-store-shaped addressing: accept a URI and resolve the
+        # scheme. The staged-object + manifest-commit protocol below is
+        # exactly what an S3 deployment needs (rename-free readers: they
+        # trust the manifest, not directory listing) — only the byte
+        # transport would swap to a client SDK. file:// is handled here;
+        # other schemes name the integration point explicitly instead of
+        # failing deep inside open().
+        if "://" in self._path:
+            from urllib.parse import urlparse
+
+            parsed = urlparse(self._path)
+            if parsed.scheme != "file":
+                raise NotImplementedError(
+                    f"steam_appdetails writer: scheme {parsed.scheme}:// needs "
+                    "an object-store client (boto3/fsspec) wired into "
+                    "write()/commit(); the staged+manifest protocol is "
+                    "transport-agnostic (see sources/io.py committer note)"
+                )
+            self._path = parsed.path
         self._fail_on = options.get("fail_on_value")
 
     def write(self, iterator):

@@ -155,6 +155,15 @@ def nan_to_null(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame
 
 
 def table_path(sf_dir: str, name: str) -> str:
+    """Path of one fixture table under a base dir OR base URI.
+
+    URI bases (file://, s3a://, ...) get URI-safe joining — os.path.join
+    must never touch a URI (see sources/io.py); plain local dirs keep the
+    os.path behavior."""
+    if "://" in sf_dir:
+        from .io import join_uri
+
+        return join_uri(sf_dir, f"{name}.parquet")
     return os.path.join(sf_dir, f"{name}.parquet")
 
 

@@ -1,0 +1,110 @@
+"""Object-store-shaped IO under a URI prefix (sources/io.py).
+
+file:// stands in for s3a:// — nothing in the code under test inspects
+the scheme: path algebra is URI-safe, listing and latest-run discovery go
+through the Hadoop FileSystem the URI resolves to, and the staged-commit
+writer accepts a URI for its landing prefix. Mirrors the reference's
+boto3 layer semantics (external_resources.py:22-98: keyed upload, list
+keys, newest-first pick)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from steam_prices_data_engineering_spark.sources.io import (
+    join_uri,
+    latest_run,
+    list_children,
+    read_latest_run,
+    run_dir,
+    write_run,
+)
+from steam_prices_data_engineering_spark.sources.tables import (
+    read_table,
+    table_path,
+)
+
+
+def test_join_uri_algebra():
+    assert join_uri("s3a://bucket/pre/", "a", "/b/") == "s3a://bucket/pre/a/b"
+    assert join_uri("file:///tmp/x", "y.parquet") == "file:///tmp/x/y.parquet"
+    assert table_path("file:///tmp/sf", "orders") == "file:///tmp/sf/orders.parquet"
+    assert table_path("s3a://bucket/sf0.1", "events").startswith("s3a://")
+
+
+def test_write_list_latest_under_uri_prefix(spark, tmp_path):
+    base = f"file://{tmp_path}/landing"
+    for ts, val in [
+        ("20240101T000000", 1),
+        ("20240301T120000", 3),
+        ("20240215T060000", 2),
+    ]:
+        df = spark.createDataFrame([(i, val) for i in range(5)], ["i", "run_val"])
+        write_run(df, base, ts)
+
+    runs = list_children(spark, base)
+    assert runs == [
+        "run_ts=20240101T000000",
+        "run_ts=20240215T060000",
+        "run_ts=20240301T120000",
+    ]
+    # latest by NAME, not mtime: 20240301 wrote before 20240215 above
+    assert latest_run(spark, base) == run_dir(base, "20240301T120000")
+    back = read_latest_run(spark, base)
+    assert back.count() == 5
+    assert {r.run_val for r in back.collect()} == {3}
+
+
+def test_latest_run_empty_prefix(spark, tmp_path):
+    assert latest_run(spark, f"file://{tmp_path}/nothing-here") is None
+    assert list_children(spark, f"file://{tmp_path}/nothing-here") == []
+
+
+def test_read_table_through_file_uri(spark):
+    plain = read_table(spark, "/root/testdata/sf0.001", "orders")
+    via_uri = read_table(spark, "file:///root/testdata/sf0.001", "orders")
+    assert via_uri.schema == plain.schema
+    assert via_uri.count() == plain.count()
+
+
+def test_staged_commit_writer_under_file_uri(spark, tmp_path):
+    """The two-phase staged writer (S7 upload shape) addressed by URI:
+    rows land invisible (dot-staged), commit promotes them and writes the
+    manifest readers trust — the rename-free protocol an s3a:// landing
+    needs, byte transport aside."""
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        register_steam_source,
+    )
+
+    register_steam_source(spark)
+    out_dir = tmp_path / "upload"
+    uri = f"file://{out_dir}"
+    df = spark.createDataFrame([(10, "a"), (20, "b"), (30, "c")], ["app", "body"])
+    df.repartition(2).write.format("steam_appdetails").option("path", uri).mode(
+        "append"
+    ).save()
+
+    names = sorted(os.listdir(out_dir))
+    assert "_MANIFEST.json" in names
+    assert not any(n.startswith(".staged-") for n in names)  # nothing half-visible
+    manifest = json.loads((out_dir / "_MANIFEST.json").read_text())
+    assert sum(f["rows"] for f in manifest["files"]) == 3
+    committed = {f["file"] for f in manifest["files"]}
+    assert committed == {n for n in names if n != "_MANIFEST.json"}
+
+
+def test_staged_commit_writer_rejects_object_store_scheme(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        register_steam_source,
+    )
+
+    register_steam_source(spark)
+    df = spark.createDataFrame([(1, "x")], ["app", "body"])
+    with pytest.raises((Py4JJavaError, Exception), match="object-store client"):
+        df.write.format("steam_appdetails").option(
+            "path", "s3a://bucket/prefix"
+        ).mode("append").save()
