@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect cost). Timings include plan + execution, excluding
 session startup.
+
+Regression gate: after timing, the harness diffs against the newest
+BENCH_r*.json in the repo (the previous round's record) and reports
+per-query ratios on STDERR (stdout stays exactly one JSON line). Queries
+slower than the REGRESSION_RATIO threshold are also listed in the JSON
+under "regressions" so a round-over-round slowdown is self-documenting.
+Machine-load caveat: sibling processes skew wall time 2-3x on this VM —
+check uptime before believing a regression.
 """
 
 from __future__ import annotations
@@ -84,18 +92,77 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    regressions = _diff_against_previous_round(timings, float(sf) if sf else None)
+    if regressions:
+        result["regressions"] = regressions
+    print(json.dumps(result))
     spark.stop()
+
+
+REGRESSION_RATIO = 1.5
+
+
+def _diff_against_previous_round(
+    timings: dict[str, float], sf: float | None
+) -> dict[str, float]:
+    """Compare per-query times against the newest BENCH_r*.json on disk.
+
+    Prints the full ratio table to stderr (stdout is reserved for the one
+    JSON result line) and returns {query: ratio} for queries slower than
+    REGRESSION_RATIO x their previous time, so regressions land in the
+    recorded JSON instead of scrolling away.
+    """
+    import glob
+    import re
+
+    candidates = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not candidates:
+        return {}
+    prev_path = candidates[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"bench: cannot read {prev_path}: {e}", file=sys.stderr)
+        return {}
+    # The driver wraps our JSON line: {"n":..., "sf":..., "parsed": {...}}.
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    if prev.get("sf") != sf:
+        print(
+            f"bench: previous round ran at sf={prev.get('sf')}, this run at "
+            f"sf={sf} — skipping regression diff",
+            file=sys.stderr,
+        )
+        return {}
+    prev_q = prev.get("queries", {})
+    regressions: dict[str, float] = {}
+    print(f"bench: vs {os.path.basename(prev_path)}", file=sys.stderr)
+    for name, now in timings.items():
+        before = prev_q.get(name)
+        if not before:
+            print(f"  {name}: {now:.3f}s (new)", file=sys.stderr)
+            continue
+        ratio = now / before
+        flag = ""
+        if ratio > REGRESSION_RATIO:
+            regressions[name] = round(ratio, 2)
+            flag = f"  <-- REGRESSION >{REGRESSION_RATIO}x"
+        print(
+            f"  {name}: {now:.3f}s vs {before:.3f}s ({ratio:.2f}x){flag}",
+            file=sys.stderr,
+        )
+    return regressions
 
 
 if __name__ == "__main__":
