@@ -1,0 +1,136 @@
+"""Product-quantization ANN: PQ encode + asymmetric-distance (ADC) top-k.
+
+The missing tier between brute-force cosine (`simsearch_topk_cosine`) and
+bucket prefilters (LSH / IVF): at 10^10+ vectors the float corpus itself
+no longer fits the cluster's memory budget. PQ splits each vector into M
+subvectors and stores one small-codebook code per subvector — here
+M=8 x 8 dims with K=4 codes, i.e. a 64-float (256-byte) vector becomes 8
+one-byte codes, a 32x compression. A query is answered WITHOUT decoding:
+precompute the M x K table of (query-subvector x centroid) distances,
+then each candidate's approximate distance is M table lookups (ADC,
+Jegou et al., "Product Quantization for Nearest Neighbor Search",
+IEEE TPAMI 2011 — public method).
+
+Spark shape: ENCODING is the landing-time job — posexplode to
+(vec, subspace, dim) terms, one broadcast join against the K x M x 8
+codebook, one partial-agg'd groupBy to per-(vec, subspace, code)
+distances, one window argmin. The shuffle carries 8-byte partials, never
+vectors. SCORING is the cheap repeated path: codes ⋈ broadcast LUT →
+groupBy(vec) sum — no vector math, no vector shuffle, and top-k is
+TakeOrderedAndProject. At production scale codes land as a table and
+scoring runs per query against codes alone; re-ranking the top
+candidates against true floats (as `simsearch_lsh_topk` does) composes
+on top.
+
+Codebook "training" here is deterministic seeding (subvectors of
+vec_id 1..4 -> codes 0..3) so the DuckDB oracle can replay encode + LUT
++ ADC end-to-end; real Lloyd refinement per subspace is exactly
+`kmeans_embeddings`'s loop run M times and changes no plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import read_table
+from .registry import register
+
+_PQ_M = 8        # subspaces
+_PQ_SUBDIM = 8   # dims per subspace (8 x 8 = the fixture's 64 dims)
+_PQ_K = 4        # codes per subspace (seeds: vec_id 1..K -> code vec_id-1)
+_PQ_TOPK = 10
+
+_PQ_ADC_SQL = f"""
+WITH parts AS (
+    SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS sub, (i - 1) % {_PQ_SUBDIM} AS w,
+           CAST(embedding[i] AS DOUBLE) AS val
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+),
+cents AS (
+    SELECT CAST(vec_id - 1 AS INTEGER) AS code, sub, w, val AS cval
+    FROM parts WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+subdist AS (
+    SELECT c.vec_id, c.sub, k.code,
+           sum((c.val - k.cval) * (c.val - k.cval)) AS d
+    FROM parts c JOIN cents k ON k.sub = c.sub AND k.w = c.w
+    WHERE c.vec_id <> 0
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM subdist
+    ) t WHERE rn = 1
+),
+lut AS (
+    SELECT k.sub, k.code, sum((p.val - k.cval) * (p.val - k.cval)) AS qd
+    FROM parts p JOIN cents k ON k.sub = p.sub AND k.w = p.w
+    WHERE p.vec_id = 0
+    GROUP BY 1, 2
+),
+adc AS (
+    SELECT c.vec_id, {R('sum(l.qd)', 6)} AS adc_dist
+    FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+    GROUP BY 1
+)
+SELECT vec_id, adc_dist FROM adc
+ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
+@register("simsearch_pq_adc_topk", _PQ_ADC_SQL)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus (M=8 subspaces, K=4 codes, deterministic
+    seed codebook), then answer vec_id=0's top-10 by asymmetric distance:
+    one M x K lookup table, M lookups per candidate, zero vector math on
+    the scoring path."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    parts = e.select("vec_id", F.posexplode("v").alias("dim", "val")).select(
+        "vec_id",
+        F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("sub"),
+        F.pmod(F.col("dim"), F.lit(_PQ_SUBDIM)).alias("w"),
+        "val",
+    )
+    cents = parts.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)
+    ).select(
+        (F.col("vec_id") - 1).cast("int").alias("code"),
+        "sub",
+        "w",
+        F.col("val").alias("cval"),
+    )
+    term = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+    # Encode: per-(vector, subspace) distance to each of the K centroids,
+    # then argmin. The broadcast keeps the corpus side shuffle-free until
+    # the 8-byte partial sums; the window partition is (vec, sub) — K rows.
+    subdist = (
+        parts.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cents), ["sub", "w"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(term).alias("d"))
+    )
+    w_argmin = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        subdist.withColumn("rn", F.row_number().over(w_argmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = (
+        parts.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cents), ["sub", "w"])
+        .groupBy("sub", "code")
+        .agg(F.sum(term).alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(dround(F.sum("qd"), 6).alias("adc_dist"))
+    )
+    return adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK)

@@ -445,3 +445,95 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 4
         ).alias("mad_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (chunk) dedup ratio — the C4/MassiveText boilerplate signal.
+# Document-level dedup (exact/MinHash/SimHash above) misses the common
+# failure mode of web corpora: distinct documents sharing large repeated
+# SPANS (navigation chrome, license boilerplate, templated intros). Split
+# each doc into fixed token chunks, hash each chunk, count global
+# occurrences, and emit the per-doc fraction of chunks that appear
+# elsewhere in the corpus — the gate signal for span-level cleaning.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 10
+
+_CHUNK_DEDUP_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(t, s, least(s + {_CHUNK_TOKENS} - 1, len(t))), ' '
+           )) AS h
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, len(t) + 1, {_CHUNK_TOKENS})) AS s
+          FROM toks)
+),
+freq AS (
+    SELECT h, count(*) AS n_occ FROM chunks GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (f.n_occ > 1) AS BIGINT) AS dup_chunks,
+       {R('CAST(count(*) FILTER (f.n_occ > 1) AS DOUBLE) / count(*)', 6)}
+           AS dup_ratio
+FROM chunks c JOIN freq f ON f.h = c.h
+GROUP BY c.doc_id
+"""
+
+
+@register("chunk_dedup_ratio", _CHUNK_DEDUP_SQL)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 10-token chunks that occur anywhere else in the
+    corpus (span-level near-boilerplate signal).
+
+    Scale shape: chunks shuffle as 32-byte md5 keys (never chunk text) to
+    a map-side-combined count; the join back to per-doc chunks is
+    key-to-key on the same hash. Both shuffles carry hash+count only —
+    at 100 TB this is the standard "repeated span removal" pre-pass run
+    before expensive doc-level MinHash."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("t"), F.lit(_CHUNK_TOKENS)
+            )
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("s"),
+                    F.least(
+                        F.lit(_CHUNK_TOKENS),
+                        F.size("t") - F.col("s") + F.lit(1),
+                    ),
+                ),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = chunks.join(freq, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long").alias(
+            "dup_chunks"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "dup_chunks",
+        dround(
+            F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
+        ).alias("dup_ratio"),
+    )

@@ -1236,3 +1236,4 @@ from . import semistructured as _semistructured  # noqa: E402,F401
 from . import quality as _quality  # noqa: E402,F401
 from . import corpus_ops as _corpus_ops  # noqa: E402,F401
 from . import behavioral as _behavioral  # noqa: E402,F401
+from . import ann_pq as _ann_pq  # noqa: E402,F401

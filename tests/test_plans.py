@@ -43,6 +43,16 @@ def test_top1_recency_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_adc_broadcasts_codebook_and_lut(spark):
+    """PQ scoring: codebook and LUT joins are broadcast (the corpus side
+    never shuffles vectors), and top-k is TakeOrderedAndProject — the
+    scale claims of plans/ann_pq.py."""
+    tree = _plan(spark, "simsearch_pq_adc_topk").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree, tree
+
+
 def test_projection_prunes_scan_columns(spark):
     plan = _plan(spark, "proj_filter_customers")
     # ReadSchema carries only the three needed columns.
@@ -70,6 +80,8 @@ def test_projection_prunes_scan_columns(spark):
         "token_count_bpe",
         "events_session_window",
         "skew_salted_agg",
+        "simsearch_pq_adc_topk",
+        "chunk_dedup_ratio",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
