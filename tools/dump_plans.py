@@ -73,6 +73,13 @@ SHOWCASE: list[tuple[str, str]] = [
         "cosine + rank — the cross product is confined to LSH buckets.",
     ),
     (
+        "simsearch_pq_adc_topk",
+        "PQ-ADC top-k: codebook and query-LUT joins are BroadcastHashJoin "
+        "(the corpus never shuffles vectors — only 8-byte partial sums and "
+        "codes move), argmin is a K-row window, and the final top-k is "
+        "TakeOrderedAndProject.",
+    ),
+    (
         "join_shuffle_hash_dim",
         "SHUFFLE_HASH hint honored: ShuffledHashJoin (build = dim side), "
         "no sort-merge — no fact-scale sorts; aggregation reuses the "
