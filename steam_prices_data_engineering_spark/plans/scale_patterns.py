@@ -217,6 +217,86 @@ def streaming_leftouter_interval_join(
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join: null-extended rows surface from
+# BOTH sides' state expiry. Left (purchase) side evicts by the same rule
+# as the left-outer join above: emit iff p_ts + interval < watermark,
+# strictly. Right (error) side: an error can only match purchases with
+# p_ts <= e_ts, and purchases older than the watermark can no longer
+# arrive, so an unmatched error emits iff e_ts < watermark — also
+# STRICTLY (an error exactly ON the watermark stays in state; pinned
+# empirically with a boundary fixture in tests/test_streaming_boundary.py
+# alongside the left-side rule).
+# ---------------------------------------------------------------------------
+
+_STREAM_FOJOIN_SQL = f"""
+WITH wm AS (
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'error')
+    ) - INTERVAL 60 MINUTE AS w
+),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+j AS (
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           p.ts AS p_ts, e.ts AS e_ts, p.value AS value
+    FROM p FULL JOIN e ON p.user_id = e.user_id
+       AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+)
+SELECT user_id,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS p_epoch,
+       CAST(floor(epoch(e_ts)) AS BIGINT) AS e_epoch,
+       {R('value', 4)} AS purchase_value
+FROM j
+WHERE (p_ts IS NOT NULL AND e_ts IS NOT NULL)
+   OR (e_ts IS NULL AND p_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+   OR (p_ts IS NULL AND e_ts < (SELECT w FROM wm))
+"""
+
+
+@register("streaming_fullouter_interval_join", _STREAM_FOJOIN_SQL)
+def streaming_fullouter_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with watermarks + time-range
+    condition: matched rows emit eagerly; purchases with no error in
+    their 10-minute window and errors with no preceding purchase both
+    emit null-extended once the watermark proves no match can still
+    arrive (per-side expiry rules in the section comment; state on both
+    sides stays bounded by delay + interval width)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("p_user", "e_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("p_epoch"),
+        F.col("e_ts").cast("long").alias("e_epoch"),
+        dround(F.col("p_value"), 4).alias("purchase_value"),
+    )
+    sink = _run_to_memory(joined, "stream_fojoin", "append")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
 # Streaming session windows: the batch session_stats plan run through
 # Structured Streaming (session_window + watermark). Oracle = the same
 # gaps-and-islands SQL as the batch variant.

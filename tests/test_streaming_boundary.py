@@ -71,3 +71,47 @@ def test_leftouter_expiry_boundary(spark, tmp_path):
     assert expired in got, got
     # boundary purchase (user 1) and young purchase (user 4): in state, absent
     assert not any(u in (1, 4) for u, _, _ in got), got
+
+
+def test_fullouter_expiry_boundary_both_sides(spark, tmp_path):
+    """Full-outer variant: BOTH sides' expiry rules are strict. An error
+    exactly ON the watermark stays in state (absent); one a second older
+    is expired (emits null-extended). Left-side rule as in the left-outer
+    test."""
+    from steam_prices_data_engineering_spark.plans.scale_patterns import (
+        streaming_fullouter_interval_join,
+    )
+
+    rows = [
+        (1, _ts(9, 0), 3, "purchase", 10.0, "{}"),   # matched pair
+        (2, _ts(9, 5), 3, "error", 0.0, "{}"),
+        (3, _ts(11, 0), 1, "error", 0.0, "{}"),      # e_ts == wm: in state
+        (4, _ts(10, 59, 59), 2, "error", 0.0, "{}"), # e_ts < wm: expired
+        (5, _ts(10, 50), 5, "purchase", 20.0, "{}"), # window end == wm: in state
+        (6, _ts(10, 49, 59), 6, "purchase", 30.0, "{}"),  # expired
+        (7, _ts(12, 0), 4, "purchase", 40.0, "{}"),  # max p, young
+        (8, _ts(13, 0), 9, "error", 0.0, "{}"),      # max e, young
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    out = streaming_fullouter_interval_join(spark, str(tmp_path))
+    got = {(r.user_id, r.p_epoch, r.e_epoch) for r in out.collect()}
+
+    def epoch(t: dt.datetime) -> int:
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    assert (3, epoch(_ts(9, 0)), epoch(_ts(9, 5))) in got, got      # matched
+    assert (2, None, epoch(_ts(10, 59, 59))) in got, got            # err expired
+    assert (6, epoch(_ts(10, 49, 59)), None) in got, got            # pur expired
+    # boundary + young rows: still in state, absent
+    assert not any(u in (1, 5, 4, 9) for u, _, _ in got), got
