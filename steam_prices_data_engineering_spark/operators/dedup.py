@@ -299,6 +299,7 @@ def simhash_table(
     id_col: str = "doc_id",
     bits: int = 16,
     carry: dict[str, F.Column] | None = None,
+    spread_input: bool = True,
 ) -> DataFrame:
     """(id, sim[, carried...]) — SimHash in RELATIONAL form: explode the
     token-hash array and majority-vote every bit with codegen'd
@@ -318,10 +319,18 @@ def simhash_table(
     the same pass (e.g. a quality score) so callers need no join-back.
     """
     carry = carry or {}
+    from ..sources.tables import spread
+
+    # spread(): tokenize+hash+explode is the CPU stage; a single-file
+    # landing otherwise runs it on one task (measured 1.5x whole-query at
+    # sf0.1 for the banded variant). The row shuffle happens BELOW the
+    # projection so the expensive expressions evaluate distributed. Pass
+    # spread_input=False when the caller already repartitioned (avoids a
+    # second exchange of full document rows).
     # Carried expressions are staged in a projection BELOW the Generate
     # (explode) node so they evaluate once per document — selecting them
     # alongside the explode would re-evaluate them once per TOKEN row.
-    pre = docs.select(
+    pre = (spread(docs) if spread_input else docs).select(
         F.col(id_col),
         *[c.alias(n) for n, c in carry.items()],
         hashes.alias("_hs"),

@@ -843,11 +843,14 @@ def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority-vote path (operators/dedup.py:simhash_table, 4.4x the HOF
     form) and joins back on doc_id — the join reuses the aggregate's
     hash partitioning, so no extra shuffle of the fingerprint side
-    beyond its own."""
+    beyond its own. ONE spread feeds both sides: the rolling fold is
+    interpreted per-row CPU that must not run on a single input split,
+    and simhash_table is told not to re-exchange."""
     from ..functions.text import fingerprint_from_hashes, token_hash
     from ..operators.dedup import simhash_table
+    from ..sources.tables import spread
 
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"))
     hashed = d.select(
         "doc_id",
         F.transform(tokens(F.col("text")), token_hash).alias("hs"),
@@ -855,7 +858,9 @@ def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashed.select(
         "doc_id", fingerprint_from_hashes(F.col("hs")).alias("fp")
     )
-    sims = simhash_table(d, F.transform(tokens(F.col("text")), token_hash))
+    sims = simhash_table(
+        d, F.transform(tokens(F.col("text")), token_hash), spread_input=False
+    )
     return fp.join(sims, "doc_id").select("doc_id", "fp", "sim")
 
 
