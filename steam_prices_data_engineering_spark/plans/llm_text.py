@@ -198,8 +198,11 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection so the shingle pipeline runs once per row (SPARK-36718:
     CollapseProject would otherwise re-inline it per consumer)."""
     from ..functions.text import shingles
+    from ..sources.tables import spread
 
-    d = read_table(spark, sf_dir, "documents")
+    # spread(): the sort+fold below is interpreted per-row CPU — a
+    # single-file landing would run it all on one task.
+    d = spread(read_table(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id", shingles(F.col("text"), n=3).alias("grams")
     )
@@ -283,7 +286,11 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: candidate pairs share an LSH bucket (equi join on
     bucket id — shuffle on bucket, not O(n²)), verified by exact cosine at
     threshold 0.4. The standard near-dup-dedup shape for embedding corpora."""
-    e = read_table(spark, sf_dir, "embeddings")
+    from ..sources.tables import spread
+
+    # spread(): the hyperplane-projection + norm build is interpreted
+    # fold CPU; parallelize it before the cache materializes.
+    e = spread(read_table(spark, sf_dir, "embeddings"))
     # Norm and bucket are computed ONCE PER VECTOR and cached: the naive
     # per-pair cosine runs three interpreted 64-element folds per
     # candidate (dot + both norms, ~128k pairs at sf0.1); carrying |v| as
