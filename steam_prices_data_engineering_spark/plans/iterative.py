@@ -183,6 +183,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r.v]
         for r in e.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
     ]
+    if len(centroids) < _KMEANS_K:
+        # Fewer rows than seeds (empty landing / fresh partition): degrade
+        # to an empty result instead of an IndexError in the seed loop.
+        return spark.createDataFrame(
+            [], "cluster int, n_vectors long, inertia double"
+        )
 
     def assign(cents: list[list[float]]) -> DataFrame:
         best_cluster, best_dist = None, None

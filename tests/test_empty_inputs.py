@@ -36,6 +36,10 @@ REPRESENTATIVES = [
     "trainset_selection_pipeline",
     "cohort_retention_daily",
     "steam_job1_prices_etl",
+    "chunk_dedup_ratio",
+    "simsearch_pq_adc_topk",
+    "kmeans_embeddings",
+    "streaming_fullouter_interval_join",
 ]
 
 
