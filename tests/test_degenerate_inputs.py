@@ -82,3 +82,41 @@ def test_single_key_scd2_still_versions(spark, degenerate_dir):
     assert [r.version for r in rows] == list(range(1, len(rows) + 1))
     assert sum(r.is_current for r in rows) == 1
     assert rows[-1].is_current == 1
+
+
+def test_identical_corpus_chunk_dedup_all_duplicated(spark, degenerate_dir):
+    """100%-duplicate corpus: every chunk occurs in all 500 docs, so every
+    doc's duplicated-span ratio is exactly 1.0."""
+    rows = registry.queries()["chunk_dedup_ratio"](spark, degenerate_dir).collect()
+    assert len(rows) == 500
+    assert all(r.dup_ratio == 1.0 for r in rows)
+    assert all(r.dup_chunks == r.n_chunks for r in rows)
+
+
+def test_identical_embeddings_pq_ties_break_deterministically(spark, tmp_path):
+    """All-identical embeddings: every subspace distance ties across all
+    K centroids, so every vector must encode to code 0 (lowest-code
+    tie-break) and all ADC distances are 0 — the ordering then falls to
+    the vec_id tie-break. Guards the argmin tie-break both engines
+    replay."""
+    from pyspark.sql import types as T
+
+    vec = [1.0] * 64
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i in range(30)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = registry.queries()["simsearch_pq_adc_topk"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [r.vec_id for r in rows] == list(range(1, 11))
+    assert all(r.adc_dist == 0.0 for r in rows)
