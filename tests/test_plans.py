@@ -354,13 +354,16 @@ def test_winsorized_stats_single_shuffle(spark):
 
 def test_canonical_dedup_two_stage_one_scan(spark):
     """Relational SimHash + ranked selection: ONE scan of documents,
-    exactly two exchanges — the explode's per-doc aggregation (where
-    map-side partials collapse token rows to 17 longs/doc) and the
-    bucket window that both rank and member count ride. The quality
-    score must be staged BELOW the Generate so it evaluates per doc,
-    not per token row."""
-    tree = _plan(spark, "dedup_canonical_by_quality").split("\n\n")[0]
-    assert tree.count("Exchange") == 2, tree
+    exactly three exchanges — the round-robin spread that parallelizes
+    the tokenize+explode CPU off the single input split, the explode's
+    per-doc aggregation (where map-side partials collapse token rows to
+    17 longs/doc), and the bucket window that both rank and member count
+    ride. The quality score must be staged BELOW the Generate so it
+    evaluates per doc, not per token row."""
+    full = _plan(spark, "dedup_canonical_by_quality")
+    tree = full.split("\n\n")[0]
+    assert tree.count("Exchange") == 3, tree
+    assert "RoundRobinPartitioning" in full, full  # the spread exchange
     assert tree.count("Scan parquet") == 1, tree
     assert "Generate" in tree, tree
     assert "WindowGroupLimit" in tree or "Window" in tree
