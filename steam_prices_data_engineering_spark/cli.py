@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .plans.pipelines import steam_job1_prices_etl, world_map_job2_deviation
 from .session import get_spark
 from .sinks.png import world_map_png
+from .sources.io import join_uri, local_path
 
 log = logging.getLogger("steam_prices_spark")
 
@@ -41,7 +42,9 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
 
     outputs = {}
 
-    prices_path = f"{out_root}/{config['target']['prices_key']}"
+    # join_uri: output_dir may be a plain dir or an object-store-shaped
+    # URI (file:// in tests, s3a:// on a cluster) — see sources/io.py.
+    prices_path = join_uri(out_root, config["target"]["prices_key"])
     log.info("job 1: prices ETL -> %s (run %s)", prices_path, run_key)
     (
         steam_job1_prices_etl(spark, sf_dir)
@@ -52,7 +55,7 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
     )
     outputs["prices"] = prices_path
 
-    worldmap_path = f"{out_root}/{config['target']['worldmap_key']}"
+    worldmap_path = join_uri(out_root, config["target"]["worldmap_key"])
     log.info("job 2: world-map deviation -> %s (run %s)", worldmap_path, run_key)
     (
         world_map_job2_deviation(spark, sf_dir)
@@ -63,7 +66,14 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
     )
     outputs["worldmap"] = worldmap_path
 
-    png_path = f"{out_root}/{config['target'].get('worldmap_png_key', 'world_map_png')}/run_key={run_key}/world_map.png"
+    png_path = local_path(
+        join_uri(
+            out_root,
+            config["target"].get("worldmap_png_key", "world_map_png"),
+            f"run_key={run_key}",
+            "world_map.png",
+        )
+    )
     log.info("job 2: PNG artifact -> %s", png_path)
     outputs["worldmap_png"] = world_map_png(
         world_map_job2_deviation(spark, sf_dir), "usd_dif", "iso_a3", png_path

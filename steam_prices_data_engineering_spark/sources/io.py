@@ -48,6 +48,25 @@ def join_uri(base: str, *parts: str) -> str:
     return out
 
 
+def local_path(path_or_uri: str) -> str:
+    """Filesystem path for a plain path or file:// URI.
+
+    Driver-side artifact writers (the PNG sink's atomic rename) need a
+    real OS path; any other scheme names its integration point instead of
+    failing inside open()."""
+    if "://" not in path_or_uri:
+        return path_or_uri
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path_or_uri)
+    if parsed.scheme != "file":
+        raise NotImplementedError(
+            f"driver-side artifact write needs a local path; got scheme "
+            f"{parsed.scheme}:// — wire an object-store client upload here"
+        )
+    return parsed.path
+
+
 def _fs_and_path(spark: SparkSession, uri: str):
     """Resolve a URI to its Hadoop FileSystem + Path (scheme-agnostic)."""
     sc = spark.sparkContext

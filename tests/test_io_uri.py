@@ -108,3 +108,26 @@ def test_staged_commit_writer_rejects_object_store_scheme(spark, tmp_path):
         df.write.format("steam_appdetails").option(
             "path", "s3a://bucket/prefix"
         ).mode("append").save()
+
+
+def test_cli_jobs_land_under_file_uri(spark, tmp_path):
+    """The config-driven runner accepts an object-store-shaped output_dir:
+    both parquet landings and the driver-side PNG artifact resolve through
+    the URI layer (file:// standing in for s3a://)."""
+    from steam_prices_data_engineering_spark.cli import run_jobs
+
+    config = {
+        "app_name": "uri-cli-test",
+        "source": {"sf_dir": "/root/testdata/sf0.001"},
+        "target": {
+            "output_dir": f"file://{tmp_path}/landings",
+            "prices_key": "prices",
+            "worldmap_key": "worldmap",
+        },
+    }
+    out = run_jobs(config, spark=spark, run_ts="20240101000000")
+    landed = spark.read.parquet(out["prices"])
+    assert landed.count() > 0
+    assert "run_key" in landed.columns
+    assert os.path.exists(out["worldmap_png"])
+    assert out["worldmap_png"].startswith(str(tmp_path))
