@@ -99,7 +99,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
-    regressions = _diff_against_previous_round(timings, float(sf) if sf else None)
+    # The differ is an auxiliary diagnostic: it must never be able to
+    # destroy the run's one contractual stdout JSON line.
+    try:
+        regressions = _diff_against_previous_round(
+            timings, float(sf) if sf else None
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: regression diff failed: {e!r}", file=sys.stderr)
+        regressions = {}
     if regressions:
         result["regressions"] = regressions
     print(json.dumps(result))
@@ -122,9 +130,13 @@ def _diff_against_previous_round(
     import glob
     import re
 
+    def round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     candidates = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")) if round_no(p) >= 0),
+        key=round_no,
     )
     if not candidates:
         return {}

@@ -119,6 +119,12 @@ vecs AS (
 cent0 AS (
     SELECT CAST(vec_id AS INTEGER) AS cluster, dim, val AS cval
     FROM vecs WHERE vec_id < {_KMEANS_K}
+),
+-- Spark degrades to an EMPTY result when the landing has fewer rows than
+-- seeds (see kmeans_embeddings' guard); mirror that so both engines agree
+-- on small/partial landings.
+seedok AS (
+    SELECT count(DISTINCT cluster) = {_KMEANS_K} AS ok FROM cent0
 )"""
     ]
     for i in range(1, _KMEANS_ITERS + 1):
@@ -165,7 +171,9 @@ asg{final} AS (
 )
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
        {R('sum(d)', 4)} AS inertia
-FROM asg{final} GROUP BY cluster
+FROM asg{final}
+WHERE (SELECT ok FROM seedok)
+GROUP BY cluster
 """
 
 

@@ -473,12 +473,14 @@ chunks AS (
           FROM toks)
 ),
 freq AS (
-    SELECT h, count(*) AS n_occ FROM chunks GROUP BY h
+    -- distinct doc count per hash: a chunk is "duplicated" only when it
+    -- appears in ANOTHER document, not when one doc repeats it internally
+    SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
 )
 SELECT c.doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(count(*) FILTER (f.n_occ > 1) AS BIGINT) AS dup_chunks,
-       {R('CAST(count(*) FILTER (f.n_occ > 1) AS DOUBLE) / count(*)', 6)}
+       CAST(count(*) FILTER (f.n_docs > 1) AS BIGINT) AS dup_chunks,
+       {R('CAST(count(*) FILTER (f.n_docs > 1) AS DOUBLE) / count(*)', 6)}
            AS dup_ratio
 FROM chunks c JOIN freq f ON f.h = c.h
 GROUP BY c.doc_id
@@ -522,10 +524,19 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("h"),
     )
-    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    # A chunk counts as duplicated only when it occurs in ANOTHER doc —
+    # distinct (h, doc_id) first, then count docs per hash; an internal
+    # repeat within one document is repetition (doc_repetition_ratio's
+    # signal), not cross-corpus boilerplate.
+    freq = (
+        chunks.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     per_doc = chunks.join(freq, "h").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long").alias(
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long").alias(
             "dup_chunks"
         ),
     )

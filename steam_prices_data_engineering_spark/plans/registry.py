@@ -1205,17 +1205,23 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_pb"),
     )
     both = sketch.crossJoin(F.broadcast(exact))
+    # Empty landing (or all-NULL measure): percentiles are NULL on both
+    # the sketch and exact side, so the brackets are vacuously satisfied —
+    # coalesce to TRUE to match the oracle's literal (a NULL boolean would
+    # hash-mismatch on a fresh partition).
     return both.select(
         "exact_users",
         (
             F.abs(F.col("_approx_users") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("approx_users_ok"),
-        F.col("_p50_sketch").between(
-            F.col("_pb")[0], F.col("_pb")[1]
+        F.coalesce(
+            F.col("_p50_sketch").between(F.col("_pb")[0], F.col("_pb")[1]),
+            F.lit(True),
         ).alias("p50_sketch_ok"),
-        F.col("_p95_sketch").between(
-            F.col("_pb")[2], F.col("_pb")[3]
+        F.coalesce(
+            F.col("_p95_sketch").between(F.col("_pb")[2], F.col("_pb")[3]),
+            F.lit(True),
         ).alias("p95_sketch_ok"),
     )
 

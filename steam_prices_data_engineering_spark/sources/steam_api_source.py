@@ -143,25 +143,23 @@ class SteamUploadWriter(DataSourceWriter):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("steam_appdetails writer requires option 'path'")
-        # Object-store-shaped addressing: accept a URI and resolve the
-        # scheme. The staged-object + manifest-commit protocol below is
-        # exactly what an S3 deployment needs (rename-free readers: they
-        # trust the manifest, not directory listing) — only the byte
-        # transport would swap to a client SDK. file:// is handled here;
-        # other schemes name the integration point explicitly instead of
-        # failing deep inside open().
-        if "://" in self._path:
-            from urllib.parse import urlparse
+        # Object-store-shaped addressing: accept a URI and resolve it
+        # through the shared sources/io.py helper (this runs driver-side,
+        # before the instance is pickled to executors, so only the
+        # resolved string travels). The staged-object + manifest-commit
+        # protocol below is exactly what an S3 deployment needs
+        # (rename-free readers: they trust the manifest, not directory
+        # listing) — only the byte transport would swap to a client SDK.
+        from .io import local_path
 
-            parsed = urlparse(self._path)
-            if parsed.scheme != "file":
-                raise NotImplementedError(
-                    f"steam_appdetails writer: scheme {parsed.scheme}:// needs "
-                    "an object-store client (boto3/fsspec) wired into "
-                    "write()/commit(); the staged+manifest protocol is "
-                    "transport-agnostic (see sources/io.py committer note)"
-                )
-            self._path = parsed.path
+        try:
+            self._path = local_path(self._path)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"steam_appdetails writer: {e}; the staged+manifest "
+                "protocol is transport-agnostic (wire boto3/fsspec into "
+                "write()/commit(); see sources/io.py committer note)"
+            ) from e
         self._fail_on = options.get("fail_on_value")
 
     def write(self, iterator):

@@ -120,3 +120,77 @@ def test_identical_embeddings_pq_ties_break_deterministically(spark, tmp_path):
     ).collect()
     assert [r.vec_id for r in rows] == list(range(1, 11))
     assert all(r.adc_dist == 0.0 for r in rows)
+
+
+def test_kmeans_sub_seed_landing_empty_on_both_engines(spark, tmp_path):
+    """A landing with fewer rows than seeds: Spark degrades to empty AND
+    the unrolled-CTE oracle's seed guard mirrors it — both engines agree
+    (the hash-gate scenario from review: a 2-vector table)."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64, 0), (1, [2.0] * 64, 0)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    spark_rows = registry.queries()["kmeans_embeddings"](
+        spark, str(tmp_path)
+    ).collect()
+    assert spark_rows == []
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    duck_rows = con.execute(registry.oracle_sql()["kmeans_embeddings"]).fetchall()
+    assert duck_rows == []
+
+
+def test_approx_aggregates_empty_landing_booleans_true(spark, tmp_path):
+    """Fresh partition: the sketch-error booleans must be vacuously TRUE
+    (never NULL — a NULL would hash-mismatch the oracle's literal)."""
+    from steam_prices_data_engineering_spark.sources.tables import TABLE_SCHEMAS
+
+    spark.createDataFrame([], TABLE_SCHEMAS["events"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    row = registry.queries()["approx_aggregates"](spark, str(tmp_path)).collect()[0]
+    assert row.exact_users == 0
+    assert row.approx_users_ok is True
+    assert row.p50_sketch_ok is True
+    assert row.p95_sketch_ok is True
+
+
+def test_chunk_dedup_ignores_within_doc_repeats(spark, tmp_path):
+    """A doc whose two chunks are identical but unique to it: NOT
+    duplicated (cross-doc semantics); a chunk shared across two docs IS."""
+    from steam_prices_data_engineering_spark.sources.tables import TABLE_SCHEMAS
+
+    ten = " ".join(["selfsame"] * 10)
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, f"{ten} {ten}", "en", "s", 200),        # internal repeat only
+        (2, shared, "en", "s", 100),                # shared with doc 3
+        (3, f"{shared} tail word here now", "en", "s", 140),
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in registry.queries()["chunk_dedup_ratio"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1].dup_chunks == 0, got[1]           # within-doc repeat ignored
+    assert got[2].dup_chunks == 1                    # its one chunk is shared
+    assert got[3].dup_chunks >= 1                    # the shared prefix chunk

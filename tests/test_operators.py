@@ -180,10 +180,11 @@ def test_observe_metrics_ride_the_job(spark):
 
 def test_ngram_jaccard_adjacent_band_recall(spark):
     """Near-dups straddling a length-band edge (98 vs 104 chars around the
-    100-char boundary) ARE compared — the right side of the inverted-index
-    join probes {blk-1, blk, blk+1}. Docs >1 band apart stay blocked out
-    (the documented recall contract), and the join-count intersection is
-    exact (no double counting from the 3-band fan-out)."""
+    100-char boundary) ARE compared — the (lang, shingle) equi join keeps
+    a residual |blk_a - blk_b| <= 1 range filter, so adjacent bands meet
+    while docs >1 band apart stay blocked out (the documented recall
+    contract). Each qualifying pair still matches once per shared
+    shingle, so the join-count intersection stays exact."""
     from steam_prices_data_engineering_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
