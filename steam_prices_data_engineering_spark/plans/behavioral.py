@@ -356,6 +356,70 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time (as-of) enrichment against the SCD2 dimension: every
+# 'view' event picks up the purchase state that was valid AT ITS OWN
+# TIME — the standard warehouse lookup the SCD2 table exists for, and
+# the batch analogue of a stream-static temporal join. The validity
+# intervals partition time per user (half-open [from, to)), so each view
+# matches at most one version; views before the first purchase stay
+# null-extended.
+# ---------------------------------------------------------------------------
+
+
+def _scd2_pit_sql() -> str:
+    return f"""
+WITH dim AS ({_scd2_sql()}),
+views AS (
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS view_epoch
+    FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, v.view_epoch,
+       d.version, d.value AS state_value
+FROM views v
+LEFT JOIN dim d
+  ON d.user_id = v.user_id
+ AND v.view_epoch >= d.valid_from
+ AND (d.valid_to IS NULL OR v.view_epoch < d.valid_to)
+"""
+
+
+@register("scd2_point_in_time_join", _scd2_pit_sql())
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each view event with the SCD2 purchase state valid at the
+    view's own timestamp. Scale shape: an equi join on the natural key
+    (user_id) with the validity interval as a residual range predicate —
+    shuffles once on the key (AQE handles key skew), never a time-axis
+    cross product; the dimension side reuses the SCD2 build's window
+    partitioning on the same key."""
+    from .registry import _REGISTRY
+
+    dim = _REGISTRY["scd2_purchase_history"][0](spark, sf_dir)
+    views = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("long").alias("view_epoch"),
+        )
+    )
+    joined = views.join(
+        dim,
+        (F.col("v_user") == dim.user_id)
+        & (F.col("view_epoch") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("view_epoch") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        F.col("v_user").alias("user_id"),
+        "view_epoch",
+        "version",
+        F.col("value").alias("state_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MERGE-style upsert: apply a batch of changes to a keyed target state.
 # Vanilla Spark has no MERGE INTO (that's a table-format feature); the
 # idiomatic engine form is a full outer join on the key with
