@@ -1,0 +1,557 @@
+"""Corpus-evaluation and cleaning operators (north-star extension,
+SURVEY.md §2b): the measurement half of an LLM-data pipeline.
+
+Round-1 shipped the *signals* (chunk dup ratio, quality scores, dedup
+pairs); this module adds the *evaluations and transforms* built on them:
+
+- `doc_unigram_lm_quality` — perplexity-proxy quality filter: a corpus
+  unigram LM scores each document's mean token surprisal (the KenLM-style
+  fluency gate of CCNet/RefinedWeb, with the LM reduced to unigrams so
+  both engines replay it exactly).
+- `tokenizer_vocab_coverage` — OOV rate per source against a top-N
+  frequency vocab (the "will my tokenizer cover this corpus" check).
+- `boilerplate_strip_rebuild` — span-level boilerplate REMOVAL: the
+  transform complement of `chunk_dedup_ratio` (which only reports the
+  signal) — drop cross-document repeated chunks and reassemble the
+  cleaned text per document (C4/CCNet line-dedup shape).
+- `minhash_estimate_error` — sketch-quality evaluation: MinHash-estimated
+  vs exact Jaccard on the LSH candidate pairs.
+- `simsearch_recall_eval` — ANN-quality evaluation: recall@k of the LSH
+  bucket search against brute-force exact top-k ground truth.
+
+All plans are shuffle-minimal: token/chunk statistics shuffle hashed keys
+with map-side combine; tiny derived dims (vocab, query vectors, corpus
+totals) broadcast; no UDFs. Reference has no corpus surface — these rows
+extend SURVEY.md §2b (BASELINE.json north-star), not §2a.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import tokens
+from ..functions.vectors import cosine, dot, norm
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (perplexity-proxy fluency gate).
+#
+# P(tok) = corpus_count(tok) / corpus_total; doc score = mean over token
+# OCCURRENCES of -ln P(tok) (surprisal, nats). Real pipelines use a KenLM
+# 5-gram here; the unigram reduction keeps the gate exactly replayable in
+# ANSI SQL while exercising the identical plan shape: corpus-wide token
+# statistics (one map-side-combined shuffle on token), a broadcast of the
+# tiny LM table back onto the token stream, and a per-doc aggregation.
+# At 100 TB the LM table is still vocab-sized (≤ a few M rows) — the
+# broadcast holds; only the two token-keyed aggregations scan the corpus.
+# ---------------------------------------------------------------------------
+
+_FLUENT_NATS = 3.5  # ~uniform-over-vocab surprisal; docs above are "disfluent"
+
+_UNIGRAM_LM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT sum(cnt) AS n FROM lm)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {R("avg(-ln(CAST(lm.cnt AS DOUBLE) / total.n))", 6)} AS mean_surprisal,
+       (avg(-ln(CAST(lm.cnt AS DOUBLE) / total.n)) <= {_FLUENT_NATS}) AS is_fluent
+FROM tok t JOIN lm ON lm.tok = t.tok CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@register("doc_unigram_lm_quality", _UNIGRAM_LM_SQL)
+def doc_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal per document under the corpus unigram LM.
+
+    Plan: explode(tokens) -> groupBy(tok) count (map-side combined; the
+    shuffle carries vocab-sized rows) -> broadcast the LM + scalar total
+    back onto the token stream -> groupBy(doc_id) avg. Two shuffles total,
+    both on compact keys; the LM join is a broadcast at any corpus size
+    with a bounded vocab."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("n"))
+    surprisal = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        tok.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            dround(F.avg(surprisal), 6).alias("mean_surprisal"),
+            (F.avg(surprisal) <= F.lit(_FLUENT_NATS)).alias("is_fluent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab coverage: build a top-N token vocabulary by corpus
+# frequency (ties broken lexicographically) and report the out-of-vocab
+# occurrence rate per source. The pre-flight check before committing a
+# tokenizer/vocab to a corpus mixture.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 16
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+        FROM freq
+    ) WHERE r <= {_VOCAB_K}
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS oov_tokens,
+       {R("CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE) / count(*)", 6)} AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.source
+"""
+
+
+@register("tokenizer_vocab_coverage", _VOCAB_COVERAGE_SQL)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV occurrence rate per source against the top-{_VOCAB_K} vocab.
+
+    The ranking window runs on the already-aggregated frequency table
+    (vocab-sized — a single tiny partition is correct, not a skew bug),
+    and the vocab broadcasts back onto the token stream as a left join;
+    the corpus-scale work is the same two map-side-combined token
+    aggregations as the LM scorer."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            dround(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate strip + rebuild: drop every 10-token chunk whose exact text
+# occurs in >= 2 DISTINCT documents (navigation chrome / license blocks /
+# templated intros in web corpora), then reassemble each document from its
+# surviving chunks in order. `chunk_dedup_ratio` measures this signal;
+# this operator APPLIES it — the output is the cleaned corpus.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 10
+_BOILER_MIN_DOCS = 2
+
+_BOILERPLATE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id, s,
+           array_to_string(
+               list_slice(t, s, least(s + {_CHUNK_TOKENS} - 1, len(t))), ' '
+           ) AS txt
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, {_CHUNK_TOKENS})) AS s
+          FROM toks)
+),
+freq AS (
+    SELECT md5(txt) AS h, count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY md5(txt)
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (f.n_docs < {_BOILER_MIN_DOCS}) AS BIGINT) AS kept_chunks,
+       coalesce(
+           string_agg(c.txt, ' ' ORDER BY c.s)
+               FILTER (f.n_docs < {_BOILER_MIN_DOCS}),
+           ''
+       ) AS cleaned_text
+FROM chunks c JOIN freq f ON f.h = md5(c.txt)
+GROUP BY c.doc_id
+"""
+
+
+@register("boilerplate_strip_rebuild", _BOILERPLATE_SQL)
+def boilerplate_strip_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-document repeated chunks and rebuild the cleaned text.
+
+    Scale shape: the frequency pass shuffles 32-byte md5 keys only (never
+    chunk text) with map-side combine; the join back is hash-to-hash; the
+    rebuild groups each doc's own chunks — partitioned by doc_id, so the
+    collect_list is bounded by single-document size (the same bound any
+    per-doc transform already carries). Docs whose every chunk is
+    boilerplate survive with kept_chunks=0 and empty text, preserving
+    corpus row identity for downstream joins."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_TOKENS))
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        "s",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                F.col("s"),
+                F.least(
+                    F.lit(_CHUNK_TOKENS), F.size("t") - F.col("s") + F.lit(1)
+                ),
+            ),
+        ).alias("txt"),
+    ).withColumn("h", F.md5(F.col("txt").cast("binary")))
+    freq = (
+        chunks.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    keep = F.col("n_docs") < _BOILER_MIN_DOCS
+    # collect_list drops NULLs, so gating the struct with when() filters
+    # boilerplate chunks inside the aggregation — one groupBy, no re-join.
+    kept_struct = F.when(keep, F.struct(F.col("s"), F.col("txt")))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(keep.cast("int")).cast("long").alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda x: x.getField("txt"),
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-quality evaluation: for every LSH candidate pair, compare
+# the signature-estimated Jaccard (fraction of equal minhash components)
+# with the exact shingle-set Jaccard. The operator a pipeline owner runs
+# before trusting a (bands, rows) configuration at full scale — it turns
+# the sketch's accuracy from folklore into a measured column.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_sql() -> str:
+    from ..operators.dedup import (
+        MINHASH_PARAMS,
+        MINHASH_PRIME,
+        MINHASH_BAND_ROWS,
+    )
+
+    shingle_p = 2_147_483_647
+    token_hash = (
+        "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 "
+        "+ ascii(right(x, 1)) AS BIGINT)"
+    )
+    sig_cols = ", ".join(
+        f"CASE WHEN len(hs) = 0 THEN NULL ELSE "
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) END AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
+    )
+    n_sig = len(MINHASH_PARAMS)
+    n_bands = n_sig // MINHASH_BAND_ROWS
+    band_cases = []
+    for bi in range(n_bands):
+        lo = bi * MINHASH_BAND_ROWS + 1
+        parts = " || '_' || ".join(
+            f"CAST(s{j} AS VARCHAR)" for j in range(lo, lo + MINHASH_BAND_ROWS)
+        )
+        band_cases.append(f"WHEN {bi} THEN {parts}")
+    band_expr = "CASE band_idx " + " ".join(band_cases) + " END"
+    band_values = ", ".join(f"({i})" for i in range(n_bands))
+    eq_sum = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(1, n_sig + 1)
+    )
+    exact = (
+        "CASE WHEN len(list_distinct(list_cat(a.hs, b.hs))) > 0 THEN "
+        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / "
+        "len(list_distinct(list_cat(a.hs, b.hs))) ELSE 0.0 END"
+    )
+    return f"""
+WITH tokhash AS (
+    SELECT doc_id, list_transform(string_split(text, ' '), {token_hash}) AS th
+    FROM documents
+),
+shinglehash AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(th) < 3 THEN []
+               ELSE list_transform(range(1, len(th) - 1),
+                    i -> (((th[i] * 8191 + th[i + 1]) % {shingle_p}) * 8191 + th[i + 2]) % {shingle_p})
+           END) AS hs
+    FROM tokhash
+),
+sig AS (SELECT doc_id, hs, {sig_cols} FROM shinglehash),
+banded AS (
+    SELECT doc_id, band_idx, {band_expr} AS band_key
+    FROM sig CROSS JOIN (VALUES {band_values}) b(band_idx)
+    WHERE s1 IS NOT NULL
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       {R(f"CAST({eq_sum} AS DOUBLE) / {n_sig}", 6)} AS est_jaccard,
+       {R(exact, 6)} AS exact_jaccard,
+       {R(f"abs(CAST({eq_sum} AS DOUBLE) / {n_sig} - ({exact}))", 6)} AS abs_err
+FROM cand c
+JOIN sig a ON a.doc_id = c.doc_id_a
+JOIN sig b ON b.doc_id = c.doc_id_b
+"""
+
+
+@register("minhash_estimate_error", _minhash_est_sql())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-exact Jaccard for every MinHash-LSH candidate pair.
+
+    Reuses the production signature pipeline (operators/dedup.py — the
+    cached hashed-shingle table feeds the signature aggregation, the band
+    explode, and both sides of the evaluation join), then scores each
+    candidate twice: est = mean(sig components equal), exact = shingle-set
+    Jaccard. At scale the evaluation join is candidate-bounded (LSH
+    output), never all-pairs."""
+    from ..functions.text import shingle_hash_array, token_hash_array
+    from ..operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_PARAMS,
+        MINHASH_PRIME,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.array_distinct(
+            shingle_hash_array(token_hash_array(F.col("text")), 3)
+        ).alias("hs"),
+    ).cache()
+    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * a + b, F.lit(MINHASH_PRIME))).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
+        ]
+    )
+    sig = sig.join(hashed, "doc_id").cache()
+
+    n_sig = len(MINHASH_PARAMS)
+    n_bands = n_sig // MINHASH_BAND_ROWS
+    band_cols = []
+    for bi in range(n_bands):
+        lo = bi * MINHASH_BAND_ROWS + 1
+        parts = [F.col(f"s{j}") for j in range(lo, lo + MINHASH_BAND_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *[p.cast("string") for p in parts]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left = banded.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_key")
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    a = sig.alias("a")
+    b = sig.alias("b")
+    est = (
+        sum(
+            F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+            for i in range(1, n_sig + 1)
+        ).cast("double")
+        / n_sig
+    )
+    union_sz = F.size(F.array_distinct(F.concat(F.col("a.hs"), F.col("b.hs"))))
+    exact = F.when(
+        union_sz > 0,
+        F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs"))).cast("double")
+        / union_sz,
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(a, cand.doc_id_a == F.col("a.doc_id"))
+        .join(b, cand.doc_id_b == F.col("b.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dround(est, 6).alias("est_jaccard"),
+            dround(exact, 6).alias("exact_jaccard"),
+            dround(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: recall@k of the LSH-bucket search against
+# brute-force exact top-k, over a panel of query vectors. The accept gate
+# for any approximate index config before it serves a 100 TB corpus —
+# at scale the exact arm runs on a sampled query panel exactly like this
+# one (ground truth is always panel-sized, never corpus×corpus).
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+_N_QUERIES = 8
+
+
+def _recall_sql() -> str:
+    from .llm_text import HYPERPLANES, _bucket_sql, _sql_plane_literal  # noqa: F401
+
+    bucket = _bucket_sql("embedding::DOUBLE[]")
+    cos = (
+        "list_dot_product(c.v, q.v) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    return f"""
+WITH bkt AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v, bucket FROM bkt WHERE vec_id < {_N_QUERIES}),
+exact AS (
+    SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {R(cos, 6)} DESC, c.vec_id ASC
+               ) AS r
+        FROM bkt c JOIN q ON c.vec_id <> q.qid
+    ) WHERE r <= {_RECALL_K}
+),
+lsh AS (
+    SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {R(cos, 6)} DESC, c.vec_id ASC
+               ) AS r
+        FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid
+    ) WHERE r <= {_RECALL_K}
+)
+SELECT e.qid AS query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+       {R(f"CAST(count(l.vec_id) AS DOUBLE) / {_RECALL_K}", 6)} AS recall_at_k
+FROM exact e
+LEFT JOIN lsh l ON l.qid = e.qid AND l.vec_id = e.vec_id
+GROUP BY e.qid
+"""
+
+
+@register("simsearch_recall_eval", _recall_sql())
+def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_RECALL_K} of the sign-random-projection LSH search vs
+    brute-force ground truth for {_N_QUERIES} query vectors.
+
+    Both arms broadcast the tiny query panel: the exact arm scans the
+    corpus once (panel × corpus scored rows, ranked per query), the LSH
+    arm joins on bucket equality first — the same candidate pruning the
+    production path (`simsearch_lsh_topk`) uses. Scores are rounded
+    BEFORE ranking so tie-breaks agree across engines."""
+    from .llm_text import _bucket_spark
+
+    e = read_table(spark, sf_dir, "embeddings")
+    bkt = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _bucket_spark(F.col("embedding")).alias("bucket"),
+    ).cache()
+    q = bkt.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    scored_exact = (
+        bkt.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    exact = (
+        scored_exact.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    scored_lsh = (
+        bkt.join(F.broadcast(q), bkt.bucket == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    # Both arms share the cached `bkt` lineage, so rename the LSH arm's
+    # columns before joining to avoid a self-join ambiguity.
+    lsh = (
+        scored_lsh.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RECALL_K)
+        .select(
+            F.col("qid").alias("lsh_qid"), F.col("vec_id").alias("lsh_vec_id")
+        )
+    )
+    return (
+        exact.join(
+            lsh,
+            (F.col("qid") == F.col("lsh_qid"))
+            & (F.col("vec_id") == F.col("lsh_vec_id")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("lsh_vec_id").cast("long").alias("n_hit"),
+            dround(
+                F.count("lsh_vec_id").cast("double") / F.lit(_RECALL_K), 6
+            ).alias("recall_at_k"),
+        )
+    )

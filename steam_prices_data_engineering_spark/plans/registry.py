@@ -1248,3 +1248,5 @@ from . import quality as _quality  # noqa: E402,F401
 from . import corpus_ops as _corpus_ops  # noqa: E402,F401
 from . import behavioral as _behavioral  # noqa: E402,F401
 from . import ann_pq as _ann_pq  # noqa: E402,F401
+from . import corpus_eval as _corpus_eval  # noqa: E402,F401  (needs llm_text)
+from . import multimodal_audio as _multimodal_audio  # noqa: E402,F401

@@ -82,6 +82,11 @@ def test_projection_prunes_scan_columns(spark):
         "skew_salted_agg",
         "simsearch_pq_adc_topk",
         "chunk_dedup_ratio",
+        "doc_unigram_lm_quality",
+        "tokenizer_vocab_coverage",
+        "boilerplate_strip_rebuild",
+        "minhash_estimate_error",
+        "simsearch_recall_eval",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -517,3 +522,31 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k in conf:
             spark.conf.unset(k)
+
+
+def test_unigram_lm_table_broadcasts(spark):
+    """The corpus LM (vocab-sized) and the scalar total must broadcast back
+    onto the token stream — the only shuffles a 100 TB run pays are the two
+    map-side-combined token aggregations."""
+    tree = _plan(spark, "doc_unigram_lm_quality").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree, tree  # scalar total
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_recall_eval_lsh_arm_is_bucket_equi_join(spark):
+    """Both evaluation arms broadcast the query panel; the LSH arm must be
+    an equi join on the bucket id (candidate pruning), never a full
+    cartesian against the corpus."""
+    tree = _plan(spark, "simsearch_recall_eval").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree  # bucket-equality arm
+    # exact arm: panel cross join is broadcast-nested-loop by design
+    assert "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_audio_windows_is_narrow_map(spark):
+    """Decode + window-RMS is a narrow Arrow stage: frames inherit input
+    partitioning; the whole plan must be shuffle-free."""
+    tree = _plan(spark, "multimodal_audio_windows").split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert "Exchange" not in tree, tree
