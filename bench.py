@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "scd2_purchase_history",
     "merge_upsert_user_state",
     "moments_skew_kurtosis",
+    # round-2 additions: the corpus-evaluation tier's heavy paths
+    "doc_unigram_lm_quality",
+    "boilerplate_strip_rebuild",
+    "simsearch_recall_eval",
 ]
 
 

@@ -78,6 +78,11 @@ def register(name: str, oracle: str | None):
 # joins, iterative algorithms, approx sketches, CDC/SCD/merge, the Arrow
 # UDF surface, skew handling). Everything else follows in registration
 # order and is covered by the full local gate (tools/check_oracle.py).
+# Round-2 rotation: simsearch_recall_eval subsumes ivf_cells' slot (it
+# exercises LSH + brute force + the eval family), doc_unigram_lm_quality
+# subsumes tfidf's (both are token-statistics plans; the LM adds the new
+# quality-filter family), multimodal_audio_windows subsumes frame_sample's
+# (same mapInPandas plumbing, strictly stronger value verification).
 _PRIORITY: tuple[str, ...] = (
     # §2a reference parity: pipelines, sources, sinks
     "flagship_nation_price_dev",
@@ -112,18 +117,18 @@ _PRIORITY: tuple[str, ...] = (
     # similarity search
     "simsearch_topk_cosine",
     "simsearch_lsh_topk",
-    "simsearch_ivf_cells",
+    "simsearch_recall_eval",
     # text analysis
     "text_stats_by_lang",
     "lang_id_ngram",
-    "tfidf_top_terms",
+    "doc_unigram_lm_quality",
     "doc_quality_scores",
     # trainset ops
     "trainset_selection_pipeline",
     "decontaminate_ngram_overlap",
     # multimodal
     "multimodal_bytes",
-    "multimodal_frame_sample",
+    "multimodal_audio_windows",
     # streaming
     "streaming_tumbling_window",
     "streaming_interval_join",

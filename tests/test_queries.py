@@ -61,7 +61,9 @@ def test_driver_sample_spans_families():
         "dedup_connected_components",   # iterative graph clustering
         "simsearch_lsh_topk",           # ANN at scale
         "trainset_selection_pipeline",  # trainset ops
-        "multimodal_frame_sample",      # multimodal plumbing
+        "multimodal_audio_windows",     # multimodal plumbing (round-2 swap
+                                        # for frame_sample: same mapInPandas
+                                        # contract, value-verified decode)
         "streaming_interval_join",      # stream-stream join
         "streaming_leftouter_interval_join",
         "kmeans_embeddings",            # iterative ML
