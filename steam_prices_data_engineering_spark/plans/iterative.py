@@ -62,9 +62,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         bidir.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
+        .persist()
     )
+    # One persisted generation at a time: each iteration materializes the
+    # new label table (the convergence count drives it), then UNPERSISTS
+    # the superseded parent — without this the loop accumulates one cached
+    # copy of the full label table per iteration, which at 100 TB evicts
+    # everything else from executor storage. The persist also truncates
+    # effective recomputation depth (every iteration reads its parent from
+    # cache); for loops running into the hundreds of rounds, swap the
+    # persist for localCheckpoint every few generations to also bound the
+    # logical-plan depth.
+    gen = labels
     for _ in range(15):
-        labels = labels.persist()
         # Candidate new label per node: min of own label and neighbors'.
         neighbor_min = (
             bidir.join(labels, bidir.v == labels.node)
@@ -83,6 +93,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        gen.unpersist()  # superseded generation; `updated` is materialized
+        gen = updated
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break

@@ -357,3 +357,102 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("rn").cast("long").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sharding: partition the corpus into quality-ordered training
+# phases (high-quality first), each phase split into hash-stable shards.
+# The scale-correct form of "sort the corpus by quality": a true global
+# rank is a single-partition window (a non-starter at 100 TB), so the
+# curriculum uses corpus quality QUANTILE thresholds (one tiny aggregate,
+# broadcast back) for phase assignment, and the same multiplicative
+# doc_id hash as trainset_hash_split for shard assignment — every
+# decision is a pure function of (doc, corpus thresholds), reproducible
+# under any partitioning and stable as the corpus grows.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_CURRICULUM_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           CAST(len(sp) AS BIGINT) AS n_tokens,
+           0.5 * (CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp))
+           + 0.3 * (1 - CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp))
+           + 0.2 * least(len(sp) / 100.0, 1.0) AS quality
+    FROM t
+),
+thresholds AS (
+    SELECT quantile_cont(quality, 0.66) AS q66,
+           quantile_cont(quality, 0.33) AS q33
+    FROM scored
+),
+assigned AS (
+    SELECT s.doc_id, s.n_tokens, s.quality,
+           CASE WHEN s.quality >= t.q66 THEN 0
+                WHEN s.quality >= t.q33 THEN 1
+                ELSE 2 END AS phase,
+           ((s.doc_id * 2654435761) % 4294967296) % {_N_SHARDS} AS shard
+    FROM scored s CROSS JOIN thresholds t
+)
+SELECT CAST(phase AS INTEGER) AS phase,
+       CAST(shard AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       {R('avg(quality)', 6)} AS avg_quality,
+       {R('min(quality)', 6)} AS min_quality
+FROM assigned
+GROUP BY phase, shard
+"""
+
+
+@register("trainset_curriculum_shards", _CURRICULUM_SQL)
+def trainset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum phases (tertile thresholds over the composite
+    quality score) x hash-stable shards, with per-cell doc/token counts
+    and quality stats.
+
+    Plan: one narrow scoring pass; the two quantile thresholds are a
+    single tiny aggregate broadcast back (exact interpolated percentile —
+    Spark `percentile` == DuckDB `quantile_cont`); phase+shard assignment
+    is then a pure map, and the final cell aggregation is one map-side-
+    combined shuffle of 3 x {_N_SHARDS} cells. At high corpus scale the
+    threshold aggregate swaps to percentile_approx without changing the
+    contract (see approx_aggregates)."""
+    from ..functions.text import quality_score, token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    thresholds = scored.agg(
+        F.percentile("quality", 0.66).alias("q66"),
+        F.percentile("quality", 0.33).alias("q33"),
+    )
+    phase = (
+        F.when(F.col("quality") >= F.col("q66"), 0)
+        .when(F.col("quality") >= F.col("q33"), 1)
+        .otherwise(2)
+    )
+    shard = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % _N_SHARDS
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .select(
+            phase.cast("int").alias("phase"),
+            shard.cast("int").alias("shard"),
+            "n_tokens",
+            "quality",
+        )
+        .groupBy("phase", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            dround(F.avg("quality"), 6).alias("avg_quality"),
+            dround(F.min("quality"), 6).alias("min_quality"),
+        )
+    )

@@ -87,6 +87,8 @@ def test_projection_prunes_scan_columns(spark):
         "boilerplate_strip_rebuild",
         "minhash_estimate_error",
         "simsearch_recall_eval",
+        "graph_neardup_triangles",
+        "trainset_curriculum_shards",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
