@@ -147,6 +147,33 @@ SHOWCASE: list[tuple[str, str]] = [
         "median is deliberately excluded: it is non-mergeable and would "
         "drag the aggregate off the partial-agg path (measured 4x).",
     ),
+    (
+        "doc_unigram_lm_quality",
+        "Perplexity-proxy quality gate: the vocab-sized LM table and the "
+        "scalar total broadcast back onto the token stream "
+        "(BroadcastHashJoin + BroadcastNestedLoopJoin); the only corpus-"
+        "scale shuffles are the two map-side-combined token aggregations.",
+    ),
+    (
+        "boilerplate_strip_rebuild",
+        "Span boilerplate removal: the frequency pass shuffles 32-byte md5 "
+        "keys (never chunk text); the rebuild groups each doc's own chunks "
+        "— the in-aggregate filtered collect_list is bounded by single-"
+        "document size.",
+    ),
+    (
+        "graph_neardup_triangles",
+        "Distributed triangle count: posting lists are df-capped via a "
+        "left-semi join BEFORE the pair join (the quadratic-blowup guard); "
+        "triangle enumeration is the ordered-edge double join on endpoint "
+        "keys; the cached edge list feeds all three roles.",
+    ),
+    (
+        "trainset_curriculum_shards",
+        "Curriculum without a global sort: quantile thresholds are one "
+        "tiny aggregate broadcast back; phase+shard assignment is a pure "
+        "map; the cell aggregation shuffles 3 x 8 rows.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
