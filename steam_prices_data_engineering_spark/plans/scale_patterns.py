@@ -624,3 +624,61 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dround(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators in ONE streaming query (Spark 4 multi-stateful
+# support): 10-minute windowed aggregation re-aggregated into 1-hour
+# windows downstream — the streaming form of the multi-resolution rollup
+# (`events_multires_rollup`), a continuous aggregate cascade. The second
+# aggregation consumes the first level's FINALIZED windows via
+# window_time(); append mode emits an hour only once the watermark passes
+# its end, so with one availableNow batch the result is exactly the batch
+# hourly rollup restricted to hours whose end <= max(ts) - watermark
+# delay — which is what the oracle encodes (emission at window_end <=
+# watermark, verified empirically on this Spark; an exact ==-boundary
+# event time would probe the <= vs < edge, which the fixture's fractional
+# timestamps never hit).
+# ---------------------------------------------------------------------------
+
+_MULTIRES_STREAM_SQL = f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+hourly AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hs, event_type,
+           count(*) AS n_events, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(hs)) AS BIGINT) AS hour_start,
+       event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       {R('sum_value', 4)} AS sum_value
+FROM hourly CROSS JOIN wm
+WHERE hs + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+@register("streaming_multires_rollup", _MULTIRES_STREAM_SQL)
+def streaming_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min -> 1-hour cascaded windowed aggregation in one streaming
+    query (two stateful operators chained). At scale this halves the
+    state and shuffle of maintaining each resolution from the raw stream:
+    the hour level aggregates 6 finalized rows per (window, type) instead
+    of every event, and further grains (day, week) chain the same way."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    lvl1 = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("hw"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        dround(F.sum("sv"), 4).alias("sum_value"),
+    )
+    out = lvl2.select(
+        F.col("hw.start").cast("long").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    sink = _run_to_memory(out, "stream_multires", "append")
+    return spark.table(sink)
