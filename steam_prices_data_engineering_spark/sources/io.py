@@ -121,3 +121,32 @@ def read_latest_run(spark: SparkSession, base_uri: str) -> DataFrame:
     if target is None:
         raise FileNotFoundError(f"no {RUN_PREFIX}* runs under {base_uri}")
     return spark.read.parquet(target)
+
+
+def sweep_runs(
+    spark: SparkSession, base_uri: str, keep_latest: int
+) -> tuple[list[str], list[str]]:
+    """Retention sweep: delete all but the newest `keep_latest` runs under
+    the base prefix; returns (kept_names, deleted_names).
+
+    The retention policy every append-only run-partitioned landing needs
+    (the reference's bucket grows without bound —
+    `external_resources.py:70-98` only ever lists and appends). Name
+    ordering IS chronological ordering (see latest_run), so the sweep is
+    one LIST + bounded DELETEs, no mtime reads. Deletion is recursive per
+    run directory; on S3-likes each delete is per-object under the prefix
+    — still metadata-only traffic, no data reads. The newest run is never
+    deletable (keep_latest < 1 is rejected) so a concurrent
+    read_latest_run cannot lose its target mid-sweep.
+    """
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1 (the newest run must survive)")
+    runs = sorted(
+        c for c in list_children(spark, base_uri) if c.startswith(RUN_PREFIX)
+    )
+    kept, doomed = runs[-keep_latest:], runs[:-keep_latest]
+    fs, _ = _fs_and_path(spark, base_uri)
+    sc = spark.sparkContext
+    for name in doomed:
+        fs.delete(sc._jvm.org.apache.hadoop.fs.Path(join_uri(base_uri, name)), True)
+    return kept, doomed

@@ -131,3 +131,43 @@ def test_cli_jobs_land_under_file_uri(spark, tmp_path):
     assert "run_key" in landed.columns
     assert os.path.exists(out["worldmap_png"])
     assert out["worldmap_png"].startswith(str(tmp_path))
+
+
+def test_sweep_runs_retention(spark, tmp_path):
+    from steam_prices_data_engineering_spark.sources.io import sweep_runs
+
+    base = f"file://{tmp_path}/landing"
+    for ts, val in [
+        ("20240101T000000", 1),
+        ("20240201T000000", 2),
+        ("20240301T120000", 3),
+        ("20240401T060000", 4),
+    ]:
+        write_run(
+            spark.range(val).toDF("v"), base, ts
+        )
+    kept, deleted = sweep_runs(spark, base, keep_latest=2)
+    assert kept == ["run_ts=20240301T120000", "run_ts=20240401T060000"]
+    assert deleted == ["run_ts=20240101T000000", "run_ts=20240201T000000"]
+    # Listing agrees and the latest run still reads.
+    assert list_children(spark, base) == kept
+    assert read_latest_run(spark, base).count() == 4
+    # Idempotent: a second sweep deletes nothing.
+    kept2, deleted2 = sweep_runs(spark, base, keep_latest=2)
+    assert kept2 == kept and deleted2 == []
+
+
+def test_sweep_runs_guards(spark, tmp_path):
+    import pytest
+
+    from steam_prices_data_engineering_spark.sources.io import sweep_runs
+
+    base = f"file://{tmp_path}/empty_landing"
+    with pytest.raises(ValueError):
+        sweep_runs(spark, base, keep_latest=0)
+    # Empty prefix: nothing kept, nothing deleted, no error.
+    assert sweep_runs(spark, base, keep_latest=3) == ([], [])
+    # Fewer runs than the retention budget: all survive.
+    write_run(spark.range(1).toDF("v"), base, "20240101T000000")
+    kept, deleted = sweep_runs(spark, base, keep_latest=5)
+    assert kept == ["run_ts=20240101T000000"] and deleted == []
