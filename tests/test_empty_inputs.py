@@ -40,6 +40,15 @@ REPRESENTATIVES = [
     "simsearch_pq_adc_topk",
     "kmeans_embeddings",
     "streaming_fullouter_interval_join",
+    # round-2 additions
+    "doc_unigram_lm_quality",
+    "boilerplate_strip_rebuild",
+    "minhash_estimate_error",
+    "simsearch_recall_eval",
+    "multimodal_audio_windows",
+    "graph_neardup_triangles",
+    "trainset_curriculum_shards",
+    "streaming_multires_rollup",
 ]
 
 
