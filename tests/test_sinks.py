@@ -92,15 +92,35 @@ def test_png_sink_renders_decodable_artifact(spark, tmp_path):
     out = world_map_png(df, "usd_dif", "iso_a3", str(tmp_path / "world.png"))
     blob = open(out, "rb").read()
     assert blob.startswith(b"\x89PNG\r\n\x1a\n")
-    # IHDR: width = 4 px per country, height 32, 8-bit RGB.
+    # IHDR: the world-raster geometry, 8-bit RGB.
+    from steam_prices_data_engineering_spark.sinks.png import (
+        COUNTRY_BOXES,
+        WORLD_H,
+        WORLD_W,
+    )
+
     w, h, depth, ctype = struct.unpack(">IIBB", blob[16:26])
-    assert h == 32 and depth == 8 and ctype == 2
-    assert w == 4 * df.count()
+    assert (w, h) == (WORLD_W, WORLD_H) and depth == 8 and ctype == 2
     # IDAT inflates to h scanlines of (1 filter byte + 3*w pixel bytes).
     idat_off = blob.index(b"IDAT") + 4
     idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
     raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
     assert len(raw) == h * (1 + 3 * w)
+
+    def pixel(lon, lat):
+        x = int((lon + 180.0) / 360.0 * w)
+        y = int((90.0 - lat) / 180.0 * h)
+        off = y * (1 + 3 * w) + 1 + 3 * x
+        return tuple(raw[off : off + 3])
+
+    ocean = (210, 228, 240)
+    # Mid-Pacific and mid-Atlantic are ocean; covered countries are not.
+    assert pixel(-150, 0) == ocean and pixel(-30, 30) == ocean
+    covered = {r.iso_a3 for r in df.select("iso_a3").collect()}
+    for iso3, (lon0, lon1, lat0, lat1) in COUNTRY_BOXES.items():
+        if iso3 in covered:
+            center = pixel((lon0 + lon1) / 2, (lat0 + lat1) / 2)
+            assert center != ocean, iso3
 
 
 def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
