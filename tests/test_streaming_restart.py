@@ -223,3 +223,43 @@ def test_streaming_listener_reports_progress_metrics(spark, tmp_path):
 
     assert seen["progress"] >= 1
     assert seen["rows"] == n_rows
+
+
+def test_chained_stateful_runs_two_state_operators(spark):
+    """The multi-resolution rollup really chains TWO stateful operators in
+    one query (not a collapsed single agg): the microbatch progress
+    reports two state operators, each having committed state rows."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        events_stream,
+    )
+
+    stream = events_stream(spark, "/root/testdata/sf0.001").withWatermark(
+        "ts", "1 hour"
+    )
+    lvl1 = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("hw"), "event_type"
+    ).agg(F.sum("n").alias("n_events"))
+    sink = f"chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        lvl2.select(F.col("hw.start").alias("hs"), "event_type", "n_events")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    ops = progress["stateOperators"]
+    assert len(ops) == 2, ops
+    # After the final availableNow batch the watermark has evicted all
+    # state (numRowsTotal == 0); the activity signal is rows UPDATED.
+    assert all(op["numRowsUpdated"] > 0 for op in ops), ops
+    assert spark.table(sink).count() > 0
