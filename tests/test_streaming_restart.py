@@ -256,10 +256,15 @@ def test_chained_stateful_runs_two_state_operators(spark):
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
-    ops = progress["stateOperators"]
-    assert len(ops) == 2, ops
-    # After the final availableNow batch the watermark has evicted all
-    # state (numRowsTotal == 0); the activity signal is rows UPDATED.
-    assert all(op["numRowsUpdated"] > 0 for op in ops), ops
+    batches = [p["stateOperators"] for p in q.recentProgress]
+    assert all(len(ops) == 2 for ops in batches), batches
+    # availableNow runs (at least) two microbatches: the first fills the
+    # 10-min level's state, the watermark-advance batch finalizes those
+    # windows into the hour level. Each operator must have updated rows in
+    # SOME batch (the final batch alone shows zeros for whichever side
+    # already drained — state totals end at ~0 once the watermark passes).
+    updated_per_op = [
+        sum(ops[i]["numRowsUpdated"] for ops in batches) for i in (0, 1)
+    ]
+    assert all(u > 0 for u in updated_per_op), batches
     assert spark.table(sink).count() > 0
