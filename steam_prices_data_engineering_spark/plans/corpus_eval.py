@@ -356,12 +356,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_PRIME,
     )
 
-    d = read_table(spark, sf_dir, "documents")
-    hashed = d.select(
+    from ..sources.tables import spread
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    # Stage the token-hash array in its own projection (the interpreted-HOF
+    # rule from shingle_hash_array's docstring — inlining re-derives the
+    # whole array per element_at, O(tokens^2) per doc), and cache before
+    # the explode so Generate reads materialized arrays instead of
+    # re-evaluating the chain per exploded row.
+    tokenized = d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
+    hashed = tokenized.select(
         "doc_id",
-        F.array_distinct(
-            shingle_hash_array(token_hash_array(F.col("text")), 3)
-        ).alias("hs"),
+        F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
     ).cache()
     exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
     sig = exploded.groupBy("doc_id").agg(
