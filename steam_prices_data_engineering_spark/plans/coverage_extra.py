@@ -126,26 +126,33 @@ def neardup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # The hamming test rides IN the join condition: the equi join still
+    # shuffles on (band_idx, band_val), but each matched pair is verified
+    # before it is EMITTED, so the distinct() downstream deduplicates only
+    # true near-dups — not the full candidate set. Matters because 4-bit
+    # bands prune poorly on low-entropy corpora (~9M candidates for 5000
+    # fixture docs, ~74% of all pairs): at scale the distinct-then-verify
+    # order would shuffle the whole candidate set a second time, while
+    # verify-then-distinct shuffles only survivors (here ~9k rows).
+    hamming_ab = F.bit_count(
+        F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+    ).cast("long")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming_ab <= _HAMMING_MAX),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            hamming_ab.alias("hamming"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
-    return (
-        cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-    )
+    return cand
 
 
 # ---------------------------------------------------------------------------
