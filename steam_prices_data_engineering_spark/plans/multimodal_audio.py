@@ -87,10 +87,15 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, widx, rms = [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                payload = np.frombuffer(bytes(content), dtype=np.uint8)
+                # Expand over CODE POINTS of the decoded payload (not raw
+                # UTF-8 bytes) so the SQL replay's unicode(substr(...))
+                # agrees even if a testdata regen introduces non-ASCII.
+                chars = bytes(content).decode("utf-8")
+                payload = np.fromiter(
+                    map(ord, chars), dtype=np.int64, count=len(chars)
+                )
                 smp = (
-                    (payload[idx % len(payload)].astype(np.int64) * 31 + idx * 7)
-                    % 256
+                    (payload[idx % len(payload)] * 31 + idx * 7) % 256
                 ) - 128
                 sq = (smp * smp).reshape(n_windows, _WINDOW)
                 # Integer window sums, then one float divide + sqrt per
