@@ -1,0 +1,103 @@
+"""Shared DuckDB-SQL fragments for the shingle/MinHash oracle family.
+
+Single source of truth for the cross-engine hash arithmetic: the token
+hash, the shingle-hash composition, and the MinHash signature/band
+builders. The Spark twins live in `functions/text.py`
+(token_hash/token_hash_array/shingle_hash_array) and
+`operators/dedup.py` (hashed_shingle_table, minhash signature stages);
+an oracle that inlines its own copy of these formulas WILL drift the
+first time a parameter changes, so every consumer (registry, corpus_eval,
+graph_ops, llm_text, trainset/decontam) must compose from here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+SHINGLE_HASH_PRIME = 2_147_483_647  # 2^31 - 1 (== functions.text)
+
+# DuckDB lambda mirroring functions/text.py:token_hash.
+SQL_TOKEN_HASH = (
+    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 "
+    "+ ascii(right(x, 1)) AS BIGINT)"
+)
+
+
+def sql_token_hashes(text_expr: str = "text") -> str:
+    """list of token hashes for a text column (token_hash_array twin)."""
+    return f"list_transform(string_split({text_expr}, ' '), {SQL_TOKEN_HASH})"
+
+
+def sql_shingle_hashes(th_expr: str = "th") -> str:
+    """3-gram shingle hashes composed from a token-hash list column
+    (shingle_hash_array twin): empty when fewer than 3 tokens."""
+    p = SHINGLE_HASH_PRIME
+    return (
+        f"CASE WHEN len({th_expr}) < 3 THEN [] "
+        f"ELSE list_transform(range(1, len({th_expr}) - 1), "
+        f"i -> ((({th_expr}[i] * 8191 + {th_expr}[i + 1]) % {p}) * 8191 "
+        f"+ {th_expr}[i + 2]) % {p}) END"
+    )
+
+
+def sql_shinglehash_ctes() -> str:
+    """The tokhash -> shinglehash CTE pair over `documents`, ending in
+    (doc_id, hs) with hs = distinct shingle hashes."""
+    return f"""tokhash AS (
+    SELECT doc_id, {sql_token_hashes()} AS th FROM documents
+),
+shinglehash AS (
+    SELECT doc_id, list_distinct({sql_shingle_hashes()}) AS hs FROM tokhash
+)"""
+
+
+def sql_minhash_sig_cols() -> Iterator[str]:
+    """One `... AS s<i>` column per MinHash permutation (NULL when the doc
+    has no shingles)."""
+    from ..operators.dedup import MINHASH_PARAMS, MINHASH_PRIME
+
+    for i, (a, b) in enumerate(MINHASH_PARAMS, start=1):
+        yield (
+            f"CASE WHEN len(hs) = 0 THEN NULL ELSE "
+            f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) END AS s{i}"
+        )
+
+
+def sql_minhash_band_expr() -> str:
+    """band_key expression switching on band_idx (matches the Spark band
+    struct concat in operators/dedup.py)."""
+    from ..operators.dedup import MINHASH_BAND_ROWS, MINHASH_PARAMS
+
+    n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
+    cases = []
+    for bi in range(n_bands):
+        lo = bi * MINHASH_BAND_ROWS + 1
+        parts = " || '_' || ".join(
+            f"CAST(s{j} AS VARCHAR)" for j in range(lo, lo + MINHASH_BAND_ROWS)
+        )
+        cases.append(f"WHEN {bi} THEN {parts}")
+    return "CASE band_idx " + " ".join(cases) + " END"
+
+
+def sql_minhash_band_values() -> str:
+    """VALUES list of band indices for the band cross join."""
+    from ..operators.dedup import MINHASH_BAND_ROWS, MINHASH_PARAMS
+
+    n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
+    return ", ".join(f"({i})" for i in range(n_bands))
+
+
+def sql_minhash_sig_band_ctes() -> str:
+    """tokhash -> shinglehash -> sig -> banded: the full signature+band
+    CTE chain ending in banded(doc_id, band_idx, band_key); `sig` also
+    carries hs for exact-Jaccard verification."""
+    return f"""{sql_shinglehash_ctes()},
+sig AS (
+    SELECT doc_id, hs, {", ".join(sql_minhash_sig_cols())}
+    FROM shinglehash
+),
+banded AS (
+    SELECT doc_id, band_idx, {sql_minhash_band_expr()} AS band_key
+    FROM sig CROSS JOIN (VALUES {sql_minhash_band_values()}) b(band_idx)
+    WHERE s1 IS NOT NULL
+)"""

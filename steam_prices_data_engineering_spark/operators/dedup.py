@@ -177,52 +177,57 @@ def minhash_signature(text_col: F.Column) -> list[F.Column]:
     ]
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-dup: signature -> bands -> band-equality join ->
-    exact Jaccard verify. Fully deterministic (see module docstring).
+def hashed_shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) — CACHED distinct shingle-hash sets per document, the
+    shared first stage of every shingle-family operator (MinHash-LSH, the
+    sketch-error evaluator, the candidate-graph index).
 
-    Scale: the only shuffles are (a) the explode of 4 band rows per doc and
-    (b) the equi-join on (band_idx, band_key) — standard LSH cost model.
-    """
-    # Stage the chain text -> token hashes -> shingle hashes -> 8 signatures
-    # through explicit projections so each step is computed once per doc:
-    # Catalyst's CollapseProject keeps multi-consumer non-cheap expressions
-    # staged instead of inlining, so `hs` is evaluated once, not 8x (the
-    # naive single-projection form re-derives the whole chain per signature
-    # column — measured ~10x slower at sf0.1). Shingle hashes are composed
-    # from token hashes (near-injective; see functions/text.py) — a weak
-    # direct shingle-string hash collapses the space and explodes the LSH
-    # candidate count ~100x.
+    Stages the chain text -> token hashes -> shingle hashes through
+    explicit projections so each step is computed once per doc:
+    Catalyst's CollapseProject keeps multi-consumer non-cheap expressions
+    staged instead of inlining, so `hs` is evaluated once, not 8x (the
+    naive single-projection form re-derives the whole chain per signature
+    column — measured ~10x slower at sf0.1). Shingle hashes are composed
+    from token hashes (near-injective; see functions/text.py) — a weak
+    direct shingle-string hash collapses the space and explodes the LSH
+    candidate count ~100x. Cached on purpose: downstream the signature
+    explode and BOTH sides of any verify join consume this table, and a
+    Generate (explode) over the uncached interpreted chain re-evaluates
+    it per exploded row (~50x; measured 50s -> 3s at sf0.1)."""
     from ..functions.text import shingle_hash_array, token_hash_array
+    from ..sources.tables import spread
 
-    tokenized = docs.select(
+    tokenized = spread(docs).select(
         "doc_id", token_hash_array(F.col("text")).alias("th")
     )
-    # Cached on purpose: the signature explode and BOTH sides of the verify
-    # join consume this table; without persistence the tokenize+shingle
-    # chain re-executes once per consumer (3 full corpus passes). At real
-    # scale this is the standard "persist the signature/sketch table" stage
-    # of an LSH pipeline.
-    hashed = tokenized.select(
+    return tokenized.select(
         "doc_id",
         F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
     ).cache()
-    # Signature minima via explode + groupBy(min), NOT array_min(transform):
-    # Spark higher-order functions evaluate lambdas interpreted (outside
-    # whole-stage codegen) — 8 transform passes over every shingle hash
-    # measured ~20s at sf0.1, vs <1s for the relational form, whose
-    # min-aggregates are codegen'd and map-side combined (shuffle output is
-    # just docs x 8 longs). Docs with <3 tokens have no shingles, vanish in
-    # the explode, and are excluded (mirrored by `WHERE s1 IS NOT NULL` in
-    # the SQL oracle).
+
+
+def minhash_sig_table(hashed: DataFrame) -> DataFrame:
+    """(doc_id, s1..sN) MinHash signatures from a hashed-shingle table.
+
+    Signature minima via explode + groupBy(min), NOT array_min(transform):
+    Spark higher-order functions evaluate lambdas interpreted (outside
+    whole-stage codegen) — 8 transform passes over every shingle hash
+    measured ~20s at sf0.1, vs <1s for the relational form, whose
+    min-aggregates are codegen'd and map-side combined (shuffle output is
+    just docs x 8 longs). Docs with <3 tokens have no shingles, vanish in
+    the explode, and are excluded (mirrored by `WHERE s1 IS NOT NULL` in
+    the SQL oracle)."""
     exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
-    sig = exploded.groupBy("doc_id").agg(
+    return exploded.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.col("h") * a + b, F.lit(MINHASH_PRIME))).alias(f"s{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
         ]
     )
 
+
+def minhash_banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the LSH band explode (4 rows/doc)."""
     n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
     band_cols = []
     for bi in range(n_bands):
@@ -234,18 +239,37 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 F.concat_ws("_", *[p.cast("string") for p in parts]).alias("band_key"),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_key")
 
+
+def minhash_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_id_a < doc_id_b) pairs sharing any band."""
     left = banded.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_key")
     right = banded.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_key")
-    cand = (
+    return (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup: signature -> bands -> band-equality join ->
+    exact Jaccard verify. Fully deterministic (see module docstring).
+
+    Scale: the only shuffles are (a) the explode of 4 band rows per doc and
+    (b) the equi-join on (band_idx, band_key) — standard LSH cost model.
+    Composed from the shared stages above (hashed_shingle_table ->
+    minhash_sig_table -> minhash_banded -> minhash_candidates), which the
+    sketch-error evaluator reuses verbatim so it measures THIS pipeline.
+    """
+    hashed = hashed_shingle_table(docs)
+    sig = minhash_sig_table(hashed)
+    banded = minhash_banded(sig)
+    cand = minhash_candidates(banded)
     # Verification computes exact Jaccard over the HASHED shingle sets
     # (cached above): identical semantics to string shingles up to 2^-31
     # hash collisions, and both engines hash identically so the oracle

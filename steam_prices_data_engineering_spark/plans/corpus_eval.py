@@ -123,7 +123,7 @@ GROUP BY t.source
 
 @register("tokenizer_vocab_coverage", _VOCAB_COVERAGE_SQL)
 def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OOV occurrence rate per source against the top-{_VOCAB_K} vocab.
+    """OOV occurrence rate per source against the top-16 (_VOCAB_K) vocab.
 
     The ranking window runs on the already-aggregated frequency table
     (vocab-sized — a single tiny partition is correct, not a skew bug),
@@ -269,33 +269,10 @@ def boilerplate_strip_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_est_sql() -> str:
-    from ..operators.dedup import (
-        MINHASH_PARAMS,
-        MINHASH_PRIME,
-        MINHASH_BAND_ROWS,
-    )
+    from ..functions.sqlfrag import sql_minhash_sig_band_ctes
+    from ..operators.dedup import MINHASH_PARAMS
 
-    shingle_p = 2_147_483_647
-    token_hash = (
-        "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 "
-        "+ ascii(right(x, 1)) AS BIGINT)"
-    )
-    sig_cols = ", ".join(
-        f"CASE WHEN len(hs) = 0 THEN NULL ELSE "
-        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) END AS s{i}"
-        for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
-    )
     n_sig = len(MINHASH_PARAMS)
-    n_bands = n_sig // MINHASH_BAND_ROWS
-    band_cases = []
-    for bi in range(n_bands):
-        lo = bi * MINHASH_BAND_ROWS + 1
-        parts = " || '_' || ".join(
-            f"CAST(s{j} AS VARCHAR)" for j in range(lo, lo + MINHASH_BAND_ROWS)
-        )
-        band_cases.append(f"WHEN {bi} THEN {parts}")
-    band_expr = "CASE band_idx " + " ".join(band_cases) + " END"
-    band_values = ", ".join(f"({i})" for i in range(n_bands))
     eq_sum = " + ".join(
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(1, n_sig + 1)
     )
@@ -304,25 +281,11 @@ def _minhash_est_sql() -> str:
         "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / "
         "len(list_distinct(list_cat(a.hs, b.hs))) ELSE 0.0 END"
     )
+    # The signature/band chain is the SHARED production fragment
+    # (functions/sqlfrag.py) — the same text the neardup_minhash_lsh
+    # oracle composes, so this evaluator measures exactly that pipeline.
     return f"""
-WITH tokhash AS (
-    SELECT doc_id, list_transform(string_split(text, ' '), {token_hash}) AS th
-    FROM documents
-),
-shinglehash AS (
-    SELECT doc_id,
-           list_distinct(CASE WHEN len(th) < 3 THEN []
-               ELSE list_transform(range(1, len(th) - 1),
-                    i -> (((th[i] * 8191 + th[i + 1]) % {shingle_p}) * 8191 + th[i + 2]) % {shingle_p})
-           END) AS hs
-    FROM tokhash
-),
-sig AS (SELECT doc_id, hs, {sig_cols} FROM shinglehash),
-banded AS (
-    SELECT doc_id, band_idx, {band_expr} AS band_key
-    FROM sig CROSS JOIN (VALUES {band_values}) b(band_idx)
-    WHERE s1 IS NOT NULL
-),
+WITH {sql_minhash_sig_band_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
     FROM banded a
@@ -349,60 +312,23 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate twice: est = mean(sig components equal), exact = shingle-set
     Jaccard. At scale the evaluation join is candidate-bounded (LSH
     output), never all-pairs."""
-    from ..functions.text import shingle_hash_array, token_hash_array
     from ..operators.dedup import (
-        MINHASH_BAND_ROWS,
         MINHASH_PARAMS,
-        MINHASH_PRIME,
+        hashed_shingle_table,
+        minhash_banded,
+        minhash_candidates,
+        minhash_sig_table,
     )
 
-    from ..sources.tables import spread
-
-    d = spread(read_table(spark, sf_dir, "documents"))
-    # Stage the token-hash array in its own projection (the interpreted-HOF
-    # rule from shingle_hash_array's docstring — inlining re-derives the
-    # whole array per element_at, O(tokens^2) per doc), and cache before
-    # the explode so Generate reads materialized arrays instead of
-    # re-evaluating the chain per exploded row.
-    tokenized = d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
-    hashed = tokenized.select(
-        "doc_id",
-        F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
-    ).cache()
-    exploded = hashed.select("doc_id", F.explode("hs").alias("h"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * a + b, F.lit(MINHASH_PRIME))).alias(f"s{i}")
-            for i, (a, b) in enumerate(MINHASH_PARAMS, start=1)
-        ]
-    )
-    sig = sig.join(hashed, "doc_id").cache()
+    d = read_table(spark, sf_dir, "documents")
+    # Composed from the SAME staged pipeline stages neardup_minhash_lsh
+    # runs (operators/dedup.py) — never re-implemented, so this evaluator
+    # measures the production sketch, not a twin that can drift.
+    hashed = hashed_shingle_table(d)
+    sig = minhash_sig_table(hashed).join(hashed, "doc_id").cache()
+    cand = minhash_candidates(minhash_banded(sig))
 
     n_sig = len(MINHASH_PARAMS)
-    n_bands = n_sig // MINHASH_BAND_ROWS
-    band_cols = []
-    for bi in range(n_bands):
-        lo = bi * MINHASH_BAND_ROWS + 1
-        parts = [F.col(f"s{j}") for j in range(lo, lo + MINHASH_BAND_ROWS)]
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.concat_ws("_", *[p.cast("string") for p in parts]).alias(
-                    "band_key"
-                ),
-            )
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
-    left = banded.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_key")
-    right = banded.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_key")
-    cand = (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
 
     a = sig.alias("a")
     b = sig.alias("b")
@@ -490,8 +416,8 @@ GROUP BY e.qid
 
 @register("simsearch_recall_eval", _recall_sql())
 def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@{_RECALL_K} of the sign-random-projection LSH search vs
-    brute-force ground truth for {_N_QUERIES} query vectors.
+    """recall@10 (_RECALL_K) of the sign-random-projection LSH search vs
+    brute-force ground truth for 8 (_N_QUERIES) query vectors.
 
     Both arms broadcast the tiny query panel: the exact arm scans the
     corpus once (panel × corpus scored rows, ranked per query), the LSH

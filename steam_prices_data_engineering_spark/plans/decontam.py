@@ -19,10 +19,12 @@ from .registry import register
 # corpus). Flag = train doc shares >= 1 distinct 3-gram shingle hash.
 _BENCH_MAX_ID = 20
 
-_SQL_TOKEN_HASH = (
-    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+# Canonical fragments: functions/sqlfrag.py (shared with every other
+# shingle-family oracle so the hash formulas cannot drift).
+from ..functions.sqlfrag import (  # noqa: E402
+    SHINGLE_HASH_PRIME as _SHINGLE_P,
+    SQL_TOKEN_HASH as _SQL_TOKEN_HASH,
 )
-_SHINGLE_P = 2_147_483_647
 
 _DECONTAM_SQL = f"""
 WITH th AS (

@@ -15,31 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_hash_array, token_hash_array
 from ..sources.tables import read_table
 from .registry import register
 
 _MIN_SHARED_FPS = 2  # docs sharing >= 2 shingle hashes form an edge
 _MAX_POSTING_DF = 50  # drop shingles appearing in more docs (stop-shingles)
 
+# Shared canonical hash fragments (functions/sqlfrag.py) — the triangle
+# graph must use the SAME shingle space as the LSH candidate graph it
+# analyzes, so the formulas are composed, never inlined.
+from ..functions.sqlfrag import sql_shinglehash_ctes as _sql_shinglehash_ctes  # noqa: E402
+
 _TRIANGLE_SQL = f"""
-WITH th AS (
-    SELECT doc_id,
-           list_transform(string_split(text, ' '),
-               x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31
-                    + ascii(right(x, 1)) AS BIGINT)) AS th
-    FROM documents
-),
-sh AS (
-    SELECT doc_id,
-           list_distinct(CASE WHEN len(th) < 3 THEN []
-               ELSE list_transform(range(1, len(th) - 1),
-                    i -> (((th[i] * 8191 + th[i + 1]) % 2147483647) * 8191
-                          + th[i + 2]) % 2147483647)
-           END) AS hs
-    FROM th
-),
-fps AS (SELECT doc_id, unnest(hs) AS fp FROM sh),
+WITH {_sql_shinglehash_ctes()},
+fps AS (SELECT doc_id, unnest(hs) AS fp FROM shinglehash),
 kept AS (
     SELECT fp FROM fps GROUP BY fp
     HAVING count(*) <= {_MAX_POSTING_DF}
@@ -78,8 +67,8 @@ FROM degree d LEFT JOIN tri_count t ON t.doc_id = d.doc_id
 @register("graph_neardup_triangles", _TRIANGLE_SQL)
 def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document degree + triangle count in the shared-shingle candidate
-    graph (edges: >= {_MIN_SHARED_FPS} shared shingle hashes, posting lists
-    df-capped at {_MAX_POSTING_DF}).
+    graph (edges: >= 2 shared shingle hashes (_MIN_SHARED_FPS), posting
+    lists df-capped at 50 (_MAX_POSTING_DF)).
 
     Scale shape: the inverted index joins on the shingle hash (never
     all-pairs); the df-cap semi join removes stop-shingle posting lists
@@ -89,21 +78,14 @@ def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u<v<w) double join — each edge shuffles by its endpoint keys, the
     textbook distributed triangle count. Per-doc totals are two
     map-side-combined aggregations."""
-    from ..sources.tables import spread
+    from ..operators.dedup import hashed_shingle_table
 
-    d = spread(read_table(spark, sf_dir, "documents"))
-    # Stage the token-hash array BEFORE shingling (interpreted HOF rule —
-    # see shingle_hash_array's docstring: inlining makes every element_at
-    # re-derive the whole array, O(tokens^2) per doc).
-    tokenized = d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
-    # Cache BEFORE the explode: Generate pulls its child expression inline,
-    # so without the materialization barrier the interpreted hash chain
-    # re-evaluates once per EXPLODED row (~50 shingles/doc -> ~50x the
-    # work; measured 50s vs 3s at sf0.1 for this stage alone).
-    hashed = tokenized.select(
-        "doc_id",
-        F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
-    ).cache()
+    d = read_table(spark, sf_dir, "documents")
+    # Shared staged+cached shingle index (operators/dedup.py) — same
+    # shingle space as the LSH pipeline, and the cache barrier before the
+    # explode (Generate over the uncached interpreted chain re-evaluates
+    # it per exploded row; measured 50s vs 3s at sf0.1 for this stage).
+    hashed = hashed_shingle_table(d)
     fps = hashed.select("doc_id", F.explode("hs").alias("fp"))
     kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _MAX_POSTING_DF

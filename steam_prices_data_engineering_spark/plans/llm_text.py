@@ -378,10 +378,12 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_W = 4  # window of 4 consecutive 3-gram hashes => any shared 6-token run is caught
 
-_SQL_TOKEN_HASH_L = (
-    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+# Canonical fragments: functions/sqlfrag.py (shared shingle-family source
+# of truth).
+from ..functions.sqlfrag import (  # noqa: E402
+    SHINGLE_HASH_PRIME as _SHINGLE_P_L,
+    SQL_TOKEN_HASH as _SQL_TOKEN_HASH_L,
 )
-_SHINGLE_P_L = 2_147_483_647
 
 _WINNOW_SQL = f"""
 WITH th AS (

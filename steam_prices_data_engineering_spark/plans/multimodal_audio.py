@@ -36,7 +36,10 @@ _WINDOW = 64  # samples per analysis window -> 4 windows per clip
 
 _AUDIO_RMS_SQL = f"""
 WITH clip AS (
+    -- zero-length payloads decode to NO windows (nothing to sample from);
+    -- mirrored by the empty-guard in the UDF
     SELECT doc_id, text, length(text) AS len FROM documents
+    WHERE length(text) > 0
 ),
 smp AS (
     SELECT doc_id, i,
@@ -60,7 +63,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion for a real codec one-for-one).
 
     Fake decode: sample_i = ((payload[i mod len] * 31 + 7*i) mod 256) - 128
-    for i in [0, {_N_SAMPLES}); RMS over {_WINDOW}-sample windows. All
+    for i in [0, 256) (_N_SAMPLES); RMS over 64-sample (_WINDOW) windows. All
     integer arithmetic until one division + one correctly-rounded IEEE
     sqrt, so the SQL replay matches bit-for-bit."""
     from ..operators.multimodal import with_binary_payload
@@ -90,7 +93,11 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Expand over CODE POINTS of the decoded payload (not raw
                 # UTF-8 bytes) so the SQL replay's unicode(substr(...))
                 # agrees even if a testdata regen introduces non-ASCII.
-                chars = bytes(content).decode("utf-8")
+                chars = "" if content is None else bytes(content).decode("utf-8")
+                if not chars:
+                    # NULL/empty clip: no samples to expand -> no windows
+                    # (matches the oracle's length(text) > 0 guard)
+                    continue
                 payload = np.fromiter(
                     map(ord, chars), dtype=np.int64, count=len(chars)
                 )

@@ -723,8 +723,12 @@ def _sql_shingles(tok_expr: str) -> str:
     )
 
 
-_SQL_TOKEN_HASH = (
-    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 + ascii(right(x, 1)) AS BIGINT)"
+# Canonical cross-engine hash fragments live in functions/sqlfrag.py —
+# every shingle/MinHash oracle composes from there so the formulas cannot
+# drift between the production pipeline and its evaluators.
+from ..functions.sqlfrag import (  # noqa: E402
+    SQL_TOKEN_HASH as _SQL_TOKEN_HASH,
+    sql_minhash_sig_band_ctes as _sql_minhash_sig_band_ctes,
 )
 
 _NEARDUP_JACCARD_SQL = f"""
@@ -753,54 +757,10 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5, band_width=100)
 
 
-def _sql_minhash_sig() -> Iterator[str]:
-    from ..operators.dedup import MINHASH_PARAMS, MINHASH_PRIME
-
-    for i, (a, b) in enumerate(MINHASH_PARAMS, start=1):
-        yield (
-            f"CASE WHEN len(hs) = 0 THEN NULL ELSE "
-            f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME})) END AS s{i}"
-        )
-
-
-def _sql_minhash_bands() -> str:
-    from ..operators.dedup import MINHASH_BAND_ROWS, MINHASH_PARAMS
-
-    n_bands = len(MINHASH_PARAMS) // MINHASH_BAND_ROWS
-    cases = []
-    for bi in range(n_bands):
-        lo = bi * MINHASH_BAND_ROWS + 1
-        parts = " || '_' || ".join(
-            f"CAST(s{j} AS VARCHAR)" for j in range(lo, lo + MINHASH_BAND_ROWS)
-        )
-        cases.append(f"WHEN {bi} THEN {parts}")
-    return "CASE band_idx " + " ".join(cases) + " END"
-
-
 _SHINGLE_HASH_PRIME = 2_147_483_647
 
 _NEARDUP_MINHASH_SQL = f"""
-WITH tokhash AS (
-    SELECT doc_id, list_transform({_SQL_TOKENS}, {_SQL_TOKEN_HASH}) AS th
-    FROM documents
-),
-shinglehash AS (
-    SELECT doc_id,
-           list_distinct(CASE WHEN len(th) < 3 THEN []
-               ELSE list_transform(range(1, len(th) - 1),
-                    i -> (((th[i] * 8191 + th[i + 1]) % {_SHINGLE_HASH_PRIME}) * 8191 + th[i + 2]) % {_SHINGLE_HASH_PRIME})
-           END) AS hs
-    FROM tokhash
-),
-sig AS (
-    SELECT doc_id, {", ".join(_sql_minhash_sig())}
-    FROM shinglehash
-),
-banded AS (
-    SELECT doc_id, band_idx, {_sql_minhash_bands()} AS band_key
-    FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
-    WHERE s1 IS NOT NULL
-),
+WITH {_sql_minhash_sig_band_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
     FROM banded a
