@@ -40,11 +40,12 @@ def sql_shingle_hashes(th_expr: str = "th") -> str:
     )
 
 
-def sql_shinglehash_ctes() -> str:
-    """The tokhash -> shinglehash CTE pair over `documents`, ending in
-    (doc_id, hs) with hs = distinct shingle hashes."""
+def sql_shinglehash_ctes(source: str = "documents") -> str:
+    """The tokhash -> shinglehash CTE pair over `source` (any relation
+    with doc_id + text), ending in (doc_id, hs) with hs = distinct
+    shingle hashes."""
     return f"""tokhash AS (
-    SELECT doc_id, {sql_token_hashes()} AS th FROM documents
+    SELECT doc_id, {sql_token_hashes()} AS th FROM {source}
 ),
 shinglehash AS (
     SELECT doc_id, list_distinct({sql_shingle_hashes()}) AS hs FROM tokhash
@@ -87,11 +88,11 @@ def sql_minhash_band_values() -> str:
     return ", ".join(f"({i})" for i in range(n_bands))
 
 
-def sql_minhash_sig_band_ctes() -> str:
+def sql_minhash_sig_band_ctes(source: str = "documents") -> str:
     """tokhash -> shinglehash -> sig -> banded: the full signature+band
     CTE chain ending in banded(doc_id, band_idx, band_key); `sig` also
     carries hs for exact-Jaccard verification."""
-    return f"""{sql_shinglehash_ctes()},
+    return f"""{sql_shinglehash_ctes(source)},
 sig AS (
     SELECT doc_id, hs, {", ".join(sql_minhash_sig_cols())}
     FROM shinglehash

@@ -43,16 +43,11 @@ FROM reach GROUP BY u
 """
 
 
-@register("dedup_connected_components", _COMPONENTS_SQL)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster near-dup pairs into components by min-label propagation; the
-    component id (= min doc_id in the cluster) is the kept representative.
-    Each iteration is one shuffle join on the edge list; the driver sees
-    only the converged/not-converged count. At 100 TB this is the standard
-    large-graph CC loop (alternating small-star/large-star variants change
-    the constant, not the shape)."""
-    d = read_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(d, threshold=0.5).select("doc_id_a", "doc_id_b")
+def cc_labels(edges: DataFrame) -> DataFrame:
+    """(node, label) — connected components of an undirected edge list
+    (columns doc_id_a, doc_id_b) by min-label propagation. Shared by the
+    CC query and the end-to-end dedup report; see
+    dedup_connected_components for the scale rationale."""
     bidir = (
         edges.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
         .union(edges.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v")))
@@ -98,6 +93,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    return labels
+
+
+@register("dedup_connected_components", _COMPONENTS_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-dup pairs into components by min-label propagation; the
+    component id (= min doc_id in the cluster) is the kept representative.
+    Each iteration is one shuffle join on the edge list; the driver sees
+    only the converged/not-converged count. At 100 TB this is the standard
+    large-graph CC loop (alternating small-star/large-star variants change
+    the constant, not the shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.5).select("doc_id_a", "doc_id_b")
+    labels = cc_labels(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("component")
     )
@@ -350,4 +359,143 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("node").alias("event_type"), dround(F.col("rank"), 6).alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline report: the composition a corpus owner actually
+# runs — exact dedup (content-hash keep-first), then MinHash-LSH near-dup
+# clustering over the exact survivors, one representative per component —
+# reported per source with doc and token attrition. Ties the dedup stack
+# (operators/dedup.py stages + cc_labels) into ONE verified product.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_report_sql() -> str:
+    from ..functions.rounding import dround_sql as R
+    from ..functions.sqlfrag import sql_minhash_sig_band_ctes
+
+    return f"""
+WITH RECURSIVE keepers AS (
+    SELECT doc_id, source, text,
+           string_split(text, ' ') AS toks,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+               AS is_exact_keeper
+    FROM documents
+),
+survivors AS (
+    SELECT doc_id, source, text FROM keepers WHERE is_exact_keeper
+),
+{sql_minhash_sig_band_ctes(source="survivors")},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_id_a, doc_id_b
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.doc_id_a
+    JOIN sig sb ON sb.doc_id = cand.doc_id_b
+    WHERE CASE WHEN len(list_distinct(list_cat(sa.hs, sb.hs))) > 0
+               THEN CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                    / len(list_distinct(list_cat(sa.hs, sb.hs)))
+               ELSE 0.0 END >= 0.5
+),
+bidir AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+    UNION
+    SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+),
+reach(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM bidir)
+    UNION
+    SELECT b.v AS u, r.label FROM reach r JOIN bidir b ON b.u = r.u
+),
+comp AS (SELECT u, min(label) AS component FROM reach GROUP BY u),
+status AS (
+    SELECT k.source,
+           len(k.toks) AS n_toks,
+           CASE WHEN NOT k.is_exact_keeper THEN 'exact_removed'
+                WHEN coalesce(c.component, k.doc_id) <> k.doc_id
+                    THEN 'neardup_removed'
+                ELSE 'survivor' END AS st
+    FROM keepers k LEFT JOIN comp c ON c.u = k.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (st = 'exact_removed') AS BIGINT) AS exact_removed,
+       CAST(count(*) FILTER (st = 'neardup_removed') AS BIGINT) AS neardup_removed,
+       CAST(count(*) FILTER (st = 'survivor') AS BIGINT) AS n_survivors,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       CAST(sum(n_toks) FILTER (st = 'survivor') AS BIGINT) AS tokens_surviving,
+       {R("CAST(count(*) FILTER (st = 'survivor') AS DOUBLE) / count(*)", 6)}
+           AS survive_rate
+FROM status
+GROUP BY source
+"""
+
+
+@register("dedup_pipeline_report", _dedup_report_sql())
+def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition of the full dedup stack: exact content-hash
+    keep-first, then MinHash-LSH + connected components over the exact
+    survivors (component min = representative).
+
+    Scale shape: the exact stage is one window over md5(text) (32-byte
+    partition keys); the near-dup stage is the shared production LSH
+    pipeline on the surviving subset; the CC loop moves only
+    convergence counts to the driver; the report is one tiny groupBy.
+    Every stage is the same code the standalone queries run — this is
+    composition, not re-implementation."""
+    from ..functions.text import token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    keepers = d.select(
+        "doc_id",
+        "source",
+        "text",
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_keeper"),
+    ).persist()
+    survivors = keepers.filter(F.col("is_exact_keeper")).select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(survivors, threshold=0.5).select(
+        "doc_id_a", "doc_id_b"
+    )
+    labels = cc_labels(pairs)
+    status = (
+        keepers.join(labels, keepers.doc_id == labels.node, "left")
+        .select(
+            "source",
+            "n_toks",
+            F.when(~F.col("is_exact_keeper"), F.lit("exact_removed"))
+            .when(
+                F.coalesce(F.col("label"), F.col("doc_id")) != F.col("doc_id"),
+                F.lit("neardup_removed"),
+            )
+            .otherwise(F.lit("survivor"))
+            .alias("st"),
+        )
+    )
+    surviving = F.col("st") == "survivor"
+    return status.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("st") == "exact_removed").cast("int"))
+        .cast("long")
+        .alias("exact_removed"),
+        F.sum((F.col("st") == "neardup_removed").cast("int"))
+        .cast("long")
+        .alias("neardup_removed"),
+        F.sum(surviving.cast("int")).cast("long").alias("n_survivors"),
+        F.sum("n_toks").cast("long").alias("tokens_total"),
+        F.sum(F.when(surviving, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_surviving"),
+        dround(
+            F.sum(surviving.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("survive_rate"),
     )

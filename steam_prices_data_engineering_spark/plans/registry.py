@@ -111,7 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_neardup_triangles",
     "streaming_multires_rollup",
     # deduplication tiers
-    "dedup_exact_by_hash",
+    # end-to-end composition takes exact-by-hash's slot (its first stage IS
+    # the content-hash dedup; by-hash stays under the full local gate)
+    "dedup_pipeline_report",
     "neardup_ngram_jaccard",
     "neardup_minhash_lsh",
     "doc_fingerprint_simhash",

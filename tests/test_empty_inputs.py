@@ -49,6 +49,7 @@ REPRESENTATIVES = [
     "graph_neardup_triangles",
     "trainset_curriculum_shards",
     "streaming_multires_rollup",
+    "dedup_pipeline_report",
 ]
 
 
