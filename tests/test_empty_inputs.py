@@ -50,6 +50,7 @@ REPRESENTATIVES = [
     "trainset_curriculum_shards",
     "streaming_multires_rollup",
     "dedup_pipeline_report",
+    "bpe_train_merges",
 ]
 
 
