@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine
 from ..sources.tables import read_table
 from .registry import register
 

@@ -22,7 +22,7 @@ file:line of `/root/reference`) it re-expresses.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -32,7 +32,6 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import (
     avg_token_length,
     distinct_token_ratio,
-    fingerprint,
     quality_score,
     stopword_ratio,
     token_count,
@@ -42,7 +41,6 @@ from ..operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash,
 )
 from ..operators.deviation import group_vs_global_avg
 from ..operators.similarity import knn_join, topk_cosine
