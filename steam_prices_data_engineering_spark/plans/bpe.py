@@ -54,10 +54,14 @@ p{i} AS (
 ),
 b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
 w{i} AS (
+    -- LEFT JOIN ON TRUE: when no pair exists (degenerate corpus of
+    -- 1-char words) the vocab passes through unchanged, matching the
+    -- Spark loop's early break.
     SELECT word, cnt,
-           replace(seq, ' ' || b{i}.a || ' ' || b{i}.b || ' ',
-                   ' ' || b{i}.a || b{i}.b || ' ') AS seq
-    FROM {prev} CROSS JOIN b{i}
+           CASE WHEN bp.a IS NULL THEN seq
+                ELSE replace(seq, ' ' || bp.a || ' ' || bp.b || ' ',
+                             ' ' || bp.a || bp.b || ' ') END AS seq
+    FROM {prev} LEFT JOIN b{i} bp ON TRUE
 )""")
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS iteration, a AS sym_a, b AS sym_b, a || b AS merged, "
@@ -67,17 +71,12 @@ w{i} AS (
     return f"WITH {','.join(ctes)}\n{unions}"
 
 
-@register("bpe_train_merges", _bpe_sql())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 3 BPE merges over the corpus; one row per merge
-    (iteration, sym_a, sym_b, merged, pair_count).
-
-    The corpus is touched ONCE (word counts); every iteration then
-    aggregates adjacent-pair counts over the cached vocab table and
-    collects a single (a, b, count) row. Merge application is a literal
-    string replace on the delimited symbol sequence — greedy
-    non-overlapping left-to-right in both engines, so e.g. 'aaa' under
-    merge (a,a) becomes [aa, a] identically."""
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Run the training loop; returns (final vocab table with merged
+    `seq` column, learned merges). Shared by the trainer query and the
+    apply/compression query so both operate on the SAME learned merges."""
     d = read_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -95,10 +94,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    out_schema = (
-        "iteration int, sym_a string, sym_b string, merged string, "
-        "pair_count long"
-    )
     merges = []
     for it in range(1, _BPE_ITERS + 1):
         syms = F.split(F.trim(F.col("seq")), " ")
@@ -137,4 +132,87 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
         words.unpersist()
         words = nxt
-    return spark.createDataFrame(merges, out_schema)
+    return words, merges
+
+
+_MERGES_SCHEMA = (
+    "iteration int, sym_a string, sym_b string, merged string, "
+    "pair_count long"
+)
+
+
+@register("bpe_train_merges", _bpe_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the corpus; one row per merge
+    (iteration, sym_a, sym_b, merged, pair_count).
+
+    The corpus is touched ONCE (word counts); every iteration then
+    aggregates adjacent-pair counts over the cached vocab table and
+    collects a single (a, b, count) row. Merge application is a literal
+    string replace on the delimited symbol sequence — greedy
+    non-overlapping left-to-right in both engines, so e.g. 'aaa' under
+    merge (a,a) becomes [aa, a] identically."""
+    _, merges = _learn_merges(spark, sf_dir)
+    return spark.createDataFrame(merges, _MERGES_SCHEMA)
+
+
+def _bpe_apply_sql() -> str:
+    from ..functions.rounding import dround_sql as R
+
+    # Reuse the trainer's unrolled CTE chain (w0..w{iters} carry the vocab
+    # with merges applied), then tokenize the corpus against the final
+    # vocab; strip the trainer's merge-row UNION tail.
+    train = _bpe_sql()
+    train_ctes = train[: train.index("\nSELECT 1 AS iteration")]
+    ratio = R("CAST(sum(v.n_chars) AS DOUBLE) / sum(v.n_syms)", 6)
+    return f"""{train_ctes},
+vocab AS (
+    SELECT word, len(string_split(trim(seq), ' ')) AS n_syms,
+           length(word) AS n_chars
+    FROM w{_BPE_ITERS}
+),
+tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(v.n_syms) AS BIGINT) AS symbols_after,
+       {ratio} AS compression
+FROM tok t JOIN vocab v ON v.word = t.word
+GROUP BY t.lang
+"""
+
+
+@register("bpe_apply_compression", _bpe_apply_sql())
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges back to the corpus: per-language token
+    counts, character totals, post-merge symbol totals, and the
+    chars-per-symbol compression ratio.
+
+    The corpus side joins each token occurrence to the vocab-sized
+    symbol table (broadcast at any corpus size with a bounded vocab) —
+    tokenizing 100 TB against learned merges is exactly this shape: the
+    merges live in a small broadcast dict; the scan stays narrow."""
+    words, _ = _learn_merges(spark, sf_dir)
+    vocab = words.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_syms"),
+        F.length("word").alias("n_chars"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+    from ..functions.rounding import dround
+
+    return (
+        tok.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum("n_syms").cast("long").alias("symbols_after"),
+            dround(
+                F.sum("n_chars").cast("double") / F.sum("n_syms"), 6
+            ).alias("compression"),
+        )
+    )

@@ -51,6 +51,7 @@ REPRESENTATIVES = [
     "streaming_multires_rollup",
     "dedup_pipeline_report",
     "bpe_train_merges",
+    "bpe_apply_compression",
 ]
 
 
