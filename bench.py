@@ -102,6 +102,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # Machine-state disclosure: this VM shows bursty hypervisor steal
+        # that skews wall time up to 2-3x uniformly across queries.
+        # Cross-round comparisons should weigh load_avg before reading a
+        # uniform shift as a code regression (idle round-1 baseline ran
+        # near load 0).
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     # The differ is an auxiliary diagnostic: it must never be able to
     # destroy the run's one contractual stdout JSON line.

@@ -177,7 +177,7 @@ def minhash_signature(text_col: F.Column) -> list[F.Column]:
     ]
 
 
-def hashed_shingle_table(docs: DataFrame) -> DataFrame:
+def hashed_shingle_table(docs: DataFrame, spread_input: bool = False) -> DataFrame:
     """(doc_id, hs) — CACHED distinct shingle-hash sets per document, the
     shared first stage of every shingle-family operator (MinHash-LSH, the
     sketch-error evaluator, the candidate-graph index).
@@ -193,11 +193,18 @@ def hashed_shingle_table(docs: DataFrame) -> DataFrame:
     candidate count ~100x. Cached on purpose: downstream the signature
     explode and BOTH sides of any verify join consume this table, and a
     Generate (explode) over the uncached interpreted chain re-evaluates
-    it per exploded row (~50x; measured 50s -> 3s at sf0.1)."""
+    it per exploded row (~50x; measured 50s -> 3s at sf0.1).
+
+    `spread_input` defaults OFF: the token+shingle hash chain is light
+    (~1s/5000 docs on one core), so the round-robin exchange of full
+    document rows costs more than the parallelism buys at bench scale
+    (measured 1.9s -> 8.1s cold WITH spread at sf0.1). Flip it on for
+    single-split landings where downstream consumers are heavy."""
     from ..functions.text import shingle_hash_array, token_hash_array
     from ..sources.tables import spread
 
-    tokenized = spread(docs).select(
+    base = spread(docs) if spread_input else docs
+    tokenized = base.select(
         "doc_id", token_hash_array(F.col("text")).alias("th")
     )
     return tokenized.select(
