@@ -102,3 +102,16 @@ banded AS (
     FROM sig CROSS JOIN (VALUES {sql_minhash_band_values()}) b(band_idx)
     WHERE s1 IS NOT NULL
 )"""
+
+
+def sql_exact_jaccard(left_hs: str, right_hs: str) -> str:
+    """Exact Jaccard over two distinct-shingle-hash list columns (0.0 for
+    two empty sets). Callers wrap with dround_sql(…, 6) BEFORE any
+    threshold comparison — the Spark twin (operators/dedup.py:_jaccard via
+    minhash_lsh_pairs) rounds before its >= threshold filter, and an
+    unrounded oracle comparison drifts on boundary values."""
+    return (
+        f"CASE WHEN len(list_distinct(list_cat({left_hs}, {right_hs}))) > 0 "
+        f"THEN CAST(len(list_intersect({left_hs}, {right_hs})) AS DOUBLE) / "
+        f"len(list_distinct(list_cat({left_hs}, {right_hs}))) ELSE 0.0 END"
+    )

@@ -30,7 +30,10 @@ from .registry import register
 _BPE_ITERS = 3
 
 
-def _bpe_sql() -> str:
+def _bpe_train_ctes() -> str:
+    """The shared CTE chain wordcnt -> w0 -> (p/b/w)1..{iters}: both the
+    trainer (unions the b_i rows) and the apply query (tokenizes against
+    w{iters}) compose from this — no string surgery between them."""
     ctes = [
         """wordcnt AS (
     SELECT tok AS word, count(*) AS cnt
@@ -63,12 +66,16 @@ w{i} AS (
                              ' ' || bp.a || bp.b || ' ') END AS seq
     FROM {prev} LEFT JOIN b{i} bp ON TRUE
 )""")
+    return ",".join(ctes)
+
+
+def _bpe_sql() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS iteration, a AS sym_a, b AS sym_b, a || b AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, _BPE_ITERS + 1)
     )
-    return f"WITH {','.join(ctes)}\n{unions}"
+    return f"WITH {_bpe_train_ctes()}\n{unions}"
 
 
 def _learn_merges(
@@ -95,6 +102,12 @@ def _learn_merges(
     )
 
     merges = []
+    # Deferred unpersist: each iteration's collect() is the action that
+    # materializes the CURRENT generation's cache; only then is its parent
+    # safe to drop (unpersisting before materialization would force every
+    # generation to rebuild from the corpus scan — the exact repeated pass
+    # this design exists to avoid). Mirrors cc_labels' count-then-unpersist.
+    prev = None
     for it in range(1, _BPE_ITERS + 1):
         syms = F.split(F.trim(F.col("seq")), " ")
         staged = words.select("cnt", syms.alias("s"))
@@ -118,6 +131,11 @@ def _learn_merges(
             .limit(1)
             .collect()
         )
+        # This collect materialized `words`' cache; the grandparent
+        # generation can now go.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:  # degenerate corpus (empty / all 1-char words)
             break
         a, b, c = best[0].a, best[0].b, best[0].c
@@ -130,8 +148,13 @@ def _learn_merges(
                 F.lit(f" {a}{b} "),
             ),
         ).cache()
-        words.unpersist()
+        prev = words
         words = nxt
+    # `prev` (the last superseded generation) stays cached until the final
+    # vocab is materialized by the CALLER's first action — it is the final
+    # table's direct parent, so dropping it here would force a full
+    # rebuild. Both tables are vocab-sized; callers that finish with the
+    # vocab (the trainer) unpersist explicitly.
     return words, merges
 
 
@@ -152,7 +175,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     string replace on the delimited symbol sequence — greedy
     non-overlapping left-to-right in both engines, so e.g. 'aaa' under
     merge (a,a) becomes [aa, a] identically."""
-    _, merges = _learn_merges(spark, sf_dir)
+    words, merges = _learn_merges(spark, sf_dir)
+    words.unpersist()  # trainer only needs the collected merge rows
     return spark.createDataFrame(merges, _MERGES_SCHEMA)
 
 
@@ -161,11 +185,9 @@ def _bpe_apply_sql() -> str:
 
     # Reuse the trainer's unrolled CTE chain (w0..w{iters} carry the vocab
     # with merges applied), then tokenize the corpus against the final
-    # vocab; strip the trainer's merge-row UNION tail.
-    train = _bpe_sql()
-    train_ctes = train[: train.index("\nSELECT 1 AS iteration")]
+    # vocab.
     ratio = R("CAST(sum(v.n_chars) AS DOUBLE) / sum(v.n_syms)", 6)
-    return f"""{train_ctes},
+    return f"""WITH {_bpe_train_ctes()},
 vocab AS (
     SELECT word, len(string_split(trim(seq), ' ')) AS n_syms,
            length(word) AS n_chars

@@ -276,11 +276,9 @@ def _minhash_est_sql() -> str:
     eq_sum = " + ".join(
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(1, n_sig + 1)
     )
-    exact = (
-        "CASE WHEN len(list_distinct(list_cat(a.hs, b.hs))) > 0 THEN "
-        "CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / "
-        "len(list_distinct(list_cat(a.hs, b.hs))) ELSE 0.0 END"
-    )
+    from ..functions.sqlfrag import sql_exact_jaccard
+
+    exact = sql_exact_jaccard("a.hs", "b.hs")
     # The signature/band chain is the SHARED production fragment
     # (functions/sqlfrag.py) — the same text the neardup_minhash_lsh
     # oracle composes, so this evaluator measures exactly that pipeline.

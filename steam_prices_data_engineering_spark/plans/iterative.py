@@ -373,7 +373,10 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_report_sql() -> str:
     from ..functions.rounding import dround_sql as R
-    from ..functions.sqlfrag import sql_minhash_sig_band_ctes
+    from ..functions.sqlfrag import (
+        sql_exact_jaccard,
+        sql_minhash_sig_band_ctes,
+    )
 
     return f"""
 WITH RECURSIVE keepers AS (
@@ -394,14 +397,13 @@ cand AS (
     WHERE a.doc_id < b.doc_id
 ),
 pairs AS (
+    -- shared verify fragment, dround'd BEFORE the threshold like the
+    -- Spark side (minhash_lsh_pairs filters on the rounded score)
     SELECT doc_id_a, doc_id_b
     FROM cand
     JOIN sig sa ON sa.doc_id = cand.doc_id_a
     JOIN sig sb ON sb.doc_id = cand.doc_id_b
-    WHERE CASE WHEN len(list_distinct(list_cat(sa.hs, sb.hs))) > 0
-               THEN CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                    / len(list_distinct(list_cat(sa.hs, sb.hs)))
-               ELSE 0.0 END >= 0.5
+    WHERE {R(sql_exact_jaccard("sa.hs", "sb.hs"), 6)} >= 0.5
 ),
 bidir AS (
     SELECT doc_id_a AS u, doc_id_b AS v FROM pairs

@@ -728,6 +728,7 @@ def _sql_shingles(tok_expr: str) -> str:
 # drift between the production pipeline and its evaluators.
 from ..functions.sqlfrag import (  # noqa: E402
     SQL_TOKEN_HASH as _SQL_TOKEN_HASH,
+    sql_exact_jaccard as _sql_exact_jaccard,
     sql_minhash_sig_band_ctes as _sql_minhash_sig_band_ctes,
 )
 
@@ -769,7 +770,7 @@ cand AS (
 ),
 scored AS (
     SELECT doc_id_a, doc_id_b,
-           {R("CASE WHEN len(list_distinct(list_cat(sa.hs, sb.hs))) > 0 THEN CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(list_distinct(list_cat(sa.hs, sb.hs))) ELSE 0.0 END", 6)} AS jaccard
+           {R(_sql_exact_jaccard("sa.hs", "sb.hs"), 6)} AS jaccard
     FROM cand
     JOIN shinglehash sa ON sa.doc_id = cand.doc_id_a
     JOIN shinglehash sb ON sb.doc_id = cand.doc_id_b

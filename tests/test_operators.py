@@ -224,3 +224,22 @@ def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
                                ["doc_id", "text", "lang", "n_chars"])
     with pytest.raises(ValueError, match="threshold > 0"):
         ngram_jaccard_pairs(df, threshold=0.0)
+
+
+def test_hashed_shingle_table_spread_variant_matches(spark):
+    """The spread_input escape hatch (round-robin exchange before the
+    interpreted hash chain, for heavy-consumer single-split landings)
+    changes only the partitioning — identical shingle sets either way."""
+    from steam_prices_data_engineering_spark.operators.dedup import (
+        hashed_shingle_table,
+    )
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = hashed_shingle_table(d)
+    spreaded = hashed_shingle_table(d, spread_input=True)
+    a = {r.doc_id: sorted(r.hs) for r in plain.collect()}
+    b = {r.doc_id: sorted(r.hs) for r in spreaded.collect()}
+    assert a == b and len(a) > 0
+    plain.unpersist()
+    spreaded.unpersist()

@@ -89,6 +89,8 @@ def test_projection_prunes_scan_columns(spark):
         "simsearch_recall_eval",
         "graph_neardup_triangles",
         "trainset_curriculum_shards",
+        "dedup_pipeline_report",
+        "bpe_apply_compression",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
