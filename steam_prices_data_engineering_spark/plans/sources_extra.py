@@ -183,3 +183,47 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         dround(F.sum("s_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# File-provenance audit via the hidden _metadata columns: per-input-file
+# row counts and key ranges without any extra scan or bookkeeping table.
+# At 100 TB this is the debugging/reconciliation primitive ("which landed
+# file produced these rows, and is any file short?") — Spark exposes it as
+# the `_metadata` struct on every file source; DuckDB's filename=true
+# replays it for the oracle.
+# ---------------------------------------------------------------------------
+
+# The oracle runs against the driver's pre-registered VIEWS (no file
+# paths in scope), so it asserts the documented fixture layout instead:
+# TESTDATA.md pins "one parquet each", i.e. every documents row comes
+# from the single file 'documents.parquet'. The Spark side derives the
+# name dynamically from _metadata — on a multi-file landing it reports
+# one row per file while this oracle would (rightly) fail, flagging the
+# layout-contract change.
+_FILE_AUDIT_SQL = """
+SELECT 'documents.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+"""
+
+
+@register("source_file_audit", _FILE_AUDIT_SQL)
+def source_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file row counts + id ranges from the `_metadata` hidden struct
+    (zero-cost provenance: the values come from the scan's own file
+    handles, no join and no extra read)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("doc_id").cast("long").alias("n_distinct_ids"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
