@@ -210,3 +210,126 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").cast("long").alias("q_max"),
         dround(mse, 9).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet: the one-row "datasheets for datasets" summary a corpus
+# release ships with — volume, composition, duplication, and quality in a
+# single verified artifact. Each facet reuses the canonical definition of
+# its standalone query (10-token chunk dup rate = chunk_dedup_ratio's
+# corpus aggregate; quality = doc_quality_scores' composite; exact-dup
+# rate = content-hash keep-first) so the datasheet can never disagree
+# with the per-doc reports.
+# ---------------------------------------------------------------------------
+
+_DATASHEET_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, text, string_split(text, ' ') AS sp
+    FROM documents
+),
+base AS (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           sum(len(sp)) AS n_tokens,
+           quantile_cont(len(sp), 0.5) AS p50_tokens,
+           avg(0.5 * (CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp))
+               + 0.3 * (1 - CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp))
+               + 0.2 * least(len(sp) / 100.0, 1.0)) AS mean_quality
+    FROM t
+),
+exact AS (
+    SELECT count(*) - count(DISTINCT md5(text)) AS exact_dup_docs FROM t
+),
+chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(sp, s, least(s + 9, len(sp))), ' ')) AS h
+    FROM (SELECT doc_id, sp, unnest(range(1, len(sp) + 1, 10)) AS s FROM t)
+),
+chunkfreq AS (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY h
+),
+chunkdup AS (
+    SELECT CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_chunk_ratio
+    FROM chunks c JOIN chunkfreq f ON f.h = c.h
+)
+SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(base.n_langs AS BIGINT) AS n_langs,
+       CAST(base.n_sources AS BIGINT) AS n_sources,
+       CAST(base.n_tokens AS BIGINT) AS n_tokens,
+       {R('base.p50_tokens', 4)} AS p50_tokens,
+       {R('base.mean_quality', 6)} AS mean_quality,
+       CAST(exact.exact_dup_docs AS BIGINT) AS exact_dup_docs,
+       {R('chunkdup.dup_chunk_ratio', 6)} AS dup_chunk_ratio
+FROM base CROSS JOIN exact CROSS JOIN chunkdup
+"""
+
+
+@register("corpus_datasheet", _DATASHEET_SQL)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus release summary: volume (docs/tokens/p50), composition
+    (langs/sources), duplication (exact-dup docs, cross-doc 10-token chunk
+    ratio), quality (mean composite score).
+
+    Plan shape: the base facet is ONE scan with map-side-combined
+    aggregates; the chunk facet reuses chunk_dedup_ratio's md5-key
+    shuffles; the three 1-row facets cross-join broadcast. At 100 TB the
+    exact-percentile swaps for percentile_approx (see approx_aggregates)
+    without changing the datasheet contract."""
+    from ..functions.text import quality_score, token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        dround(
+            F.expr("percentile(size(split(text, ' ')), 0.5)"), 4
+        ).alias("p50_tokens"),
+        dround(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
+    )
+    exact = d.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.md5(F.col("text").cast("binary")))
+        )
+        .cast("long")
+        .alias("exact_dup_docs")
+    )
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("sp"))
+    chunks = toks.select(
+        "doc_id",
+        "sp",
+        F.explode(F.sequence(F.lit(1), F.size("sp"), F.lit(10))).alias("s"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("sp"),
+                    F.col("s"),
+                    F.least(F.lit(10), F.size("sp") - F.col("s") + F.lit(1)),
+                ),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    freq = (
+        chunks.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    chunkdup = (
+        chunks.join(freq, "h")
+        .agg(
+            dround(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_chunk_ratio")
+        )
+    )
+    return base.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(chunkdup))

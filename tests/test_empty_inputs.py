@@ -81,3 +81,12 @@ def test_dim_backed_pipeline_keeps_dim_rows_on_empty_facts(spark, empty_dir):
     assert len(rows) > 0
     assert all(r.usd_price is None for r in rows)
     assert all(r.steam_value == 0.0 for r in rows)
+
+
+def test_datasheet_reports_empty_corpus_as_one_zero_row(spark, empty_dir):
+    """A datasheet over an empty landing is itself a valid report: one row
+    with zero volume (global aggregates return a row, not nothing) —
+    matching the oracle's no-GROUP-BY semantics."""
+    rows = registry.queries()["corpus_datasheet"](spark, empty_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 0 and rows[0].n_tokens in (0, None)
