@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "doc_unigram_lm_quality",
     "boilerplate_strip_rebuild",
     "simsearch_recall_eval",
+    # round-2 compositions: the heaviest multi-stage pipelines
+    "graph_neardup_triangles",
+    "dedup_pipeline_report",
+    "bpe_train_merges",
 ]
 
 
