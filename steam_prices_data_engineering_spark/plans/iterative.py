@@ -501,3 +501,68 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(surviving.cast("int")).cast("double") / F.count(F.lit(1)), 6
         ).alias("survive_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size distribution: how big are the components the LSH
+# graph collapses into? The histogram a corpus owner reads BEFORE picking
+# a dedup policy — a corpus of pairs (size 2) dedups safely; heavy tails
+# (giant template families) deserve inspection first. Singleton documents
+# (no near-dup pair) are reported as cluster_size = 1.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE edges AS (
+    SELECT doc_id_a, doc_id_b FROM ({_NEARDUP_MINHASH_SQL}) t
+),
+bidir AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM edges
+    UNION
+    SELECT doc_id_b AS u, doc_id_a AS v FROM edges
+),
+reach(u, label) AS (
+    SELECT u, u AS label FROM (SELECT DISTINCT u FROM bidir)
+    UNION
+    SELECT b.v AS u, r.label FROM reach r JOIN bidir b ON b.u = r.u
+),
+comp AS (SELECT u, min(label) AS component FROM reach GROUP BY u),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+),
+sizes AS (
+    SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup component sizes over the whole corpus
+    (singletons included at size 1). Reuses the production LSH pair
+    generator and the shared CC loop; the two final aggregations are
+    component-keyed and size-keyed — both map-side combined."""
+    d = read_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, threshold=0.5).select("doc_id_a", "doc_id_b")
+    labels = cc_labels(edges)
+    labeled = d.select("doc_id").join(
+        labels, d.doc_id == labels.node, "left"
+    ).select(
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
