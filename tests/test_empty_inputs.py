@@ -52,6 +52,7 @@ REPRESENTATIVES = [
     "dedup_pipeline_report",
     "bpe_train_merges",
     "bpe_apply_compression",
+    "dedup_cluster_sizes",
 ]
 
 
