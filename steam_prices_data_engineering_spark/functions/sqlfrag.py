@@ -16,11 +16,18 @@ from collections.abc import Iterator
 
 SHINGLE_HASH_PRIME = 2_147_483_647  # 2^31 - 1 (== functions.text)
 
+def sql_token_hash_scalar(expr: str) -> str:
+    """The token hash as a scalar expression over `expr` (the
+    functions/text.py:token_hash twin for non-lambda contexts — DuckDB
+    cannot invoke a bare lambda outside list_transform/list_filter)."""
+    return (
+        f"CAST(length({expr}) * 961 + ascii(substr({expr}, 1, 1)) * 31 "
+        f"+ ascii(right({expr}, 1)) AS BIGINT)"
+    )
+
+
 # DuckDB lambda mirroring functions/text.py:token_hash.
-SQL_TOKEN_HASH = (
-    "x -> CAST(length(x) * 961 + ascii(substr(x, 1, 1)) * 31 "
-    "+ ascii(right(x, 1)) AS BIGINT)"
-)
+SQL_TOKEN_HASH = f"x -> {sql_token_hash_scalar('x')}"
 
 
 def sql_token_hashes(text_expr: str = "text") -> str:

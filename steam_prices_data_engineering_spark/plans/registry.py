@@ -1221,3 +1221,4 @@ from . import corpus_eval as _corpus_eval  # noqa: E402,F401  (needs llm_text)
 from . import multimodal_audio as _multimodal_audio  # noqa: E402,F401
 from . import graph_ops as _graph_ops  # noqa: E402,F401
 from . import bpe as _bpe  # noqa: E402,F401
+from . import corpus_select as _corpus_select  # noqa: E402,F401

@@ -53,6 +53,12 @@ REPRESENTATIVES = [
     "bpe_train_merges",
     "bpe_apply_compression",
     "dedup_cluster_sizes",
+    # data-selection / sketch tier (plans/corpus_select.py)
+    "dsir_importance_select",
+    "bloom_prefilter_decontam",
+    "weighted_sample_expkeys",
+    "doc_char_entropy",
+    "cms_heavy_hitters",
 ]
 
 

@@ -91,6 +91,11 @@ def test_projection_prunes_scan_columns(spark):
         "trainset_curriculum_shards",
         "dedup_pipeline_report",
         "bpe_apply_compression",
+        "dsir_importance_select",
+        "bloom_prefilter_decontam",
+        "weighted_sample_expkeys",
+        "doc_char_entropy",
+        "cms_heavy_hitters",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
