@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "graph_neardup_triangles",
     "dedup_pipeline_report",
     "bpe_train_merges",
+    # round-2 data-selection tier: token-stream LM scoring, Bloom-bitmap
+    # decontamination, per-char entropy explode, CMS sketch build
+    "dsir_importance_select",
+    "bloom_prefilter_decontam",
+    "doc_char_entropy",
+    "cms_heavy_hitters",
 ]
 
 

@@ -121,14 +121,19 @@ _PRIORITY: tuple[str, ...] = (
     "simsearch_topk_cosine",
     "simsearch_lsh_topk",
     "simsearch_recall_eval",
-    # text analysis
-    "text_stats_by_lang",
+    # text analysis (token-stats + quality families are represented by
+    # lang_id + the unigram-LM gate; text_stats_by_lang/doc_quality_scores
+    # rotate to the full local gate in favor of the round-2 selection tier)
     "lang_id_ngram",
     "doc_unigram_lm_quality",
-    "doc_quality_scores",
-    # trainset ops
+    # data selection + sketch accounting (plans/corpus_select.py)
+    "dsir_importance_select",
+    "cms_heavy_hitters",
+    # trainset ops (bloom_prefilter_decontam subsumes the plain n-gram
+    # decontam slot: its exact_hit column IS that query's semi join,
+    # plus the Bloom no-false-negative accounting)
     "trainset_selection_pipeline",
-    "decontaminate_ngram_overlap",
+    "bloom_prefilter_decontam",
     # multimodal
     "multimodal_bytes",
     "multimodal_audio_windows",

@@ -73,6 +73,10 @@ def test_driver_sample_spans_families():
         "merge_upsert_user_state",      # merge/upsert
         "pandas_udf_grouped_mean",      # Arrow UDF surface
         "skew_salted_join",             # skew handling
+        # round-2 data-selection tier (plans/corpus_select.py)
+        "dsir_importance_select",       # importance resampling
+        "bloom_prefilter_decontam",     # Bloom-prefilter decontamination
+        "cms_heavy_hitters",            # sketch frequency accounting
     }
     missing = must_have - set(first50)
     assert not missing, missing
