@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "bloom_prefilter_decontam",
     "doc_char_entropy",
     "cms_heavy_hitters",
+    # round-2b retrieval + semantic/substring dedup
+    "bm25_search_topk",
+    "semdedup_prune",
+    "substring_dup_spans",
 ]
 
 

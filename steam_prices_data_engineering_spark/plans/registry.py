@@ -110,17 +110,24 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_multires_rollup",
     # deduplication tiers
     # end-to-end composition takes exact-by-hash's slot (its first stage IS
-    # the content-hash dedup; by-hash stays under the full local gate)
+    # the content-hash dedup; by-hash stays under the full local gate).
+    # Round-2b rotation: substring_dup_spans (stride-1 substring dedup,
+    # plans/semantic_dedup.py) takes ngram_jaccard's slot and
+    # semdedup_prune takes brute-force topk's — both displaced queries
+    # were driver-green in r01 and stay under the full local gate.
     "dedup_pipeline_report",
-    "neardup_ngram_jaccard",
+    "substring_dup_spans",
     "neardup_minhash_lsh",
     "doc_fingerprint_simhash",
     "neardup_winnow_fingerprints",
     "dedup_connected_components",
-    # similarity search
-    "simsearch_topk_cosine",
+    "semdedup_prune",
+    # similarity search + lexical retrieval (bm25 takes tumbling-window's
+    # slot — r01-driver-green, and streaming_multires_rollup's first stage
+    # IS a tumbling windowed agg)
     "simsearch_lsh_topk",
     "simsearch_recall_eval",
+    "bm25_search_topk",
     # text analysis (token-stats + quality families are represented by
     # lang_id + the unigram-LM gate; text_stats_by_lang/doc_quality_scores
     # rotate to the full local gate in favor of the round-2 selection tier)
@@ -138,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_bytes",
     "multimodal_audio_windows",
     # streaming
-    "streaming_tumbling_window",
     "streaming_interval_join",
     "streaming_leftouter_interval_join",
     "streaming_dedup_within_watermark",
@@ -1227,3 +1233,5 @@ from . import multimodal_audio as _multimodal_audio  # noqa: E402,F401
 from . import graph_ops as _graph_ops  # noqa: E402,F401
 from . import bpe as _bpe  # noqa: E402,F401
 from . import corpus_select as _corpus_select  # noqa: E402,F401
+from . import retrieval as _retrieval  # noqa: E402,F401
+from . import semantic_dedup as _semantic_dedup  # noqa: E402,F401

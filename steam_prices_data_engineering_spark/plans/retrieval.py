@@ -1,0 +1,151 @@
+"""Lexical ranked retrieval (north-star extension, SURVEY.md §2b): BM25
+top-k search over the documents corpus for a fixed query panel — the
+standard retrieval baseline every RAG / data-curation pipeline starts
+from (Robertson & Zaragoza 2009), and the lexical complement to the
+embedding-space `simsearch_*` family.
+
+The reference has no retrieval surface; this extends §2b the same way
+`tfidf_top_terms` does, but with the real BM25 saturation + length
+normalization (tf-idf's odds-form idf is monotone per term, which is
+enough for a per-document ranking; BM25 SUMS idf-weighted terms per
+(query, doc), so the log must be kept — DuckDB `ln` == Spark `F.log`
+and `dround(.., 6)` absorbs the ULP, per the repo rounding contract).
+
+Scale design (100 TB corpus, bounded query panel):
+- The panel (a handful of (q_id, term) rows) broadcasts onto the token
+  explode, so only panel-term occurrences survive the map side — the
+  shuffle carries (q_id, doc_id, term, dl) for matching tokens only,
+  never the corpus vocabulary.
+- Per-doc length rides the explode as a column (computed once per row
+  before the explode), so no corpus-scale doc-stats join is needed.
+- df and the (N, avgdl) globals are term-panel-sized / single-row
+  aggregates, broadcast back — never a driver collect.
+- The per-query top-k is a rank window over (score DESC, doc_id) →
+  WindowGroupLimit keeps k candidates per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import tokens
+from ..sources.tables import read_table
+from .registry import register
+
+# Fixed query panel over the fixture vocabulary (any real deployment
+# feeds these in as a small table; bounded either way).
+_BM25_PANEL: tuple[tuple[int, str], ...] = (
+    (0, "hash join scan"),
+    (1, "window agg stream batch"),
+    (2, "customer order query value"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP_K = 10
+
+_PANEL_ROWS = [
+    (q_id, term) for q_id, text in _BM25_PANEL for term in dict.fromkeys(text.split())
+]
+
+_PANEL_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _PANEL_ROWS)
+
+_BM25_SQL = f"""
+WITH panel(q_id, term) AS (VALUES {_PANEL_VALUES}),
+gstats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+hits AS (
+    SELECT p.q_id, t.doc_id, t.term, t.dl, count(*) AS tf
+    FROM tok t JOIN panel p USING (term)
+    GROUP BY 1, 2, 3, 4
+),
+df AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM hits GROUP BY 1
+),
+contrib AS (
+    SELECT h.q_id, h.doc_id,
+           ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * h.tf * ({_BM25_K1} + 1)
+             / (h.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * h.dl / g.avgdl)) AS c
+    FROM hits h JOIN df d USING (term) CROSS JOIN gstats g
+),
+scored AS (
+    SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+           {R("sum(c)", 6)} AS score
+    FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+    SELECT q_id, doc_id, n_hit_terms, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(q_id AS INTEGER) AS q_id, doc_id, n_hit_terms, score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+@register("bm25_search_topk", _BM25_SQL)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents per panel query (k1=1.2, b=0.75, idf =
+    ln(1 + (N-df+0.5)/(df+0.5))). Rank ties break on doc_id over the
+    ROUNDED score so both engines rank identically."""
+    d = read_table(spark, sf_dir, "documents")
+    glob = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+    )
+    panel = spark.createDataFrame(_PANEL_ROWS, "q_id int, term string")
+    tok = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    hits = (
+        tok.join(F.broadcast(panel), "term")
+        .groupBy("q_id", "doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        hits.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        hits.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        dround(F.sum("c"), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+        .select("q_id", "doc_id", "n_hit_terms", "score", "rank")
+    )

@@ -59,6 +59,10 @@ REPRESENTATIVES = [
     "weighted_sample_expkeys",
     "doc_char_entropy",
     "cms_heavy_hitters",
+    # retrieval + semantic/substring dedup (plans/retrieval.py, semantic_dedup.py)
+    "bm25_search_topk",
+    "semdedup_prune",
+    "substring_dup_spans",
 ]
 
 

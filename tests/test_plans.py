@@ -96,6 +96,9 @@ def test_projection_prunes_scan_columns(spark):
         "weighted_sample_expkeys",
         "doc_char_entropy",
         "cms_heavy_hitters",
+        "bm25_search_topk",
+        "semdedup_prune",
+        "substring_dup_spans",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -77,6 +77,10 @@ def test_driver_sample_spans_families():
         "dsir_importance_select",       # importance resampling
         "bloom_prefilter_decontam",     # Bloom-prefilter decontamination
         "cms_heavy_hitters",            # sketch frequency accounting
+        # round-2b retrieval + semantic/substring dedup
+        "bm25_search_topk",             # lexical ranked retrieval
+        "semdedup_prune",               # embedding-cluster semantic dedup
+        "substring_dup_spans",          # stride-1 substring dedup spans
     }
     missing = must_have - set(first50)
     assert not missing, missing
