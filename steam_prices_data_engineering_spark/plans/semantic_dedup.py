@@ -119,26 +119,28 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-    asg = (
+    # Assignment + vector + norm in ONE cached table: the pair join reads
+    # it on both sides and the final left join a third time — without the
+    # cache the N x K distance fold and the argmin window re-run per
+    # consumer (measured 3 scans -> 1).
+    asgv = (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster")
-    )
-    av = asg.join(vl, "vec_id").select(
-        F.col("vec_id").alias("a_id"), "cluster", F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    bv = asg.join(vl, "vec_id").select(
-        F.col("vec_id").alias("b_id"), "cluster", F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = av.join(
-        bv, (av.cluster == bv.cluster) & (F.col("a_id") < F.col("b_id"))
+        .join(vl, "vec_id")
+    ).cache()
+    asg = asgv.select("vec_id", "cluster")
+    a = asgv.alias("a")
+    b = asgv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
-        F.col("b_id").alias("vec_id"),
-        dround(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-            "cos"
-        ),
+        F.col("b.vec_id").alias("vec_id"),
+        dround(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cos"),
     )
     mx = pairs.groupBy("vec_id").agg(F.max("cos").alias("max_cos_lower"))
     return asg.join(mx, "vec_id", "left").select(
