@@ -108,25 +108,28 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
     )
     panel = spark.createDataFrame(_PANEL_ROWS, "q_id int, term string")
+    terms = panel.select("term").distinct()
     tok = d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("dl"),
         F.explode(tokens(F.col("text"))).alias("term"),
     )
-    hits = (
-        tok.join(F.broadcast(panel), "term")
-        .groupBy("q_id", "doc_id", "term", "dl")
+    # tf per (doc, term) FIRST, df as a COUNT WINDOW over that same subtree
+    # (each row is a distinct (doc, term), so a plain count per term
+    # partition IS the document frequency) — the tfidf_top_terms pattern:
+    # one corpus scan, not a second aggregate branch re-scanning the
+    # parquet (plan-tested in tests/test_retrieval_dedup.py).
+    tf_dt = (
+        tok.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = (
-        hits.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+        )
     )
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     contrib = (
-        hits.join(F.broadcast(df), "term")
+        tf_dt.join(F.broadcast(panel), "term")
         .crossJoin(F.broadcast(glob))
         .select(
             "q_id",

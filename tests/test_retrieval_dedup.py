@@ -143,11 +143,19 @@ def test_substring_spans_split_on_gap(spark, tmp_path):
     assert spans[1].span_tokens == _SPAN_W
 
 
-def test_bm25_panel_broadcasts(spark):
+def test_bm25_panel_broadcasts_and_scans_corpus_twice_max(spark):
     """The query panel and df/global stats must broadcast — a shuffle
-    there would carry the corpus token stream keyed by term."""
+    there would carry the corpus token stream keyed by term. And df must
+    come from the COUNT WINDOW over the tf subtree, not a second
+    aggregate branch: exactly 2 parquet scans (token path + the (N,
+    avgdl) globals), never 3."""
     df = bm25_search_topk(spark, SF_DIR)
     explained = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in explained
+    # formatted explain prints each node in the tree AND the detail list;
+    # count the "(n) Scan parquet" detail headers = distinct scan nodes
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", explained, re.M)) == 2
