@@ -70,10 +70,11 @@ BENCH_QUERIES = [
     "bloom_prefilter_decontam",
     "doc_char_entropy",
     "cms_heavy_hitters",
-    # round-2b retrieval + semantic/substring dedup
+    # round-2b retrieval + semantic/substring dedup + composed ANN index
     "bm25_search_topk",
     "semdedup_prune",
     "substring_dup_spans",
+    "simsearch_ivf_pq_topk",
 ]
 
 

@@ -134,3 +134,161 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(F.sum("qd"), 6).alias("adc_dist"))
     )
     return adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed production index (Jegou et al. 2011 §V; the FAISS
+# IVFPQ shape). `simsearch_ivf_cells` prunes the search to the query's
+# cell but scores true floats; `simsearch_pq_adc_topk` scores compressed
+# codes but scans every vector. At 10^10+ vectors you need BOTH: route
+# the query to its nprobe nearest cells, then ADC-score only the codes
+# landed in those cells — the scoring path touches nprobe/K of the
+# corpus and never a float vector.
+#
+# Spark shape: cell assignment and PQ codes are the landing-time jobs
+# (both one broadcast join + one partial-agg'd shuffle of scalar
+# partials); the query path is [probe cells: K-row broadcast argsort] ->
+# [semi join codes on cell: partition-pruned at scale] -> [M LUT lookups
+# per candidate] -> TakeOrderedAndProject. Cells use the same cosine
+# coarse quantizer as `simsearch_ivf_cells`; ADC refines by L2 on the
+# same PQ codebook as `simsearch_pq_adc_topk` — each stage swaps for its
+# trained version without changing the plumbing.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_K = 8      # coarse cells (seeds: vec_id < K)
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_COS = (
+    "list_dot_product(e.v, s.sv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv)))"
+)
+
+_IVFPQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < {_IVFPQ_K}),
+assign AS (
+    SELECT e.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVFPQ_COS} DESC, s.seed_id ASC) AS rn
+    FROM e CROSS JOIN seeds s
+),
+cells AS (SELECT vec_id, seed_id AS cell FROM assign WHERE rn = 1),
+probe AS (SELECT seed_id AS cell FROM assign WHERE vec_id = 0 AND rn <= {_IVFPQ_NPROBE}),
+parts AS (
+    SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS sub, (i - 1) % {_PQ_SUBDIM} AS w,
+           CAST(embedding[i] AS DOUBLE) AS val
+    FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+),
+cents AS (
+    SELECT CAST(vec_id - 1 AS INTEGER) AS code, sub, w, val AS cval
+    FROM parts WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+subdist AS (
+    SELECT c.vec_id, c.sub, k.code,
+           sum((c.val - k.cval) * (c.val - k.cval)) AS d
+    FROM parts c JOIN cents k ON k.sub = c.sub AND k.w = c.w
+    WHERE c.vec_id <> 0
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+        FROM subdist
+    ) t WHERE rn = 1
+),
+lut AS (
+    SELECT k.sub, k.code, sum((p.val - k.cval) * (p.val - k.cval)) AS qd
+    FROM parts p JOIN cents k ON k.sub = p.sub AND k.w = p.w
+    WHERE p.vec_id = 0
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT c.vec_id, c.sub, c.code, cl.cell
+    FROM codes c JOIN cells cl ON cl.vec_id = c.vec_id
+    SEMI JOIN probe p ON p.cell = cl.cell
+),
+adc AS (
+    SELECT c.vec_id, any_value(c.cell) AS cell, {R('sum(l.qd)', 6)} AS adc_dist
+    FROM cand c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+    GROUP BY c.vec_id
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, adc_dist FROM adc
+ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
+@register("simsearch_ivf_pq_topk", _IVFPQ_SQL)
+def simsearch_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for vec_id=0: probe the query's nprobe=2 nearest
+    coarse cells, ADC-score only the PQ codes landed there. No float
+    vector is read on the scoring path."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from ..functions.vectors import cosine
+
+    seeds = e.filter(F.col("vec_id") < _IVFPQ_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("seed_cos"), F.asc("seed_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("seed_cos", cosine(F.col("v"), F.col("sv")))
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    cells = assign.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("seed_id").alias("cell")
+    )
+    probe = assign.filter(
+        (F.col("vec_id") == 0) & (F.col("rn") <= _IVFPQ_NPROBE)
+    ).select(F.col("seed_id").alias("cell"))
+
+    parts = e.select("vec_id", F.posexplode("v").alias("dim", "val")).select(
+        "vec_id",
+        F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("sub"),
+        F.pmod(F.col("dim"), F.lit(_PQ_SUBDIM)).alias("w"),
+        "val",
+    )
+    cents = parts.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)
+    ).select(
+        (F.col("vec_id") - 1).cast("int").alias("code"),
+        "sub",
+        "w",
+        F.col("val").alias("cval"),
+    )
+    term = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+    subdist = (
+        parts.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cents), ["sub", "w"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(term).alias("d"))
+    )
+    w_argmin = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        subdist.withColumn("rn", F.row_number().over(w_argmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = (
+        parts.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cents), ["sub", "w"])
+        .groupBy("sub", "code")
+        .agg(F.sum(term).alias("qd"))
+    )
+    cand = codes.join(cells, "vec_id").join(F.broadcast(probe), "cell", "left_semi")
+    adc = (
+        cand.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.first("cell").cast("long").alias("cell"),
+            dround(F.sum("qd"), 6).alias("adc_dist"),
+        )
+    )
+    return adc.select("vec_id", "cell", "adc_dist").orderBy(
+        "adc_dist", "vec_id"
+    ).limit(_PQ_TOPK)

@@ -548,3 +548,114 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
         ).alias("dup_ratio"),
     )
+
+
+# ===========================================================================
+# Right-to-be-forgotten cascade (data governance): given a deletion
+# predicate on the user dimension, purge the user rows AND every fact row
+# reachable through the FK graph (orders -> lineitem; events by user_id),
+# and report the per-table attrition in one pass. The GDPR/CCPA erasure
+# job every production pipeline needs; the reference has no governance
+# surface (SURVEY §2b north star).
+#
+# Scale shape: the deletion keyset is predicate-selected (tiny vs the
+# dimension) and BROADCAST into left-semi/anti probes on each fact scan —
+# no fact-side shuffle at all; the per-table counts are conditional-sum
+# aggregates on the same scans. lineitem is reached through the
+# orders-of-deleted-customers keyset, itself a semi-join output that
+# stays fact-partitioned; AQE broadcasts it when small. Deleting-by-
+# rewrite (anti join -> overwrite) is the table-format MERGE DELETE
+# lowering; this query is its accounting plan.
+# ===========================================================================
+
+_GDPR_PRED = "c_acctbal < -900"
+
+_GDPR_SQL = f"""
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE {_GDPR_PRED}),
+del_orders AS (
+    SELECT o_orderkey FROM orders
+    SEMI JOIN del_cust ON o_custkey = c_custkey
+),
+c AS (
+    SELECT 'customer' AS table_name, count(*) AS rows_before,
+           CAST(sum(CASE WHEN {_GDPR_PRED} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_purged
+    FROM customer
+),
+o AS (
+    SELECT 'orders' AS table_name, count(*) AS rows_before,
+           (SELECT count(*) FROM del_orders) AS rows_purged
+    FROM orders
+),
+l AS (
+    SELECT 'lineitem' AS table_name, count(*) AS rows_before,
+           (SELECT count(*) FROM lineitem
+            SEMI JOIN del_orders ON l_orderkey = o_orderkey) AS rows_purged
+    FROM lineitem
+),
+e AS (
+    SELECT 'events' AS table_name, count(*) AS rows_before,
+           (SELECT count(*) FROM events
+            SEMI JOIN del_cust ON user_id = c_custkey) AS rows_purged
+    FROM events
+)
+SELECT table_name, CAST(rows_before AS BIGINT) AS rows_before,
+       CAST(rows_purged AS BIGINT) AS rows_purged,
+       CAST(rows_before - rows_purged AS BIGINT) AS rows_after
+FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e) t
+"""
+
+
+@register("gdpr_delete_cascade", _GDPR_SQL)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade accounting: customers matching the deletion
+    predicate, their orders, those orders' lineitems, and their events —
+    one (table_name, rows_before, rows_purged, rows_after) row per
+    table. The purge itself is each table anti-joined on the same
+    keysets (the MERGE DELETE lowering); this plan proves the blast
+    radius before the rewrite."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    events = read_table(spark, sf_dir, "events")
+
+    del_cust = cust.filter(_GDPR_PRED).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(del_cust), orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def report(name: str, base: DataFrame, purged: DataFrame) -> DataFrame:
+        n = base.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+        p = purged.agg(F.count(F.lit(1)).cast("long").alias("rows_purged"))
+        return (
+            n.crossJoin(p)
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_purged",
+                (F.col("rows_before") - F.col("rows_purged"))
+                .cast("long")
+                .alias("rows_after"),
+            )
+        )
+
+    rep_c = report("customer", cust, del_cust)
+    rep_o = report("orders", orders, del_orders)
+    rep_l = report(
+        "lineitem",
+        lineitem,
+        lineitem.join(
+            F.broadcast(del_orders),
+            lineitem.l_orderkey == del_orders.o_orderkey,
+            "left_semi",
+        ),
+    )
+    rep_e = report(
+        "events",
+        events,
+        events.join(
+            F.broadcast(del_cust), events.user_id == del_cust.c_custkey, "left_semi"
+        ),
+    )
+    return rep_c.unionByName(rep_o).unionByName(rep_l).unionByName(rep_e)

@@ -141,9 +141,10 @@ _PRIORITY: tuple[str, ...] = (
     # plus the Bloom no-false-negative accounting)
     "trainset_selection_pipeline",
     "bloom_prefilter_decontam",
-    # multimodal
-    "multimodal_bytes",
+    # multimodal (audio subsumes bytes' mapInPandas slot, r01-driver-green)
     "multimodal_audio_windows",
+    # data governance (round-2b family)
+    "gdpr_delete_cascade",
     # streaming
     "streaming_interval_join",
     "streaming_leftouter_interval_join",

@@ -63,6 +63,7 @@ REPRESENTATIVES = [
     "bm25_search_topk",
     "semdedup_prune",
     "substring_dup_spans",
+    "simsearch_ivf_pq_topk",
 ]
 
 
@@ -92,6 +93,16 @@ def test_dim_backed_pipeline_keeps_dim_rows_on_empty_facts(spark, empty_dir):
     assert len(rows) > 0
     assert all(r.usd_price is None for r in rows)
     assert all(r.steam_value == 0.0 for r in rows)
+
+
+def test_gdpr_cascade_reports_four_zero_rows_on_empty(spark, empty_dir):
+    """An erasure audit over empty tables is still a 4-table report —
+    every count zero, rows_after == rows_before (global aggregates
+    return a row, not nothing)."""
+    rows = registry.queries()["gdpr_delete_cascade"](spark, empty_dir).collect()
+    assert len(rows) == 4
+    assert all(r.rows_before == 0 and r.rows_purged == 0 and r.rows_after == 0
+               for r in rows)
 
 
 def test_datasheet_reports_empty_corpus_as_one_zero_row(spark, empty_dir):

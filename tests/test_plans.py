@@ -99,6 +99,8 @@ def test_projection_prunes_scan_columns(spark):
         "bm25_search_topk",
         "semdedup_prune",
         "substring_dup_spans",
+        "simsearch_ivf_pq_topk",
+        "gdpr_delete_cascade",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

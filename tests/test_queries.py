@@ -81,6 +81,7 @@ def test_driver_sample_spans_families():
         "bm25_search_topk",             # lexical ranked retrieval
         "semdedup_prune",               # embedding-cluster semantic dedup
         "substring_dup_spans",          # stride-1 substring dedup spans
+        "gdpr_delete_cascade",          # data-governance erasure cascade
     }
     missing = must_have - set(first50)
     assert not missing, missing
