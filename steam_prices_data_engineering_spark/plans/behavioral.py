@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
 from ..sources.tables import read_table
 from .registry import register
@@ -548,4 +549,90 @@ def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.last(pv, ignorenulls=True).over(w), 4).alias(
             "last_purchase_value"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent pairs (Apriori 2-itemsets, Agrawal & Srikant
+# 1994): which parts co-occur in the same order more often than chance.
+# The downward-closure prefilter IS the scale design: a pair can only be
+# frequent if BOTH items are frequent, so the basket self-join runs on
+# the frequent-item SUBSET of the (order, part) table, never the raw
+# fact. At 100 TB: the item-frequency table is one map-side-combined
+# agg; the frequent-item set broadcasts into semi-join probes on both
+# join sides; the pair self-join shuffles on l_orderkey (baskets are
+# bounded, so per-order pair fan-out is bounded); lift denominators are
+# broadcast joins of the same tiny frequency table.
+# ---------------------------------------------------------------------------
+
+_BASKET_MINSUP = 3  # min co-occurrence count for a reported pair
+
+_BASKET_SQL = f"""
+WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+    SELECT l_partkey, count(*) AS c FROM bp GROUP BY 1
+    HAVING count(*) >= {_BASKET_MINSUP}
+),
+fbp AS (SELECT bp.* FROM bp SEMI JOIN freq USING (l_partkey)),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+    FROM fbp a JOIN fbp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MINSUP}
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM bp)
+SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+       {R("p.support * n.n_orders / (fa.c * fb.c)", 6)} AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
+@register("frequent_itempairs", _BASKET_SQL)
+def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across order baskets with lift, minsup=3.
+    Apriori-pruned: only individually-frequent items enter the basket
+    self-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        bp.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _BASKET_MINSUP)
+    )
+    fbp = bp.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+    a = fbp.alias("a")
+    b = fbp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    n = bp.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            dround(
+                F.col("support") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
     )

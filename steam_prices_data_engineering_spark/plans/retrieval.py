@@ -152,3 +152,96 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOP_K)
         .select("q_id", "doc_id", "n_hit_terms", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+# and the exact-cosine embedding ranking for the same query (Cormack et
+# al. 2009, RRF k=60 — the standard hybrid-search combiner). Lexical
+# side = bm25_search_topk's q_id=0 ranking (REUSED, not re-derived);
+# dense side = cosine to vec_id 0 ranked over the rounded score. The
+# fixture embeds one vector per document with vec_id == doc_id, which is
+# the production contract anyway (the embedding table carries the doc
+# key). Either side missing contributes 0 — a doc found by only one
+# retriever still fuses.
+#
+# Scale: both inputs are top-k tables (k rows each), so the fusion join
+# is trivially broadcast; the dense ranking is the brute-force baseline
+# here and swaps for simsearch_lsh_topk / simsearch_ivf_pq_topk
+# unchanged — rank is rank, whatever produced it.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 10
+
+_HYBRID_SQL = f"""
+WITH bm AS (
+    SELECT doc_id, rank AS bm25_rank FROM ({_BM25_SQL}) WHERE q_id = 0
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           {R("list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))", 6)} AS score
+    FROM e CROSS JOIN q WHERE vec_id <> 0
+),
+dn AS (
+    SELECT vec_id AS doc_id, rn AS cos_rank FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn
+        FROM scored
+    ) t WHERE rn <= {_RRF_TOPN}
+)
+SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+       CAST(bm.bm25_rank AS INTEGER) AS bm25_rank,
+       CAST(dn.cos_rank AS INTEGER) AS cos_rank,
+       {R(f"coalesce(1.0 / ({_RRF_K} + bm.bm25_rank), 0) + coalesce(1.0 / ({_RRF_K} + dn.cos_rank), 0)", 6)} AS rrf_score
+FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+"""
+
+
+@register("hybrid_rrf_fusion", _HYBRID_SQL)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF(k=60) fusion of BM25 q_id=0 top-10 and exact-cosine top-10 to
+    vec_id 0. NULL rank on a side the doc wasn't retrieved by; fused
+    score = sum of reciprocal ranks over the sides present."""
+    from ..functions.rounding import dround as _dr
+    from ..functions.vectors import cosine
+    from ..sources.tables import read_table as _rt
+
+    bm = (
+        bm25_search_topk(spark, sf_dir)
+        .filter(F.col("q_id") == 0)
+        .select("doc_id", F.col("rank").alias("bm25_rank"))
+    )
+    e = _rt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", _dr(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+        )
+    )
+    # top-N FIRST via TakeOrderedAndProject (scale-safe: per-partition
+    # heads merge on the driver), THEN the rank window over the N
+    # survivors only — an unpartitioned row_number over the raw scored
+    # corpus would drag every row to one task.
+    topn = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(_RRF_TOPN)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    dn = topn.withColumn("rn", F.row_number().over(w)).select(
+        F.col("vec_id").alias("doc_id"), F.col("rn").alias("cos_rank")
+    )
+    fused = bm.join(dn, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+        _dr(
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )

@@ -64,6 +64,8 @@ REPRESENTATIVES = [
     "semdedup_prune",
     "substring_dup_spans",
     "simsearch_ivf_pq_topk",
+    "frequent_itempairs",
+    "hybrid_rrf_fusion",
 ]
 
 

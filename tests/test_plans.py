@@ -101,6 +101,8 @@ def test_projection_prunes_scan_columns(spark):
         "substring_dup_spans",
         "simsearch_ivf_pq_topk",
         "gdpr_delete_cascade",
+        "frequent_itempairs",
+        "hybrid_rrf_fusion",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
