@@ -174,6 +174,51 @@ SHOWCASE: list[tuple[str, str]] = [
         "tiny aggregate broadcast back; phase+shard assignment is a pure "
         "map; the cell aggregation shuffles 3 x 8 rows.",
     ),
+    (
+        "bm25_search_topk",
+        "The query panel broadcasts onto the token explode (only "
+        "panel-term hits shuffle); df is a COUNT WINDOW over the tf "
+        "subtree — exactly 2 parquet scans (tokens + (N, avgdl) "
+        "globals), never a third df branch; per-query top-k is a "
+        "WindowGroupLimit.",
+    ),
+    (
+        "substring_dup_spans",
+        "Stride-1 window hashes: the shuffle key is the 16-byte md5, "
+        "never window text; the dup set is one map-side-combined agg "
+        "feeding a left-semi join on the cached hash table; span "
+        "merging is a lag+cumsum window per doc partition.",
+    ),
+    (
+        "semdedup_prune",
+        "Seed centroids broadcast into the assignment cross join; the "
+        "cached assignment table feeds both pair-join sides AND the "
+        "final left join (one distance/argmin pass total); the pair "
+        "stage joins on `cluster` — bounded cells, never corpus x "
+        "corpus.",
+    ),
+    (
+        "simsearch_ivf_pq_topk",
+        "IVF-PQ query path: nprobe cells broadcast into a left-semi "
+        "probe on the PQ code table; ADC is a broadcast M x K LUT join "
+        "+ one partial-agg'd sum of scalars; top-k is "
+        "TakeOrderedAndProject. No float vector on the scoring path.",
+    ),
+    (
+        "gdpr_delete_cascade",
+        "Erasure blast radius: the predicate-selected keyset broadcasts "
+        "into left-semi probes on every fact scan (BroadcastHashJoin "
+        "LeftSemi x3) — no fact-side shuffle; per-table counts are "
+        "1-row aggregates unioned.",
+    ),
+    (
+        "frequent_itempairs",
+        "Apriori downward closure: the frequent-item set broadcasts "
+        "into left-semi probes on BOTH basket self-join sides; the "
+        "pair join shuffles on l_orderkey (bounded baskets); lift "
+        "denominators are broadcast joins of the same tiny frequency "
+        "table.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
