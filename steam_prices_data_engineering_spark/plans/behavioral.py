@@ -636,3 +636,54 @@ def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): the duration-weighted mean of an
+# irregularly-sampled series — each observation holds until the next one,
+# so its weight is that holding time (金融 TWAP / metering integrals).
+# Distinct from the ROWS-frame moving average (per-observation weight)
+# and the EWMA (exponential decay): TWAP is the piecewise-constant
+# integral divided by the covered span. One lead() window per user
+# partition, then one aggregation — two shuffles on the same key, linear
+# at any scale. The last observation of a user has no holding time and
+# contributes only to n_obs (the standard left-continuous convention).
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = f"""
+WITH stepped AS (
+    SELECT user_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_es
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(next_es - es) AS BIGINT) AS span_seconds,
+       {R("sum(value * (next_es - es)) / sum(next_es - es)", 6)} AS twap
+FROM stepped
+WHERE next_es IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("timeseries_twap", _TWAP_SQL)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value`: each observation
+    weighted by its holding time until the next observation (epoch-
+    second resolution, deterministic (ts, event_id) ordering)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        "value",
+        F.col("ts").cast("long").alias("es"),
+        F.lead(F.col("ts").cast("long")).over(w).alias("next_es"),
+    ).filter(F.col("next_es").isNotNull())
+    dt = F.col("next_es") - F.col("es")
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(dt).cast("long").alias("span_seconds"),
+        dround(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+    )

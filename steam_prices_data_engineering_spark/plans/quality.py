@@ -659,3 +659,35 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rep_c.unionByName(rep_o).unionByName(rep_l).unionByName(rep_e)
+
+
+# ===========================================================================
+# k-anonymity audit (privacy, the release-side sibling of the erasure
+# cascade): before publishing a dataset keyed by quasi-identifiers, every
+# QI cell must contain at least k individuals — smaller cells re-identify
+# (Sweeney 2002). One map-side-combined aggregation over the QI columns;
+# the report is cell-level so the fix (generalize / suppress) can target
+# exactly the failing cells. At 100 TB this is a single groupBy on the
+# QI tuple — the cheapest privacy gate there is.
+# ===========================================================================
+
+_KANON_K = 10
+
+_KANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS cell_size,
+       count(*) < {_KANON_K} AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@register("k_anonymity_report", _KANON_SQL)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell sizes over the (nation, market segment) quasi-identifier
+    tuple with the k=10 re-identification flag."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size"),
+        (F.count(F.lit(1)) < _KANON_K).alias("at_risk"),
+    )

@@ -682,3 +682,120 @@ def streaming_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(out, "stream_multires", "append")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Binned interval-overlap join (batch): which users' sessions were
+# CONCURRENT. The naive overlap predicate (a.start < b.end AND b.start <
+# a.end) is a theta join — a broadcast nested loop that dies when both
+# interval sets are corpus-scale. The production rewrite (Databricks
+# range-join binning / genomic interval joins) EXPLODES each interval
+# into the fixed-width time bins it covers, equi-joins on the bin id,
+# verifies the exact overlap as a join residual, and dedups pairs that
+# share several bins. The shuffle key is the bin id; candidate fan-in
+# per bin is bounded by concurrent-session density, never by corpus
+# size. `range_join_price_bands` is the tiny-dim broadcast form; this is
+# the big-big form.
+#
+# Semantics are defined on TRUNCATED epoch seconds (the repo timestamp
+# contract), session = F.session_window(ts, 30 min) per user (same
+# definition as events_session_window, end = last event + gap);
+# verify-before-distinct: the exact overlap predicate rides the join
+# condition so DISTINCT sees only true pairs.
+# ---------------------------------------------------------------------------
+
+_OVL_BIN_S = 3600  # 1-hour bins
+_OVL_GAP = "30 minutes"
+
+_OVERLAP_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, sess_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS est,
+           CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS een
+    FROM sessioned GROUP BY 1, 2
+),
+binned AS (
+    SELECT user_id, sess_id, est, een,
+           unnest(range(est // {_OVL_BIN_S}, een // {_OVL_BIN_S} + 1)) AS bin
+    FROM sess
+),
+pairs AS (
+    SELECT DISTINCT a.user_id AS user_a, a.sess_id AS sess_a,
+           b.user_id AS user_b, b.sess_id AS sess_b,
+           least(a.een, b.een) - greatest(a.est, b.est) AS ovl_s
+    FROM binned a JOIN binned b
+      ON a.bin = b.bin AND a.user_id < b.user_id
+     AND a.est < b.een AND b.est < a.een
+)
+SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(ovl_s) AS BIGINT) AS overlap_seconds
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("interval_overlap_bin_join", _OVERLAP_SQL)
+def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session pairs across users via the binned interval
+    join: per (user_a < user_b), how many of their session pairs
+    overlapped and for how many total seconds."""
+    e = read_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", _OVL_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("est"),
+            F.col("w.end").cast("long").alias("een"),
+        )
+    )
+    binned = sess.select(
+        "user_id",
+        "est",
+        "een",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("est") / _OVL_BIN_S),
+                F.floor(F.col("een") / _OVL_BIN_S),
+            )
+        ).alias("bin"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.est") < F.col("b.een"))
+            & (F.col("b.est") < F.col("a.een")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.est").alias("sa"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.est").alias("sb"),
+            (
+                F.least(F.col("a.een"), F.col("b.een"))
+                - F.greatest(F.col("a.est"), F.col("b.est"))
+            ).alias("ovl_s"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum("ovl_s").cast("long").alias("overlap_seconds"),
+    )

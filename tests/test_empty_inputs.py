@@ -66,6 +66,9 @@ REPRESENTATIVES = [
     "simsearch_ivf_pq_topk",
     "frequent_itempairs",
     "hybrid_rrf_fusion",
+    "interval_overlap_bin_join",
+    "k_anonymity_report",
+    "timeseries_twap",
 ]
 
 

@@ -103,6 +103,9 @@ def test_projection_prunes_scan_columns(spark):
         "gdpr_delete_cascade",
         "frequent_itempairs",
         "hybrid_rrf_fusion",
+        "interval_overlap_bin_join",
+        "k_anonymity_report",
+        "timeseries_twap",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
