@@ -51,10 +51,18 @@ def compaction_plan(files: DataFrame, target_bytes: int) -> DataFrame:
             F.lit(0),
         ),
     )
+    # A file larger than target spans several prefix-sum strides, which
+    # would leave holes in the raw bin numbering ([1, 200] @ target 100
+    # -> raw bins {0, 2}); dense_rank re-enumerates so bin ids are the
+    # executor's job indices 0..n_bins-1. (Global window, but the input
+    # is the metadata-sized inventory — see module docstring.)
     binned = cum.select(
-        F.floor(F.col("cum_before") / F.lit(target_bytes)).alias("bin_id"),
+        F.floor(F.col("cum_before") / F.lit(target_bytes)).alias("raw_bin"),
         "path",
         "size_bytes",
+    ).withColumn(
+        "bin_id",
+        (F.dense_rank().over(Window.orderBy("raw_bin")) - 1).cast("long"),
     )
     wb = Window.partitionBy("bin_id")
     return binned.select(

@@ -96,3 +96,36 @@ def test_inventory_from_metadata_over_fragmented_landing(spark, tmp_path):
     assert len(got) == 17
     # compaction actually compacts: fewer bins than files
     assert len({r.bin_id for r in got}) < 17
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=40),
+    target=st.integers(min_value=100, max_value=2000),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_plan_properties_hold_for_any_inventory(spark, sizes, target):
+    """For ANY inventory and target: every file binned exactly once,
+    bytes preserved, bin ids dense from 0, and the next-fit bound
+    (bin_total - largest member < target for multi-file bins)."""
+    files = spark.createDataFrame(
+        [(f"f{i:04d}", s) for i, s in enumerate(sizes)],
+        "path string, size_bytes long",
+    )
+    rows = compaction_plan(files, target).collect()
+    assert sorted(r.size_bytes for r in rows) == sorted(sizes)
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, []).append(r.size_bytes)
+    assert min(bins) == 0
+    assert set(bins) == set(range(len(bins)))
+    for members in bins.values():
+        if len(members) > 1:
+            assert sum(members) - max(members) < target
