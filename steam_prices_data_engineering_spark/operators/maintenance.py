@@ -17,8 +17,10 @@ of target per bin; FFD's backtracking is inherently sequential).
 Scale note: the inventory is METADATA-sized (one row per file — ~10^5
 rows for a 100 TB table at 1 GB files), so the global-order prefix-sum
 window runs on one task by design; the data itself is never touched.
-The planner's input comes free from any scan via `_metadata.file_name` /
-`_metadata.file_size` (see `plans/sources_extra.py:source_file_audit`).
+The planner's input comes free from any scan via `_metadata.file_path` /
+`_metadata.file_size` (file_path, not the basename-only file_name —
+basenames collide across partition directories and would merge under
+the inventory's distinct()).
 """
 
 from __future__ import annotations

@@ -646,8 +646,12 @@ def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the EWMA (exponential decay): TWAP is the piecewise-constant
 # integral divided by the covered span. One lead() window per user
 # partition, then one aggregation — two shuffles on the same key, linear
-# at any scale. The last observation of a user has no holding time and
-# contributes only to n_obs (the standard left-continuous convention).
+# at any scale. The last observation of a user has no holding time, is
+# dropped before aggregation, and so counts toward nothing: n_obs is the
+# number of HOLDING INTERVALS (events - 1); a single-event user emits no
+# row. A user whose intervals all truncate to 0 epoch-seconds gets a
+# NULL twap — nullif in SQL, because Spark's non-ANSI 0/0 is NULL while
+# DuckDB's IEEE division would yield NaN and break the value hash.
 # ---------------------------------------------------------------------------
 
 _TWAP_SQL = f"""
@@ -661,7 +665,7 @@ WITH stepped AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_obs,
        CAST(sum(next_es - es) AS BIGINT) AS span_seconds,
-       {R("sum(value * (next_es - es)) / sum(next_es - es)", 6)} AS twap
+       {R("sum(value * (next_es - es)) / nullif(sum(next_es - es), 0)", 6)} AS twap
 FROM stepped
 WHERE next_es IS NOT NULL
 GROUP BY user_id
@@ -672,7 +676,9 @@ GROUP BY user_id
 def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of `value`: each observation
     weighted by its holding time until the next observation (epoch-
-    second resolution, deterministic (ts, event_id) ordering)."""
+    second resolution, deterministic (ts, event_id) ordering). n_obs
+    counts holding intervals; all-zero spans yield NULL twap (Spark's
+    non-ANSI x/0 — mirrored by nullif in the oracle)."""
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     stepped = e.select(

@@ -709,7 +709,7 @@ _OVL_GAP = "30 minutes"
 
 _OVERLAP_SQL = f"""
 WITH flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
@@ -718,7 +718,7 @@ WITH flagged AS (
 ),
 sessioned AS (
     SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM flagged
 ),
