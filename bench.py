@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "substring_dup_spans",
     "simsearch_ivf_pq_topk",
+    # round-2 storage-layout / reconciliation / n-gram-LM additions
+    "bucketed_join_no_shuffle",
+    "snapshot_diff_report",
+    "zorder_cell_stats",
+    "doc_bigram_lm_quality",
+    "gopher_quality_rules",
 ]
 
 

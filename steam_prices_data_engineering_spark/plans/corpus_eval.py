@@ -485,3 +485,207 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring with Stupid Backoff (Brants et al. 2007).
+#
+# Score of a bigram occurrence (prev, cur):
+#   S(cur | prev) = C2(prev,cur) / C1(prev)        if the bigram was seen
+#                 = 0.4 * C1(cur) / N              otherwise (backoff)
+# Doc score = mean over bigram OCCURRENCES of -ln S  (nats). This is the
+# n-gram step up from `doc_unigram_lm_quality`: the same corpus-statistic
+# plan shape, but conditioned — it separates word-salad documents (high
+# bigram surprisal, plausible unigrams) from fluent ones, which the
+# unigram gate cannot.
+#
+# Scale: the bigram construction is a NARROW per-document pass (token
+# array -> sliding pairs), not a token-stream self-join — no shuffle to
+# build bigrams. The two LM tables are vocab- and bigram-vocab-sized;
+# real web-scale deployments prune low-count n-grams (KenLM filter) to
+# keep the LM broadcastable, which the broadcast hints here assume.
+# ---------------------------------------------------------------------------
+
+_BACKOFF = 0.4
+_BIGRAM_FLUENT_NATS = 4.0
+
+_BIGRAM_LM_SQL = f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM arr),
+c1 AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT sum(cnt) AS n FROM c1),
+bi AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) < 2 THEN []
+                  ELSE list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1]) END) AS bg
+    FROM arr
+),
+c2 AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY bg),
+scored AS (
+    SELECT bi.doc_id,
+           CASE WHEN c2.cnt IS NOT NULL
+                THEN CAST(c2.cnt AS DOUBLE) / p.cnt
+                ELSE {_BACKOFF} * CAST(w.cnt AS DOUBLE) / total.n
+           END AS s
+    FROM bi
+    LEFT JOIN c2 ON c2.bg = bi.bg
+    JOIN c1 p ON p.tok = split_part(bi.bg, ' ', 1)
+    JOIN c1 w ON w.tok = split_part(bi.bg, ' ', 2)
+    CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {R("avg(-ln(s))", 6)} AS mean_surprisal,
+       (avg(-ln(s)) <= {_BIGRAM_FLUENT_NATS}) AS is_fluent
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("doc_bigram_lm_quality", _BIGRAM_LM_SQL)
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram surprisal per document under a corpus bigram LM with
+    Stupid Backoff (S = C2/C1 if seen, else 0.4 * unigram MLE).
+
+    Plan: one narrow pass builds the per-doc bigram array (staged token
+    projection, cached BEFORE the explode — Generate over the uncached
+    interpreted-HOF chain re-evaluates the transform per exploded row,
+    the O(tokens^2)/doc trap); explode feeds two map-side-combined
+    aggregations (unigram + bigram counts, both vocab-bounded) that
+    broadcast back onto the bigram stream; one final per-doc agg. Every
+    corpus-scale shuffle key is a short string; doc text never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    arr = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t").alias("t"),
+            F.when(
+                F.size("t") < 2, F.array().cast("array<string>")
+            )
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            )
+            .alias("bga"),
+        )
+        .cache()
+    )
+    tok = arr.select("doc_id", F.explode("t").alias("tok"))
+    c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = c1.agg(F.sum("cnt").alias("n"))
+    bi = arr.select("doc_id", F.explode("bga").alias("bg"))
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    prev_c = c1.select(F.col("tok").alias("ptok"), F.col("cnt").alias("pcnt"))
+    cur_c = c1.select(F.col("tok").alias("wtok"), F.col("cnt").alias("wcnt"))
+    s = F.when(
+        F.col("cnt2").isNotNull(),
+        F.col("cnt2").cast("double") / F.col("pcnt"),
+    ).otherwise(F.lit(_BACKOFF) * F.col("wcnt").cast("double") / F.col("n"))
+    return (
+        bi.join(F.broadcast(c2), "bg", "left")
+        .join(
+            F.broadcast(prev_c),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("ptok"),
+        )
+        .join(
+            F.broadcast(cur_c),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("wtok"),
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            dround(F.avg(-F.log(s)), 6).alias("mean_surprisal"),
+            (F.avg(-F.log(s)) <= F.lit(_BIGRAM_FLUENT_NATS)).alias(
+                "is_fluent"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule gate (Rae et al. 2021 §A1.1, restricted to
+# the rules this corpus can exercise): word-count bounds, mean-word-length
+# bounds, repetition via TOP-TOKEN DOMINANCE (fraction of occurrences
+# held by the modal token), and a minimum stopword count. Unlike
+# `doc_quality_scores` (pure per-row expressions), the dominance rule
+# needs per-(doc, token) frequencies — a different plan family:
+# explode -> groupBy(doc_id, tok) -> per-doc reduce. Both shuffles carry
+# compact keys with map-side combine; text never shuffles.
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_TOP_FRAC = 0.12
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_STOPWORDS = ("the", "a")
+
+_GOPHER_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+per AS (
+    SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+),
+feat AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           sum(length(tok) * cnt) / CAST(sum(cnt) AS DOUBLE) AS mwl,
+           max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+           sum(cnt) FILTER (tok IN {repr(_GOPHER_STOPWORDS)}) AS n_stop
+    FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       {R('mwl', 6)} AS mean_word_len,
+       {R('top_frac', 6)} AS top_token_frac,
+       CAST(coalesce(n_stop, 0) AS BIGINT) AS n_stopwords,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND mwl BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+        AND top_frac <= {_GOPHER_MAX_TOP_FRAC}
+        AND coalesce(n_stop, 0) >= {_GOPHER_MIN_STOPWORDS}) AS keep
+FROM feat
+"""
+
+
+@register("gopher_quality_rules", _GOPHER_SQL)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gate: word-count / mean-word-length bounds,
+    modal-token dominance cap, and minimum stopword occurrences, with the
+    composite keep flag.
+
+    Plan: explode(tokens) -> groupBy(doc_id, tok) count (map-side
+    combined) -> one per-doc aggregation deriving every feature from the
+    (tok, cnt) pairs — the modal-token fraction rides the same aggregate
+    as the means, so the corpus is scanned once and only compact keys
+    shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    per = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_words = F.sum("cnt")
+    mwl = F.sum(F.length("tok") * F.col("cnt")) / n_words.cast("double")
+    top_frac = F.max("cnt") / n_words.cast("double")
+    n_stop = F.coalesce(
+        F.sum(F.when(F.col("tok").isin(*_GOPHER_STOPWORDS), F.col("cnt"))),
+        F.lit(0),
+    )
+    keep = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mwl.between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (top_frac <= _GOPHER_MAX_TOP_FRAC)
+        & (n_stop >= _GOPHER_MIN_STOPWORDS)
+    )
+    return per.groupBy("doc_id").agg(
+        n_words.cast("long").alias("n_words"),
+        dround(mwl, 6).alias("mean_word_len"),
+        dround(top_frac, 6).alias("top_token_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.alias("keep"),
+    )

@@ -691,3 +691,97 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cell_size"),
         (F.count(F.lit(1)) < _KANON_K).alias("at_risk"),
     )
+
+
+# ===========================================================================
+# Snapshot diff / table reconciliation: classify every primary key across
+# two table snapshots as added / deleted / changed / unchanged by
+# comparing a row fingerprint, and ship per-class counts + key bounds.
+# The anti-entropy check behind backfill audits, replica reconciliation,
+# and CDC pipeline validation — at 100 TB you never eyeball two
+# snapshots, you full-outer-join their fingerprints on the primary key
+# (one co-partitioned shuffle per side; AQE handles the skew) and reduce
+# to a constant-size report. Generalizes the reference's "is the new
+# landing consistent with the old one" manual check around its
+# list-and-read-latest pattern (world_map_transformer.py:280-288).
+#
+# The two snapshots are derived deterministically from the same fixture:
+#   A = orders minus keys divisible by 89  (so those keys read "added")
+#   B = orders minus keys divisible by 97  (-> "deleted"), with
+#       o_totalprice uplifted 10% on 'P'-status rows (-> "changed").
+# The fingerprint is md5 over the value columns with the price
+# rendered as INTEGER CENTS — a double fed to concat would go through
+# each engine's own float-to-string formatter and drift.
+# ===========================================================================
+
+_SNAPDIFF_SQL = f"""
+WITH a AS (
+    SELECT o_orderkey AS k,
+           md5(concat_ws('|', o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))) AS fp
+    FROM orders WHERE o_orderkey % 89 <> 0
+),
+b AS (
+    SELECT o_orderkey AS k,
+           md5(concat_ws('|', o_orderstatus,
+               CAST(floor((CASE WHEN o_orderstatus = 'P'
+                           THEN o_totalprice * 1.1
+                           ELSE o_totalprice END) * 100 + 0.5) AS BIGINT))) AS fp
+    FROM orders WHERE o_orderkey % 97 <> 0
+),
+j AS (
+    SELECT coalesce(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'deleted'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key
+FROM j GROUP BY change_type
+"""
+
+
+@register("snapshot_diff_report", _SNAPDIFF_SQL)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-based diff of two table snapshots (added / deleted /
+    changed / unchanged), reduced to per-class counts and key bounds.
+
+    Plan: each side projects (key, md5 fingerprint) — 2 narrow scans —
+    then ONE full-outer sort-merge join on the primary key and a 4-group
+    aggregation. Row payloads never shuffle (only key + 32-char hash);
+    at 100 TB both sides hash-partition on the same key so the join is
+    the only exchange, and the report is constant-size."""
+    o = read_table(spark, sf_dir, "orders")
+    def cents(c):
+        return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+    fp_a = F.md5(
+        F.concat_ws("|", F.col("o_orderstatus"), cents(F.col("o_totalprice")))
+    )
+    price_b = F.when(
+        F.col("o_orderstatus") == "P", F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    fp_b = F.md5(F.concat_ws("|", F.col("o_orderstatus"), cents(price_b)))
+    a = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("ka"), fp_a.alias("fpa")
+    )
+    b = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("kb"), fp_b.alias("fpb")
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "deleted")
+        .when(F.col("fpa") != F.col("fpb"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )

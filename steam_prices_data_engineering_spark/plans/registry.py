@@ -90,13 +90,17 @@ _PRIORITY: tuple[str, ...] = (
     "steam_pysource_extract",
     "sink_partitioned_latest_run",
     "csv_source_pruned",
-    # §2a relational operator core
+    # §2a relational operator core (window_max_fill / try_arithmetic_funcs /
+    # anti_join_substring were driver-green in r01 and rotate to the full
+    # local gate; their slots go to the round-2 layout + reconciliation
+    # families below)
     "price_parse_locale",
     "proj_filter_customers",
-    "window_max_fill",
     "top1_recency",
-    "anti_join_substring",
-    "try_arithmetic_funcs",
+    # storage-layout + reconciliation (round-2 scale families)
+    "bucketed_join_no_shuffle",
+    "zorder_cell_stats",
+    "snapshot_diff_report",
     # TPC-H / SQL API surface
     "tpch_q1_pricing_summary",
     "tpch_q5_local_volume",

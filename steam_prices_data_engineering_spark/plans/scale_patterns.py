@@ -799,3 +799,84 @@ def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
         F.sum("ovl_s").cast("long").alias("overlap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the pre-partitioning strategy that removes the
+# shuffle from the one big-big join edge (orders ⋈ lineitem). Both sides
+# are LANDED bucketed+sorted on the join key (`bucketBy(8).sortBy`), so
+# the join plans as a zero-exchange sort-merge over matching buckets —
+# at 100 TB that's the difference between re-shuffling two fact tables
+# per query and reading co-located files. tests/test_plans.py pins the
+# no-Exchange property; this query verifies the VALUES survive the
+# layout round-trip. (tests/test_bucketing.py:16 proved the plan shape
+# first; this registers it under the driver's oracle gate.)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {R('sum(l_quantity)', 2)} AS sum_qty,
+       {R('sum(o_totalprice)', 2)} AS sum_total
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def _rebuild_bucketed(spark: SparkSession, sf_dir: str, name: str,
+                      df: DataFrame, key: str) -> DataFrame:
+    """(Re)land `df` as a bucketed+sorted catalog table and return it.
+
+    The table is EXTERNAL with an explicit repo-local location — the
+    session's default warehouse is cwd-relative and the driver's cwd is
+    not guaranteed writable. The in-memory catalog forgets tables between
+    sessions but the directory persists; clear it first so saveAsTable
+    can't hit LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    loc = f"/root/repo/.scratch/bucketed/{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(loc, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .option("path", loc)
+        .bucketBy(8, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@register("bucketed_join_no_shuffle", _BUCKETED_JOIN_SQL)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land orders and lineitem bucketed on the order key, then join the
+    bucketed tables and aggregate per order status.
+
+    Plan: scan both bucketed tables (8 matching buckets each), zero
+    Exchange below the join (bucketed layout == join distribution), one
+    final 3-group aggregation. The write itself shuffles once per side —
+    paid ONCE at landing time, amortized over every subsequent join."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    bo = _rebuild_bucketed(spark, sf_dir, "q_bucketed_orders", o, "o_orderkey")
+    bl = _rebuild_bucketed(
+        spark, sf_dir, "q_bucketed_lineitem", l, "l_orderkey"
+    )
+    # At oracle SF the orders side fits under the broadcast threshold and
+    # Catalyst would broadcast it, bypassing the layout under test; the
+    # MERGE hint pins the sort-merge path — which is where bucketing
+    # shines: both sides already distributed AND sorted on the key, so
+    # the "sort-merge" join needs neither an exchange nor a sort.
+    return (
+        bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )

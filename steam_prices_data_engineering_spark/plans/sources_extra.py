@@ -227,3 +227,88 @@ def source_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout verification: the Morton clustering key behind
+# multi-column data skipping (functions/zorder.py; the layout trick of
+# Delta OPTIMIZE ZORDER / Iceberg z-curve sort orders), registered so the
+# key ARITHMETIC gets an oracle row, not just a plan test. The query
+# computes zkey(l_partkey, l_suppkey) for every lineitem row and reduces
+# to per-z-bucket stats (bucket = top 12 of 24 key bits == the file-level
+# granularity a range-partitioned write would produce): count + min/max
+# key per bucket exercises the full normalize+interleave pipeline at
+# every row while keeping the result compact. The oracle replays the bit
+# interleave in SQL — both engines run identical IEEE-754 double steps,
+# so the match is exact.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12  # matches functions/zorder.py:BITS
+
+
+def _zorder_sql() -> str:
+    # normalize both columns with the SAME floor(frac*4095+0.5) clamp the
+    # Spark expression uses.
+    def norm(c: str, lo: str, hi: str) -> str:
+        top = (1 << _Z_BITS) - 1
+        return (
+            f"greatest(0, least({top}, CAST(floor("
+            f"(CAST({c} AS DOUBLE) - {lo}) / "
+            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END) "
+            f"* {top} + 0.5) AS BIGINT)))"
+        )
+
+    interleave = (
+        f"list_sum(list_transform(range(0, {_Z_BITS}), i -> "
+        f"((na // CAST(pow(2.0, i) AS BIGINT)) % 2) "
+        f"* CAST(pow(2.0, 2 * i + 1) AS BIGINT) "
+        f"+ ((nb // CAST(pow(2.0, i) AS BIGINT)) % 2) "
+        f"* CAST(pow(2.0, 2 * i) AS BIGINT)))"
+    )
+    return f"""
+WITH mm AS (
+    SELECT CAST(min(l_partkey) AS DOUBLE) AS lo_a,
+           CAST(max(l_partkey) AS DOUBLE) AS hi_a,
+           CAST(min(l_suppkey) AS DOUBLE) AS lo_b,
+           CAST(max(l_suppkey) AS DOUBLE) AS hi_b
+    FROM lineitem
+),
+norm AS (
+    SELECT {norm('l_partkey', 'lo_a', 'hi_a')} AS na,
+           {norm('l_suppkey', 'lo_b', 'hi_b')} AS nb
+    FROM lineitem CROSS JOIN mm
+),
+zk AS (SELECT CAST({interleave} AS BIGINT) AS zkey FROM norm)
+SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zkey) AS BIGINT) AS min_zkey,
+       CAST(max(zkey) AS BIGINT) AS max_zkey
+FROM zk GROUP BY 1
+"""
+
+
+@register("zorder_cell_stats", _zorder_sql())
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key of (l_partkey, l_suppkey) per lineitem row, reduced
+    to per-z-bucket occupancy stats.
+
+    Plan: one scalar min/max aggregate broadcast back (no window rank —
+    a global rank would funnel 100 TB through one task), then a narrow
+    per-row key computation and a single groupBy on the 12-bit bucket.
+    The write-side pattern (`repartitionByRange(zkey)` + sortWithin)
+    is pinned by tests/test_sinks.py:test_zorder_write_prunes_on_both_columns;
+    this query oracle-verifies the key arithmetic itself."""
+    from ..functions.zorder import with_zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    zk = with_zorder_key(li, "l_partkey", "l_suppkey")
+    return (
+        zk.groupBy(F.floor(F.col("zkey") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("zkey").cast("long").alias("min_zkey"),
+            F.max("zkey").cast("long").alias("max_zkey"),
+        )
+    )

@@ -106,6 +106,10 @@ def test_projection_prunes_scan_columns(spark):
         "interval_overlap_bin_join",
         "k_anonymity_report",
         "timeseries_twap",
+        "doc_bigram_lm_quality",
+        "gopher_quality_rules",
+        "snapshot_diff_report",
+        "zorder_cell_stats",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -569,3 +573,41 @@ def test_audio_windows_is_narrow_map(spark):
     tree = _plan(spark, "multimodal_audio_windows").split("\n\n")[0]
     assert "MapInPandas" in tree, tree
     assert "Exchange" not in tree, tree
+
+
+def test_bucketed_join_no_exchange_below_join(spark):
+    """The registered bucketed-join query plans a SortMergeJoin with ZERO
+    shuffle exchanges below it — both sides read bucket-co-located files;
+    the only Exchange in the whole plan is the final aggregation's."""
+    import re
+
+    tree = _plan(spark, "bucketed_join_no_shuffle").split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    join_sub = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in join_sub, join_sub
+    full = _plan(spark, "bucketed_join_no_shuffle")
+    # exactly one shuffle exchange in the detail list (the final groupBy)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", full, re.M))
+    assert n_exchange == 1, full
+
+
+def test_snapshot_diff_single_join_exchange(spark):
+    """Snapshot reconciliation: one SortMergeJoin FullOuter on the key;
+    only key+fingerprint columns are read/shuffled (row payloads pruned
+    at the scan)."""
+    plan = _plan(spark, "snapshot_diff_report")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin FullOuter" in tree, tree
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema
+    for line in read_schema:
+        assert "o_orderdate" not in line and "o_comment" not in line, line
+
+
+def test_zorder_cell_stats_no_window(spark):
+    """The z-key normalization uses two scalar aggregates broadcast back,
+    NOT a rank window — a global window would funnel the table through
+    one task at scale."""
+    tree = _plan(spark, "zorder_cell_stats").split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree

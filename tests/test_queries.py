@@ -82,6 +82,10 @@ def test_driver_sample_spans_families():
         "semdedup_prune",               # embedding-cluster semantic dedup
         "substring_dup_spans",          # stride-1 substring dedup spans
         "gdpr_delete_cascade",          # data-governance erasure cascade
+        # round-2 storage-layout + reconciliation families
+        "bucketed_join_no_shuffle",     # bucketed co-located join (no shuffle)
+        "zorder_cell_stats",            # z-order clustering key arithmetic
+        "snapshot_diff_report",         # fingerprint table reconciliation
     }
     missing = must_have - set(first50)
     assert not missing, missing
