@@ -44,21 +44,18 @@ def _normalize(c: Column, lo: Column, hi: Column, bits: int) -> Column:
 def _interleave(a: Column, b: Column, bits: int) -> Column:
     """Morton-interleave two bits-wide ints: a's bit i -> 2i+1, b's -> 2i.
 
-    Shifts are spelled as power-of-two arithmetic because the shift amount
-    varies per sequence element (pyspark's shiftleft/shiftright take only
-    Python-int amounts); 2^e through double pow is exact far beyond the
-    2*bits range used here."""
-
-    def p2(e: Column) -> Column:
-        return F.pow(F.lit(2.0), e.cast("double")).cast("long")
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (F.floor(a / p2(i)).cast("long") % 2) * p2(2 * i + 1)
-        + (F.floor(b / p2(i)).cast("long") % 2) * p2(2 * i),
-    )
+    `bits` is a Python constant, so the interleave UNROLLS to 2*bits
+    shift/mask/add terms — all whole-stage-codegen'd JVM expressions. The
+    previous `F.aggregate(sequence(...))` form computed the same value
+    but ran INTERPRETED per row (Spark higher-order functions don't
+    codegen) and re-evaluated pow() per sequence element — measured 10.5s
+    -> sub-second for the zkey of 600k rows at sf0.1."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        acc = acc + bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i))
+    return acc
 
 
 def with_zorder_key(

@@ -194,3 +194,51 @@ def test_chunk_dedup_ignores_within_doc_repeats(spark, tmp_path):
     assert got[1].dup_chunks == 0, got[1]           # within-doc repeat ignored
     assert got[2].dup_chunks == 1                    # its one chunk is shared
     assert got[3].dup_chunks >= 1                    # the shared prefix chunk
+
+
+def test_single_token_docs_have_no_bigrams(spark, tmp_path):
+    """A one-token document produces zero bigrams and is ABSENT from the
+    bigram-LM result (contract: the gate scores bigram occurrences; docs
+    without any are unscorable, not zero-surprisal). Multi-token docs in
+    the same corpus still score."""
+    from steam_prices_data_engineering_spark.sources.tables import TABLE_SCHEMAS
+
+    d = tmp_path / "sf"
+    rows = [
+        (1, "hello", "en", "web", 5),
+        (2, "hello world hello world", "en", "web", 23),
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = registry.queries()["doc_bigram_lm_quality"](spark, str(d)).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert out[0].n_bigrams == 3
+
+
+def test_identical_corpus_gopher_flags_dominance(spark, degenerate_dir):
+    """An all-identical corpus ('same text every time'): every doc has 4
+    words — below the 50-word floor — and 0.25 modal-token dominance,
+    so the keep flag is False everywhere (defined, not NaN)."""
+    out = registry.queries()["gopher_quality_rules"](
+        spark, degenerate_dir
+    ).collect()
+    assert out and all(not r.keep for r in out)
+    assert all(r.n_words == 4 and abs(r.top_token_frac - 0.25) < 1e-9 for r in out)
+
+
+def test_snapshot_diff_identical_snapshots_all_unchanged(spark, tmp_path):
+    """When the drift filters don't fire (no keys divisible by 89/97 and
+    no 'P'-status rows), every key classifies as unchanged."""
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    src = read_table(spark, SF, "orders").filter(
+        (F.col("o_orderkey") % 89 != 0)
+        & (F.col("o_orderkey") % 97 != 0)
+        & (F.col("o_orderstatus") != "P")
+    )
+    d = tmp_path / "sf"
+    src.write.parquet(str(d / "orders.parquet"))
+    out = registry.queries()["snapshot_diff_report"](spark, str(d)).collect()
+    assert len(out) == 1 and out[0].change_type == "unchanged"
+    assert out[0].n_keys == src.count()

@@ -69,6 +69,12 @@ REPRESENTATIVES = [
     "interval_overlap_bin_join",
     "k_anonymity_report",
     "timeseries_twap",
+    # storage-layout / reconciliation / n-gram-LM families
+    "bucketed_join_no_shuffle",
+    "zorder_cell_stats",
+    "snapshot_diff_report",
+    "doc_bigram_lm_quality",
+    "gopher_quality_rules",
 ]
 
 
