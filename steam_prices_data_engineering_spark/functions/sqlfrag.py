@@ -122,3 +122,18 @@ def sql_exact_jaccard(left_hs: str, right_hs: str) -> str:
         f"THEN CAST(len(list_intersect({left_hs}, {right_hs})) AS DOUBLE) / "
         f"len(list_distinct(list_cat({left_hs}, {right_hs}))) ELSE 0.0 END"
     )
+
+
+def sql_md5_hex6_to_int(expr: str) -> str:
+    """First 6 lowercase-hex chars of md5(expr) parsed to an integer in
+    [0, 16^6) — the cross-engine uniform-hash primitive (DuckDB has no
+    strtol; Spark's twin is functions/text.py:md5_hex6_to_int via conv).
+    Both engines emit identical lowercase-hex md5, so the digit-sum here
+    equals Spark's conv(substr(md5, 1, 6), 16, 10) exactly."""
+    return (
+        f"list_sum(list_transform(range(1, 7), i -> "
+        f"(CASE WHEN ascii(substr(md5({expr}), i, 1)) <= 57 "
+        f"THEN ascii(substr(md5({expr}), i, 1)) - 48 "
+        f"ELSE ascii(substr(md5({expr}), i, 1)) - 87 END) "
+        f"* CAST(pow(16.0, 6 - i) AS BIGINT)))"
+    )

@@ -139,3 +139,11 @@ def quality_score(text: Column) -> Column:
     stop = stopword_ratio(text)
     length_term = F.least(n / F.lit(100.0), F.lit(1.0))
     return F.lit(0.5) * diversity + F.lit(0.3) * (1 - stop) + F.lit(0.2) * length_term
+
+
+def md5_hex6_to_int(c: Column) -> Column:
+    """First 6 hex chars of md5(c) as an integer in [0, 16^6): the
+    cross-engine uniform-hash primitive (SQL twin:
+    sqlfrag.sql_md5_hex6_to_int — DuckDB has no hex-parse builtin, so the
+    oracle digit-sums the same 6 chars)."""
+    return F.conv(F.substring(F.md5(c), 1, 6), 16, 10).cast("long")

@@ -693,3 +693,157 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dt).cast("long").alias("span_seconds"),
         dround(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase is attributed to the user's most
+# recent click no more than 30 minutes earlier. The scale-correct form is
+# ONE window pass over the interleaved click+purchase stream — running
+# max(click ts) partitioned by user — never a purchases x clicks
+# time-range join (which at 100 TB is a fact-fact interval join with
+# quadratic per-user blowup on bot accounts). Ordering is (ts, type):
+# 'click' < 'purchase' lexicographically, so a click at exactly the
+# purchase timestamp IS attributable, matching the c_ts <= p_ts contract;
+# both engines use the same ROWS frame so peer order can't drift the max.
+# BOTH engines compare the 30-minute window on floored epoch SECONDS
+# (Spark's cast-to-long truncates micros; an exact-interval oracle would
+# flip boundary rows whose sub-second parts straddle the cutoff).
+# ---------------------------------------------------------------------------
+
+_ATTRIB_WINDOW_MIN = 30
+
+_ATTRIB_SQL = f"""
+WITH stream AS (
+    SELECT user_id, ts, event_type, value,
+           max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+p AS (
+    SELECT user_id, value,
+           (last_click_ts IS NOT NULL AND
+            floor(epoch(ts)) - floor(epoch(last_click_ts))
+                <= {_ATTRIB_WINDOW_MIN} * 60)
+               AS attributed
+    FROM stream WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(*) FILTER (attributed) AS BIGINT) AS n_attributed,
+       {R('coalesce(sum(value) FILTER (attributed), 0.0)', 4)} AS attributed_value
+FROM p GROUP BY user_id
+"""
+
+
+@register("attribution_last_touch", _ATTRIB_SQL)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution within a 30-minute click window:
+    per user, how many purchases had a qualifying preceding click and how
+    much value they carried.
+
+    Plan: filter to the two event types (pushed to the scan), ONE window
+    shuffle on user_id for the running last-click timestamp, then a
+    per-user aggregation that reuses the same partitioning — no
+    interval self-join, no second shuffle under AQE."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stream = e.withColumn(
+        "last_click_ts",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w),
+    )
+    p = stream.filter(F.col("event_type") == "purchase").withColumn(
+        "attributed",
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+            <= _ATTRIB_WINDOW_MIN * 60
+        ),
+    )
+    attr_val = F.sum(F.when(F.col("attributed"), F.col("value")))
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count(F.when(F.col("attributed"), F.lit(1)))
+        .cast("long")
+        .alias("n_attributed"),
+        dround(F.coalesce(attr_val, F.lit(0.0)), 4).alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: the canonical time-series downsample (open/high/low/close
+# per 15-minute bar per event type). Open/close are the value at the
+# lexicographic (ts, value) min/max — deterministic under same-timestamp
+# ties, and expressible in BOTH engines without a per-bar sort: Spark
+# takes min/max of a (ts, value) struct inside the one grouped aggregate;
+# the oracle ranks within the bar. At scale this is a single
+# map-side-combinable aggregation — no window over the fact stream.
+# ---------------------------------------------------------------------------
+
+_OHLC_BAR_S = 900
+
+_OHLC_SQL = f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / {_OHLC_BAR_S}) AS BIGINT) * {_OHLC_BAR_S}
+               AS bar_start,
+           ts, value,
+           row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / {_OHLC_BAR_S}) AS BIGINT)
+               ORDER BY ts ASC, value ASC) AS rn_open,
+           row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / {_OHLC_BAR_S}) AS BIGINT)
+               ORDER BY ts DESC, value DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, bar_start,
+       {R('max(CASE WHEN rn_open = 1 THEN value END)', 4)} AS open,
+       {R('max(value)', 4)} AS high,
+       {R('min(value)', 4)} AS low,
+       {R('max(CASE WHEN rn_close = 1 THEN value END)', 4)} AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY event_type, bar_start
+"""
+
+
+@register("ohlc_bars", _OHLC_SQL)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC bars per event type.
+
+    Plan: one groupBy((type, bar)) with partial aggregation — open/close
+    ride the same aggregate as high/low via struct-ordered min/max
+    ((ts, value) lexicographic), so there is no per-bar ranking window
+    over the event stream and the shuffle carries one row per (type,
+    bar, map partition)."""
+    e = read_table(spark, sf_dir, "events")
+    bar = (
+        F.floor(F.col("ts").cast("long") / _OHLC_BAR_S).cast("long")
+        * _OHLC_BAR_S
+    )
+    return (
+        e.select(
+            "event_type",
+            bar.alias("bar_start"),
+            F.struct(F.col("ts"), F.col("value")).alias("tv"),
+            "value",
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            dround(F.min("tv").getField("value"), 4).alias("open"),
+            dround(F.max("value"), 4).alias("high"),
+            dround(F.min("value"), 4).alias("low"),
+            dround(F.max("tv").getField("value"), 4).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

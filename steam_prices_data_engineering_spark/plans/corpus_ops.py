@@ -156,15 +156,40 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # higher-order pass runs once per row (HOFs are interpreted, SPARK-36718).
 # ---------------------------------------------------------------------------
 
-_QUANT_SQL = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _sql_int8_ctes() -> str:
+    """The v -> amax -> scale -> quantized-codes CTE chain over
+    `embeddings`, ending in q(vec_id, v, amax, sc, q). Single source of
+    the int8 arithmetic for every oracle that scores quantized vectors
+    (embedding_quantize_int8, simsearch_int8_rerank) — an inlined copy
+    WOULD drift the first time the scale guard changes."""
+    return """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
 s AS (SELECT vec_id, v, amax,
              CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS sc
       FROM a),
 q AS (SELECT vec_id, v, amax, sc,
              list_transform(v, x -> floor(x / sc + 0.5)) AS q
-      FROM s)
+      FROM s)"""
+
+
+def _int8_quant_table(e: DataFrame) -> DataFrame:
+    """Spark twin of `_sql_int8_ctes`: (vec_id, v, amax, sc, q) with the
+    same zero-vector scale guard and floor(x/sc + 0.5) code rounding."""
+    st1 = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    st2 = st1.select(
+        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("amax")
+    )
+    st3 = st2.withColumn(
+        "sc",
+        F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / 127.0),
+    )
+    return st3.withColumn(
+        "q", F.transform("v", lambda x: F.floor(x / F.col("sc") + 0.5))
+    )
+
+
+_QUANT_SQL = f"""
+WITH {_sql_int8_ctes()}
 SELECT vec_id,
        CAST(len(v) AS BIGINT) AS n_dims,
        amax,
@@ -182,17 +207,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization report: dims, max-abs, the
     achieved q range, and reconstruction MSE."""
     e = read_table(spark, sf_dir, "embeddings")
-    st1 = e.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    st2 = st1.select(
-        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("amax")
-    )
-    st3 = st2.withColumn(
-        "sc",
-        F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / 127.0),
-    )
-    st4 = st3.withColumn(
-        "q", F.transform("v", lambda x: F.floor(x / F.col("sc") + 0.5))
-    )
+    st4 = _int8_quant_table(e)
     sq_err = F.zip_with(
         "v",
         "q",
@@ -333,3 +348,112 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(chunkdup))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: int8 ADC coarse scan + exact rerank. The standard
+# memory-bound ANN serving pattern (scalar-quantized codes are 4x smaller
+# than float32, so the coarse scan moves 4x fewer bytes — which is the
+# bottleneck at corpus scale, not FLOPs): score every candidate with the
+# QUANTIZED dot product sc_q * sc_c * <q8, c8>, keep the top-C per query,
+# then re-score only the C survivors with exact float cosine. Recall loss
+# is bounded by the quantization error the embedding_quantize_int8 report
+# measures; both stages' arithmetic composes from the same
+# _sql_int8_ctes/_int8_quant_table single source.
+# ---------------------------------------------------------------------------
+
+_RERANK_C = 50   # coarse candidates per query
+_RERANK_K = 10   # final neighbors per query
+
+_INT8_RERANK_SQL = f"""
+WITH {{int8_ctes}},
+qry AS (
+    SELECT vec_id AS q_id, q AS qq, sc AS qsc, v AS qv
+    FROM q WHERE vec_id % 50 = 7
+),
+coarse AS (
+    SELECT qry.q_id, c.vec_id, c.v, qry.qv,
+           {{approx}} AS approx_score
+    FROM q c, qry WHERE c.vec_id <> qry.q_id
+),
+cand AS (
+    SELECT q_id, vec_id, v, qv, approx_score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY approx_score DESC, vec_id ASC) AS crnk
+    FROM coarse
+),
+rer AS (
+    SELECT q_id, vec_id, approx_score, {{exact}} AS score
+    FROM cand WHERE crnk <= {_RERANK_C}
+)
+SELECT q_id, vec_id, approx_score, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM rer
+) WHERE rnk <= {_RERANK_K}
+""".format(
+    int8_ctes=_sql_int8_ctes(),
+    approx=R("qry.qsc * c.sc * list_dot_product(qq, c.q)", 6),
+    exact=R(
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))",
+        6,
+    ),
+)
+
+
+@register("simsearch_int8_rerank", _INT8_RERANK_SQL)
+def simsearch_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-ADC coarse top-50 per query, exact-cosine rerank to top-10.
+
+    Plan: quantize once (narrow map, cached — both stages and the query
+    panel read it), broadcast the small query panel onto the code scan,
+    coarse-rank with a per-query window, then re-score ONLY the 50
+    survivors with float cosine. The float vectors ride along the
+    candidate rows (the 'fetch' trade: 50 * dims doubles per query beats
+    a second corpus join at serving time). Window partitions are per
+    query id — never the corpus."""
+    from ..functions.vectors import cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    quant = _int8_quant_table(e).select("vec_id", "v", "sc", "q").cache()
+    qry = quant.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("sc").alias("qsc"),
+        F.col("v").alias("qv"),
+    )
+    approx = dround(
+        F.col("qsc")
+        * F.col("sc")
+        * F.aggregate(
+            F.zip_with("qq", "q", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    coarse = (
+        quant.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "v", "qv", approx.alias("approx_score"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    )
+    kept = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _RERANK_C)
+        .withColumn("score", dround(cosine(F.col("v"), F.col("qv")), 6))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        kept.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _RERANK_K)
+        .select(
+            "q_id", "vec_id", "approx_score", "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

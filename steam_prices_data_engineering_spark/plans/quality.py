@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..sources.tables import read_table
 from .registry import register
 
@@ -784,4 +785,147 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.min("k").cast("long").alias("min_key"),
         F.max("k").cast("long").alias("max_key"),
+    )
+
+
+# ===========================================================================
+# Equi-depth histogram: decile buckets of l_extendedprice. The naive form
+# is ntile(10) OVER (ORDER BY value) — an UNPARTITIONED window that drags
+# the whole fact table through one task. The scale-correct replacement:
+# compute the 9 interior decile thresholds with one exact-percentile
+# aggregate (at 100 TB, swap in percentile_approx — same plan shape),
+# broadcast them back, and assign each row its bucket with an UNROLLED
+# chain of 9 codegen'd comparisons (no interpreted higher-order function
+# on the per-row path). Thresholds are dround(6)-snapped in BOTH engines
+# before comparison so a ULP of interpolation drift can't flip a
+# boundary row. Bucket populations differ from exactly-N/10 only by
+# threshold ties — which is the point: the report shows the tie mass.
+# DuckDB quantile_cont == Spark percentile (same (n-1)*p interpolation).
+# ===========================================================================
+
+_EQD_BUCKETS = 10
+
+_EQD_SQL = f"""
+WITH th AS (
+    SELECT {", ".join(
+        f"{R(f'quantile_cont(l_extendedprice, {i / _EQD_BUCKETS})', 6)} AS t{i}"
+        for i in range(1, _EQD_BUCKETS)
+    )}
+    FROM lineitem
+),
+assigned AS (
+    SELECT l_extendedprice AS v,
+           ({" + ".join(
+               f"CASE WHEN l_extendedprice > t{i} THEN 1 ELSE 0 END"
+               for i in range(1, _EQD_BUCKETS)
+           )}) AS bucket_id
+    FROM lineitem CROSS JOIN th
+)
+SELECT bucket_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {R('min(v)', 2)} AS lo,
+       {R('max(v)', 2)} AS hi,
+       {R('avg(v)', 4)} AS mean_v
+FROM assigned GROUP BY bucket_id
+"""
+
+
+@register("equidepth_histogram", _EQD_SQL)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) histogram of l_extendedprice: per-bucket count,
+    bounds, and mean, with thresholds from one exact-percentile pass.
+
+    Plan: one scalar aggregate (the 9 thresholds) broadcast-nested-loop
+    joined back onto the scan, 9 unrolled comparisons per row, one final
+    groupBy on the 10-value bucket id — two shuffles total, both compact;
+    no global-sort ntile anywhere."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    th = li.agg(
+        *[
+            dround(
+                F.percentile(F.col("v"), F.lit(i / _EQD_BUCKETS)), 6
+            ).alias(f"t{i}")
+            for i in range(1, _EQD_BUCKETS)
+        ]
+    )
+    bucket = sum(
+        (F.col("v") > F.col(f"t{i}")).cast("int")
+        for i in range(1, _EQD_BUCKETS)
+    )
+    return (
+        li.crossJoin(F.broadcast(th))
+        .select("v", bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dround(F.min("v"), 2).alias("lo"),
+            dround(F.max("v"), 2).alias("hi"),
+            dround(F.avg("v"), 4).alias("mean_v"),
+        )
+    )
+
+
+# ===========================================================================
+# Differentially-private release: per-(nation, segment) customer counts
+# with the Laplace mechanism (sensitivity 1, epsilon 1). The mechanism's
+# noise is DERIVED DETERMINISTICALLY from the cell key — u = (md5-hash
+# of the key + 0.5) / 16^6, noise = -sign(u - 1/2) * ln(1 - 2|u - 1/2|)
+# (the Laplace inverse CDF) — so both engines replay the identical
+# release and the oracle can hash-verify a "randomized" mechanism. (A
+# production release would use a secret seed; the mechanism's algebra,
+# plan shape, and calibration are exactly this.) Noise rides the
+# POST-aggregate rows: at 100 TB the fact scan is one map-side-combined
+# count, and the Laplace math touches only ~cells rows.
+# ===========================================================================
+
+_DP_EPS = 1.0
+_HEX6_SPAN = float(1 << 24)
+
+_DP_SQL = f"""
+WITH cells AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS n
+    FROM customer GROUP BY 1, 2
+),
+noised AS (
+    SELECT c_nationkey, c_mktsegment, n,
+           ({sql_md5_hex6_to_int(
+               "c_nationkey || '|' || c_mktsegment"
+           )} + 0.5) / {_HEX6_SPAN} - 0.5 AS ctr
+    FROM cells
+)
+SELECT c_nationkey, c_mktsegment,
+       {R(f'n + (-sign(ctr) * ln(1.0 - 2.0 * abs(ctr)) / {_DP_EPS})', 4)}
+           AS noisy_count,
+       {_DP_EPS} AS epsilon
+FROM noised
+"""
+
+
+@register("dp_noisy_release", _DP_SQL)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of the (nation, segment) customer
+    histogram at epsilon=1: count + inverse-CDF noise from the
+    deterministic per-cell hash.
+
+    Plan: one map-side-combined count over the fact table; the hash +
+    log arithmetic runs on the ~cells-sized aggregate only. True counts
+    never appear in the output columns."""
+    from ..functions.text import md5_hex6_to_int
+
+    c = read_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.concat_ws(
+        "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+    )
+    ctr = (md5_hex6_to_int(key) + 0.5) / F.lit(_HEX6_SPAN) - 0.5
+    noise = -F.signum(ctr) * F.log(1.0 - 2.0 * F.abs(ctr)) / _DP_EPS
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        dround(F.col("n") + noise, 4).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
     )

@@ -75,6 +75,11 @@ REPRESENTATIVES = [
     "snapshot_diff_report",
     "doc_bigram_lm_quality",
     "gopher_quality_rules",
+    "attribution_last_touch",
+    "ohlc_bars",
+    "equidepth_histogram",
+    "simsearch_int8_rerank",
+    "dp_noisy_release",
 ]
 
 

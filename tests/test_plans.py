@@ -110,6 +110,11 @@ def test_projection_prunes_scan_columns(spark):
         "gopher_quality_rules",
         "snapshot_diff_report",
         "zorder_cell_stats",
+        "attribution_last_touch",
+        "ohlc_bars",
+        "equidepth_histogram",
+        "simsearch_int8_rerank",
+        "dp_noisy_release",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

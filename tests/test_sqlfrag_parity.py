@@ -61,3 +61,37 @@ def test_token_and_shingle_hashes_match_duckdb(spark, text):
         [text],
     ).fetchone()[0]
     assert list(row.sh) == list(duck_sh)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    s=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+)
+def test_md5_hex6_matches_duckdb(spark, s):
+    """The uniform-hash primitive behind dp_noisy_release: Spark's
+    conv(substr(md5,1,6),16,10) == the oracle's hex digit-sum."""
+    from steam_prices_data_engineering_spark.functions.sqlfrag import (
+        sql_md5_hex6_to_int,
+    )
+    from steam_prices_data_engineering_spark.functions.text import (
+        md5_hex6_to_int,
+    )
+
+    got = (
+        spark.createDataFrame([(s,)], "s string")
+        .select(md5_hex6_to_int(F.col("s")).alias("h"))
+        .collect()[0]
+        .h
+    )
+    duck = duckdb.execute(
+        f"WITH t AS (SELECT ? AS s) SELECT {sql_md5_hex6_to_int('s')} FROM t",
+        [s],
+    ).fetchone()[0]
+    assert got == duck
