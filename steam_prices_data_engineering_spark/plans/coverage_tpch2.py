@@ -347,3 +347,71 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.last(bal).over(wf), 2).alias("seg_max_bal"),
         dround(F.nth_value(bal, 2).over(wf), 2).alias("seg_2nd_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over the (mktsegment x nation-region)
+# contingency table: the categorical-association screen behind feature
+# selection and drift detection. Observed counts come from ONE map-side-
+# combined aggregate; row/column marginals re-aggregate the tiny cell
+# table (never the facts); expected = row_total * col_total / n. The
+# statistic and per-cell contributions are released with the cell table,
+# so the oracle verifies the whole computation, not just the scalar.
+# ---------------------------------------------------------------------------
+
+_CHISQ_SQL = f"""
+WITH cells AS (
+    SELECT c_mktsegment AS seg, n.n_regionkey AS region, count(*) AS o
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+marg AS (
+    SELECT seg, region, o,
+           sum(o) OVER (PARTITION BY seg) AS row_t,
+           sum(o) OVER (PARTITION BY region) AS col_t,
+           sum(o) OVER () AS n
+    FROM cells
+)
+SELECT seg, region,
+       CAST(o AS BIGINT) AS observed,
+       {R('row_t * col_t / CAST(n AS DOUBLE)', 4)} AS expected,
+       {R('pow(o - row_t * col_t / CAST(n AS DOUBLE), 2) / (row_t * col_t / CAST(n AS DOUBLE))', 6)} AS chi2_part
+FROM marg
+"""
+
+
+@register("chisq_segment_region", _CHISQ_SQL)
+def chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for market segment vs region:
+    observed, expected-under-independence, and each cell's chi-square
+    contribution (their sum is the test statistic).
+
+    Plan: broadcast-join the nation dim, one grouped count over the
+    facts, then marginal windows over the <=25-cell aggregate — the
+    windows run on post-aggregate rows, so the unpartitioned total is
+    25 rows on one task, not the fact table."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("n_regionkey").alias("region"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_row = Window.partitionBy("seg")
+    w_col = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    exp = (
+        F.sum("o").over(w_row)
+        * F.sum("o").over(w_col)
+        / F.sum("o").over(w_all).cast("double")
+    )
+    return cells.select(
+        "seg",
+        "region",
+        F.col("o").cast("long").alias("observed"),
+        dround(exp, 4).alias("expected"),
+        dround(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_part"),
+    )

@@ -80,6 +80,7 @@ REPRESENTATIVES = [
     "equidepth_histogram",
     "simsearch_int8_rerank",
     "dp_noisy_release",
+    "chisq_segment_region",
 ]
 
 

@@ -115,6 +115,7 @@ def test_projection_prunes_scan_columns(spark):
         "equidepth_histogram",
         "simsearch_int8_rerank",
         "dp_noisy_release",
+        "chisq_segment_region",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -219,6 +219,47 @@ SHOWCASE: list[tuple[str, str]] = [
         "denominators are broadcast joins of the same tiny frequency "
         "table.",
     ),
+    (
+        "bucketed_join_no_shuffle",
+        "Both fact sides landed bucketBy(8).sortBy on the join key: the "
+        "SortMergeJoin has ZERO exchanges below it — the only Exchange in "
+        "the plan is the final aggregation's. The landing shuffle is paid "
+        "once at write time, amortized over every later join.",
+    ),
+    (
+        "zorder_cell_stats",
+        "Morton z-key: min/max normalization via two scalar aggregates "
+        "broadcast back (no global rank window), then 24 UNROLLED "
+        "shift/mask terms inside whole-stage codegen — the interpreted "
+        "F.aggregate(sequence) form was 10x slower at sf0.1.",
+    ),
+    (
+        "snapshot_diff_report",
+        "Fingerprint reconciliation: two narrow (key, md5) projections, "
+        "ONE full-outer sort-merge join on the key, constant-size report. "
+        "Row payloads are pruned at the scan and never shuffle.",
+    ),
+    (
+        "attribution_last_touch",
+        "Last-touch attribution WITHOUT an interval self-join: one window "
+        "shuffle on user_id computes the running last-click timestamp over "
+        "the interleaved click+purchase stream; the per-user aggregation "
+        "reuses the same partitioning.",
+    ),
+    (
+        "equidepth_histogram",
+        "Equi-depth deciles without ntile's global sort: one exact-"
+        "percentile scalar aggregate broadcasts 9 thresholds back onto the "
+        "scan; bucket assignment is 9 unrolled codegen comparisons; final "
+        "groupBy on a 10-value key.",
+    ),
+    (
+        "simsearch_int8_rerank",
+        "Two-stage retrieval: the quantized-code scan is broadcast-joined "
+        "with the query panel (coarse ADC top-50 per query via a "
+        "query-partitioned window), and ONLY the 50 survivors get exact "
+        "float cosine — the rerank never rescans the corpus.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
