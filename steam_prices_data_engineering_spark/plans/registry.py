@@ -87,7 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "steam_job1_prices_etl",
     "world_map_job2_deviation",
     "steam_api_json_extract",
-    "steam_pysource_extract",
+    # steam_pysource_extract rotates to the full local gate (r01-green;
+    # the custom-DataSource family keeps steam_api_json_extract's slot) in
+    # favor of the round-2 attribution family.
+    "attribution_last_touch",
     "sink_partitioned_latest_run",
     "csv_source_pruned",
     # §2a relational operator core (window_max_fill / try_arithmetic_funcs /
@@ -102,7 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_cell_stats",
     "snapshot_diff_report",
     # TPC-H / SQL API surface
-    "tpch_q1_pricing_summary",
+    # tpch_q1 rotates to the local gate (r01-green; 4 SQL-surface reps
+    # remain) in favor of the time-series family, previously unsampled.
+    "ohlc_bars",
     "tpch_q5_local_volume",
     "sql_tpch_q18_large_orders",
     "sql_recursive_cte_paths",
@@ -122,7 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_pipeline_report",
     "substring_dup_spans",
     "neardup_minhash_lsh",
-    "doc_fingerprint_simhash",
+    # simhash fingerprinting rotates to the local gate (r01-green; 6
+    # dedup-tier reps remain) in favor of the privacy-release family.
+    "dp_noisy_release",
     "neardup_winnow_fingerprints",
     "dedup_connected_components",
     "semdedup_prune",

@@ -86,6 +86,10 @@ def test_driver_sample_spans_families():
         "bucketed_join_no_shuffle",     # bucketed co-located join (no shuffle)
         "zorder_cell_stats",            # z-order clustering key arithmetic
         "snapshot_diff_report",         # fingerprint table reconciliation
+        # round-2 attribution / time-series / privacy families
+        "attribution_last_touch",       # last-touch window attribution
+        "ohlc_bars",                    # time-series OHLC downsample
+        "dp_noisy_release",             # DP Laplace release
     }
     missing = must_have - set(first50)
     assert not missing, missing
