@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..sources.tables import read_table
 from .registry import register
 
@@ -414,4 +415,95 @@ def chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").cast("long").alias("observed"),
         dround(exp, 4).alias("expected"),
         dround(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: the scalable bootstrap (Chamandy et al., Google 2012)
+# — classical resampling needs B passes over shuffled copies; the Poisson
+# form draws each row's multiplicity in resample b as Poisson(1),
+# INDEPENDENTLY per row, so all B resample means ride ONE scan as 2*B
+# unrolled aggregate columns (sum(w*x), sum(w)) with map-side partials.
+# Multiplicities come from the deterministic per-(row, b) md5-hex6 hash
+# through the Poisson(1) inverse CDF (cumulative thresholds 1/e, 2/e,
+# 2.5/e, ...), so both engines replay the identical draw and the CI is
+# hash-verifiable. The B means reduce to a 1-row (point, lo, hi) via
+# exact percentiles over B=16 values — driver-free end to end.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+# P[Poisson(1) <= k] for k = 0..5; u beyond the last threshold -> 6.
+_POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+
+
+def _pois_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def _bootstrap_sql() -> str:
+    cols = []
+    for b in range(_BOOT_B):
+        rowkey = f"l_orderkey || '-' || l_linenumber || '#{b}'"
+        u = f"({sql_md5_hex6_to_int(rowkey)} + 0.5) / 16777216.0"
+        w = _pois_sql(u)
+        cols.append(f"sum({w} * l_extendedprice) AS sx{b}")
+        cols.append(f"CAST(sum({w}) AS BIGINT) AS sw{b}")
+    means_rows = " UNION ALL ".join(
+        f"SELECT sx{b} / sw{b} AS m FROM agg" for b in range(_BOOT_B)
+    )
+    return f"""
+WITH agg AS (
+    SELECT {R('avg(l_extendedprice)', 4)} AS point, {", ".join(cols)}
+    FROM lineitem
+),
+means AS ({means_rows})
+SELECT agg.point,
+       {R('quantile_cont(m, 0.025)', 4)} AS ci_lo,
+       {R('quantile_cont(m, 0.975)', 4)} AS ci_hi,
+       CAST({_BOOT_B} AS BIGINT) AS n_resamples
+FROM means CROSS JOIN agg
+GROUP BY agg.point
+"""
+
+
+@register("bootstrap_mean_ci", _bootstrap_sql())
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean(l_extendedprice), B=16 resamples
+    in ONE pass (2B unrolled aggregates, deterministic hash-driven
+    Poisson(1) multiplicities), percentile reduction over the B means."""
+    from ..functions.text import md5_hex6_to_int
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rowkey = F.concat_ws(
+        "", F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"), F.lit("#"),
+    )
+
+    def pois(u):
+        expr = F.lit(6)
+        for k, c in reversed(list(enumerate(_POIS_CDF))):
+            expr = F.when(u < c, k).otherwise(expr)
+        return expr
+
+    aggs = [dround(F.avg("l_extendedprice"), 4).alias("point")]
+    for b in range(_BOOT_B):
+        u = (
+            md5_hex6_to_int(F.concat(rowkey, F.lit(str(b)))) + 0.5
+        ) / 16777216.0
+        w = pois(u)
+        aggs.append(F.sum(w * F.col("l_extendedprice")).alias(f"sx{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
+    agg = li.agg(*aggs)
+    stack_expr = "stack({n}, {pairs}) as (m)".format(
+        n=_BOOT_B,
+        pairs=", ".join(f"sx{b} / sw{b}" for b in range(_BOOT_B)),
+    )
+    means = agg.select("point", F.expr(stack_expr))
+    return means.groupBy("point").agg(
+        dround(F.percentile(F.col("m"), F.lit(0.025)), 4).alias("ci_lo"),
+        dround(F.percentile(F.col("m"), F.lit(0.975)), 4).alias("ci_hi"),
+        F.lit(_BOOT_B).cast("long").alias("n_resamples"),
     )

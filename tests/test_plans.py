@@ -116,6 +116,7 @@ def test_projection_prunes_scan_columns(spark):
         "simsearch_int8_rerank",
         "dp_noisy_release",
         "chisq_segment_region",
+        "bootstrap_mean_ci",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
