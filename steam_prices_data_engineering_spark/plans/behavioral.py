@@ -805,7 +805,7 @@ WITH b AS (
                PARTITION BY event_type,
                             CAST(floor(epoch(ts) / {_OHLC_BAR_S}) AS BIGINT)
                ORDER BY ts DESC, value DESC) AS rn_close
-    FROM events
+    FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, bar_start,
        {R('max(CASE WHEN rn_open = 1 THEN value END)', 4)} AS open,
@@ -826,7 +826,11 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((ts, value) lexicographic), so there is no per-bar ranking window
     over the event stream and the shuffle carries one row per (type,
     bar, map partition)."""
-    e = read_table(spark, sf_dir, "events")
+    # NULL values are excluded in BOTH engines: a NULL tied on ts would
+    # otherwise pick differently (Spark struct ordering is nulls-first,
+    # DuckDB ORDER BY defaults NULLS LAST) — and a NULL price carries no
+    # OHLC information anyway.
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bar = (
         F.floor(F.col("ts").cast("long") / _OHLC_BAR_S).cast("long")
         * _OHLC_BAR_S

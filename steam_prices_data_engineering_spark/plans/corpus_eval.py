@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
-from ..functions.text import tokens
+from ..functions.text import STOPWORDS, tokens
 from ..functions.vectors import cosine
 from ..sources.tables import read_table
 from .registry import register
@@ -626,7 +626,7 @@ _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
 _GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
 _GOPHER_MAX_TOP_FRAC = 0.12
 _GOPHER_MIN_STOPWORDS = 2
-_GOPHER_STOPWORDS = ("the", "a")
+_GOPHER_STOPWORDS = STOPWORDS  # single source with stopword_ratio/quality_score
 
 _GOPHER_SQL = f"""
 WITH tok AS (

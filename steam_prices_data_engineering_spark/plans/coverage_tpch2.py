@@ -432,6 +432,16 @@ def chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 16
+# Affine rehash params (odd multipliers, both engines): draw b's uniform
+# comes from ONE md5 per row rehashed per resample — 16 md5s per row blew
+# whole-stage codegen past its limits and ran interpreted (13s -> <2s at
+# sf0.01; same statistical contract, the repo's MinHash-permutation idiom).
+_BOOT_MOD = 1 << 24
+_BOOT_PARAMS = tuple(
+    ((2_654_435_761 + 2 * 1_299_709 * b) % (1 << 24) | 1,
+     (40_503 + 9_176_213 * b) % (1 << 24))
+    for b in range(_BOOT_B)
+)
 # P[Poisson(1) <= k] for k = 0..5; u beyond the last threshold -> 6.
 _POIS_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
 
@@ -444,20 +454,32 @@ def _pois_sql(u: str) -> str:
 
 
 def _bootstrap_sql() -> str:
-    cols = []
+    # Staged projections, single md5 per row: h -> u0..u15 via affine
+    # rehash -> w0..w15 via the Poisson CASE -> 2B sums. (Inlining 16
+    # md5s per row was both a 74 KB oracle and a codegen blowout.)
+    ucols = [
+        f"((h * {a} + {c}) % {_BOOT_MOD} + 0.5) / {float(_BOOT_MOD)} AS u{b}"
+        for b, (a, c) in enumerate(_BOOT_PARAMS)
+    ]
+    wcols = [f"{_pois_sql(f'u{b}')} AS w{b}" for b in range(_BOOT_B)]
+    aggcols = []
     for b in range(_BOOT_B):
-        rowkey = f"l_orderkey || '-' || l_linenumber || '#{b}'"
-        u = f"({sql_md5_hex6_to_int(rowkey)} + 0.5) / 16777216.0"
-        w = _pois_sql(u)
-        cols.append(f"sum({w} * l_extendedprice) AS sx{b}")
-        cols.append(f"CAST(sum({w}) AS BIGINT) AS sw{b}")
+        aggcols.append(f"sum(w{b} * x) AS sx{b}")
+        aggcols.append(f"CAST(sum(w{b}) AS BIGINT) AS sw{b}")
     means_rows = " UNION ALL ".join(
         f"SELECT sx{b} / sw{b} AS m FROM agg" for b in range(_BOOT_B)
     )
+    rowkey = "concat_ws('', l_orderkey, '-', l_linenumber)"
     return f"""
-WITH agg AS (
-    SELECT {R('avg(l_extendedprice)', 4)} AS point, {", ".join(cols)}
+WITH h AS (
+    SELECT l_extendedprice AS x, {sql_md5_hex6_to_int(rowkey)} AS h
     FROM lineitem
+),
+u AS (SELECT x, {", ".join(ucols)} FROM h),
+w AS (SELECT x, {", ".join(wcols)} FROM u),
+agg AS (
+    SELECT {R('avg(x)', 4)} AS point, {", ".join(aggcols)}
+    FROM w
 ),
 means AS ({means_rows})
 SELECT agg.point,
@@ -473,30 +495,35 @@ GROUP BY agg.point
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap CI for mean(l_extendedprice), B=16 resamples
     in ONE pass (2B unrolled aggregates, deterministic hash-driven
-    Poisson(1) multiplicities), percentile reduction over the B means."""
+    Poisson(1) multiplicities from one md5 + per-resample affine rehash),
+    percentile reduction over the B means."""
     from ..functions.text import md5_hex6_to_int
 
     li = read_table(spark, sf_dir, "lineitem")
-    rowkey = F.concat_ws(
-        "", F.col("l_orderkey").cast("string"), F.lit("-"),
-        F.col("l_linenumber").cast("string"), F.lit("#"),
-    )
-
     def pois(u):
         expr = F.lit(6)
         for k, c in reversed(list(enumerate(_POIS_CDF))):
             expr = F.when(u < c, k).otherwise(expr)
         return expr
 
-    aggs = [dround(F.avg("l_extendedprice"), 4).alias("point")]
+    rowkey = F.concat_ws(
+        "", F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    hashed = li.select(
+        F.col("l_extendedprice").alias("x"),
+        md5_hex6_to_int(rowkey).alias("h"),
+    )
+    wcols = [F.col("x")]
+    for b, (a, c) in enumerate(_BOOT_PARAMS):
+        u = ((F.col("h") * a + c) % _BOOT_MOD + 0.5) / float(_BOOT_MOD)
+        wcols.append(pois(u).alias(f"w{b}"))
+    staged = hashed.select(*wcols)
+    aggs = [dround(F.avg("x"), 4).alias("point")]
     for b in range(_BOOT_B):
-        u = (
-            md5_hex6_to_int(F.concat(rowkey, F.lit(str(b)))) + 0.5
-        ) / 16777216.0
-        w = pois(u)
-        aggs.append(F.sum(w * F.col("l_extendedprice")).alias(f"sx{b}"))
-        aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
-    agg = li.agg(*aggs)
+        aggs.append(F.sum(F.col(f"w{b}") * F.col("x")).alias(f"sx{b}"))
+        aggs.append(F.sum(f"w{b}").cast("long").alias(f"sw{b}"))
+    agg = staged.agg(*aggs)
     stack_expr = "stack({n}, {pairs}) as (m)".format(
         n=_BOOT_B,
         pairs=", ".join(f"sx{b} / sw{b}" for b in range(_BOOT_B)),

@@ -873,7 +873,9 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # noise is DERIVED DETERMINISTICALLY from the cell key — u = (md5-hash
 # of the key + 0.5) / 16^6, noise = -sign(u - 1/2) * ln(1 - 2|u - 1/2|)
 # (the Laplace inverse CDF) — so both engines replay the identical
-# release and the oracle can hash-verify a "randomized" mechanism. (A
+# release and the oracle can hash-verify a "randomized" mechanism
+# (both engines build the cell key with NULL-SKIPPING concat_ws — `||`
+# would NULL-propagate in DuckDB and diverge on a NULL-keyed cell). (A
 # production release would use a secret seed; the mechanism's algebra,
 # plan shape, and calibration are exactly this.) Noise rides the
 # POST-aggregate rows: at 100 TB the fact scan is one map-side-combined
@@ -891,7 +893,7 @@ WITH cells AS (
 noised AS (
     SELECT c_nationkey, c_mktsegment, n,
            ({sql_md5_hex6_to_int(
-               "c_nationkey || '|' || c_mktsegment"
+               "concat_ws('|', c_nationkey, c_mktsegment)"
            )} + 0.5) / {_HEX6_SPAN} - 0.5 AS ctr
     FROM cells
 )
