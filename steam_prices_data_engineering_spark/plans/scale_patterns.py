@@ -898,3 +898,62 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: a materialized per-status aggregate is
+# kept current by MERGING a delta batch's partial aggregate into the old
+# state — never recomputing over history. Works because count/sum/min/max
+# are commutative monoids (avg derives from merged sum/count): the merge
+# inputs are aggregate-sized, so maintaining the view at 100 TB costs
+# O(|delta| + |view|), not O(|history|). The oracle computes the view
+# DIRECTLY over the full table — agreement proves the merge algebra, the
+# same partial-aggregate property map-side combine exploits inside one
+# query, lifted across batches.
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1997-06-01"
+
+_IVM_SQL = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {R('sum(o_totalprice)', 2)} AS total,
+       {R('min(o_totalprice)', 2)} AS min_price,
+       {R('max(o_totalprice)', 2)} AS max_price,
+       {R('sum(o_totalprice) / count(*)', 4)} AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("incremental_agg_merge", _IVM_SQL)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge an 'old state' partial aggregate (orders before the cutoff)
+    with a 'delta batch' partial aggregate (orders after) and return the
+    maintained view; the oracle recomputes directly over everything, so
+    a green row proves the monoid merge is exact.
+
+    Plan: two pushed-filter scans -> two map-side-combined partial
+    aggregates -> a union of ~6 rows each -> one tiny merge aggregation.
+    Nothing rescans history at merge time."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("o_totalprice").alias("psum"),
+            F.min("o_totalprice").alias("pmin"),
+            F.max("o_totalprice").alias("pmax"),
+        )
+
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+    old_state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = old_state.unionByName(delta).groupBy("o_orderstatus").agg(
+        F.sum("pn").cast("long").alias("n_orders"),
+        dround(F.sum("psum"), 2).alias("total"),
+        dround(F.min("pmin"), 2).alias("min_price"),
+        dround(F.max("pmax"), 2).alias("max_price"),
+        dround(F.sum("psum") / F.sum("pn"), 4).alias("avg_price"),
+    )
+    return merged

@@ -81,6 +81,7 @@ REPRESENTATIVES = [
     "simsearch_int8_rerank",
     "dp_noisy_release",
     "chisq_segment_region",
+    "incremental_agg_merge",
 ]
 
 

@@ -117,6 +117,7 @@ def test_projection_prunes_scan_columns(spark):
         "dp_noisy_release",
         "chisq_segment_region",
         "bootstrap_mean_ci",
+        "incremental_agg_merge",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
