@@ -851,3 +851,76 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization with explicit session ids: the lag + cumulative-sum
+# idiom — a session starts where the gap to the previous event exceeds 30
+# minutes; the running sum of session-start flags IS the session index.
+# This is the batch complement of `streaming_session_window` (which emits
+# per-session aggregates via session_window state): here every session
+# gets a stable, joinable (user_id, session_idx) identity, the shape
+# attribution/funnel pipelines key on. Both windows ride ONE shuffle on
+# user_id; gap comparisons use floored epoch seconds in BOTH engines
+# (Spark's cast-to-long truncates micros).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_SESSION_IDS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                     > {_SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT)
+           AS duration_s
+FROM ids GROUP BY user_id, session_idx
+"""
+
+
+@register("session_ids_batch", _SESSION_IDS_SQL)
+def session_ids_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign stable session ids (30-minute inactivity gap) and reduce to
+    per-session stats.
+
+    Plan: one shuffle on user_id serves the lag window, the running-sum
+    window, AND the final (user_id, session_idx) aggregation — Spark
+    chains all three without re-exchanging because every step's
+    partitioning is a prefix of the first's."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > _SESSION_GAP_S)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ids = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(wsum).alias("session_idx"),
+    )
+    ep = F.col("ts").cast("long")
+    return ids.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ep).alias("start_epoch"),
+        F.max(ep).alias("end_epoch"),
+        (F.max(ep) - F.min(ep)).alias("duration_s"),
+    )

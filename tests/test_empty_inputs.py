@@ -82,6 +82,7 @@ REPRESENTATIVES = [
     "dp_noisy_release",
     "chisq_segment_region",
     "incremental_agg_merge",
+    "session_ids_batch",
 ]
 
 

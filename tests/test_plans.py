@@ -118,6 +118,7 @@ def test_projection_prunes_scan_columns(spark):
         "chisq_segment_region",
         "bootstrap_mean_ci",
         "incremental_agg_merge",
+        "session_ids_batch",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -619,3 +620,13 @@ def test_zorder_cell_stats_no_window(spark):
     tree = _plan(spark, "zorder_cell_stats").split("\n\n")[0]
     assert "Window" not in tree, tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+
+
+def test_session_ids_single_exchange(spark):
+    """Both sessionization windows and the per-session aggregation chain
+    on ONE user-keyed exchange — no re-shuffle between steps."""
+    import re
+
+    plan = _plan(spark, "session_ids_batch")
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan
