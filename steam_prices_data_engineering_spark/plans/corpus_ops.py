@@ -457,3 +457,54 @@ def simsearch_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics: the normalization/whitening pre-pass
+# (and PQ/IVF training sanity check) — mean, stddev, min, max for each of
+# the 64 dimensions. One posexplode + one map-side-combined aggregate on
+# the dimension index; at corpus scale the shuffle carries dims x
+# partitions partial rows, never vectors. Stddev is derived from
+# (sum, sum-of-squares, n) EXPLICITLY — both engines then run the same
+# left-fold double arithmetic, where a builtin stddev's engine-specific
+# accumulation (Welford vs naive) could drift past dround.
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_SQL = f"""
+WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+    SELECT unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM v
+),
+agg AS (
+    SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS s2,
+           min(x) AS mn, max(x) AS mx
+    FROM d GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       {R('s / n', 6)} AS mean_x,
+       {R('sqrt((s2 - s * s / n) / (n - 1))', 6)} AS std_x,
+       {R('mn', 6)} AS min_x,
+       {R('mx', 6)} AS max_x
+FROM agg
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus (the
+    feature-scaling pre-pass)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(to_double_array(F.col("embedding"))).alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    n = F.count(F.lit(1))
+    s = F.sum("x")
+    s2 = F.sum(F.col("x") * F.col("x"))
+    return d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        n.cast("long").alias("n"),
+        dround(s / n, 6).alias("mean_x"),
+        dround(F.sqrt((s2 - s * s / n) / (n - F.lit(1))), 6).alias("std_x"),
+        dround(F.min("x"), 6).alias("min_x"),
+        dround(F.max("x"), 6).alias("max_x"),
+    )

@@ -456,3 +456,93 @@ def trainset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.min("quality"), 6).alias("min_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling: for each anchor in a query panel, draw K
+# pseudo-random negatives DETERMINISTICALLY via affine index hashes over
+# the dense vec_id space — no rand(), so the sample is reproducible under
+# any partitioning and replayable by the oracle (the repo's standing rule
+# for sampling operators, cf. weighted_sample_expkeys). Self-collisions
+# are dropped rather than redrawn (the documented contract: K is a cap).
+# Negatives resolve to vectors by an equi join on vec_id; the cosine to
+# the anchor ships with each pair — the training-pair construction step
+# of a contrastive/embedding fine-tune, where negatives must be cheap,
+# uniform, and reproducible at 100 TB.
+# ---------------------------------------------------------------------------
+
+_NEG_K_PARAMS = ((7_368_787, 104_729), (9_176_213, 224_737), (15_485_863, 350_377))
+
+_CONTRASTIVE_SQL = f"""
+WITH n AS (SELECT count(*) AS n_vecs, min(vec_id) AS base FROM embeddings),
+anchors AS (
+    SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+    FROM embeddings WHERE vec_id % 50 = 3
+),
+cand AS (
+    {" UNION ALL ".join(
+        f"SELECT anchor_id, av, {j} AS neg_rank, "
+        f"(anchor_id * {a} + {c}) % n.n_vecs + n.base AS neg_id "
+        f"FROM anchors CROSS JOIN n"
+        for j, (a, c) in enumerate(_NEG_K_PARAMS)
+    )}
+)
+SELECT cand.anchor_id,
+       CAST(cand.neg_rank AS BIGINT) AS neg_rank,
+       CAST(cand.neg_id AS BIGINT) AS neg_id,
+       {R("list_dot_product(av, e.embedding::DOUBLE[]) / "
+          "(sqrt(list_dot_product(av, av)) * "
+          "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))", 6)}
+           AS neg_cosine
+FROM cand
+JOIN embeddings e ON e.vec_id = cand.neg_id
+WHERE cand.neg_id <> cand.anchor_id
+"""
+
+
+@register("contrastive_negatives", _CONTRASTIVE_SQL)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 deterministic uniform negatives per anchor (hash-affine over
+    the dense id space), resolved to vectors and scored with cosine.
+
+    Plan: 1-row (count, base) broadcast onto the small anchor panel, the
+    candidate triples equi-join the corpus on vec_id (broadcast anchors
+    side — the corpus never shuffles), cosine on the joined pair only."""
+    from ..functions.vectors import cosine, to_double_array
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("base")
+    )
+    anchors = (
+        e.filter(F.col("vec_id") % 50 == 3)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            to_double_array(F.col("embedding")).alias("av"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    cands = None
+    for j, (a, c) in enumerate(_NEG_K_PARAMS):
+        part = anchors.select(
+            "anchor_id",
+            "av",
+            F.lit(j).alias("neg_rank"),
+            ((F.col("anchor_id") * a + c) % F.col("n_vecs") + F.col("base"))
+            .alias("neg_id"),
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    neg = e.select(
+        F.col("vec_id").alias("nv_id"),
+        to_double_array(F.col("embedding")).alias("nv"),
+    )
+    return (
+        neg.join(F.broadcast(cands), F.col("nv_id") == F.col("neg_id"))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            dround(cosine(F.col("av"), F.col("nv")), 6).alias("neg_cosine"),
+        )
+    )

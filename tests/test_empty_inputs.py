@@ -83,6 +83,8 @@ REPRESENTATIVES = [
     "chisq_segment_region",
     "incremental_agg_merge",
     "session_ids_batch",
+    "embedding_dim_stats",
+    "contrastive_negatives",
 ]
 
 

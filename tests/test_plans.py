@@ -119,6 +119,8 @@ def test_projection_prunes_scan_columns(spark):
         "bootstrap_mean_ci",
         "incremental_agg_merge",
         "session_ids_batch",
+        "embedding_dim_stats",
+        "contrastive_negatives",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
