@@ -78,6 +78,39 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
     outputs["worldmap_png"] = world_map_png(
         world_map_job2_deviation(spark, sf_dir), "usd_dif", "iso_a3", png_path
     )
+
+    # Job 3 (opt-in): incremental streaming rollup of the events stream to
+    # a checkpointed parquet landing. availableNow + checkpoint gives the
+    # production incremental-batch shape: each invocation processes ONLY
+    # files not yet in the checkpoint, append-mode emits a window once its
+    # watermark passes (exactly-once into the sink), and state carries
+    # across runs. The reference has no streaming surface — this is the
+    # §2b north-star extension productized behind the same config file.
+    stream_cfg = config.get("streaming") or {}
+    if stream_cfg.get("enabled"):
+        from .sources.tables import events_stream
+        from .streaming.windows import tumbling_counts
+
+        rollup_path = join_uri(
+            out_root, stream_cfg.get("events_rollup_key", "events_rollup")
+        )
+        ckpt_path = join_uri(out_root, "_checkpoints", "events_rollup")
+        duration = stream_cfg.get("window", "10 minutes")
+        log.info("job 3: streaming events rollup -> %s", rollup_path)
+        stream = events_stream(spark, sf_dir).withWatermark(
+            "ts", stream_cfg.get("watermark", "1 hour")
+        )
+        q = (
+            tumbling_counts(stream, duration)
+            .writeStream.format("parquet")
+            .option("path", local_path(rollup_path))
+            .option("checkpointLocation", local_path(ckpt_path))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outputs["events_rollup"] = rollup_path
     return outputs
 
 

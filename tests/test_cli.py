@@ -54,3 +54,49 @@ def test_cli_runs_both_jobs_with_run_partitions(spark):
     worldmap = spark.read.parquet(out1["worldmap"])
     assert "usd_dif" in worldmap.columns and "steam_value" in worldmap.columns
     assert worldmap.filter(F.col("run_key") == latest).count() == 14
+
+
+def test_cli_streaming_rollup_incremental_and_idempotent(spark):
+    """Job 3: the streaming rollup lands append-mode windowed counts in
+    parquet behind a checkpoint. Emitted rows must equal the batch
+    tumbling aggregation restricted to window_end <= watermark (the
+    append-mode emission rule), and a SECOND invocation over the same
+    source must process zero new files (checkpoint: no duplicate rows)."""
+    import shutil
+
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+    from steam_prices_data_engineering_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    cfg = {
+        "app_name": "cli-stream-test",
+        "source": {"sf_dir": "/root/testdata/sf0.001"},
+        "target": {
+            "output_dir": "/root/repo/.scratch/cli_stream_out",
+            "prices_key": "steam_etl",
+            "worldmap_key": "world_map",
+        },
+        "streaming": {"enabled": True},
+    }
+    shutil.rmtree(cfg["target"]["output_dir"], ignore_errors=True)
+    out = run_jobs(cfg, spark=spark, run_ts="20240101000000")
+    landed = spark.read.parquet(out["events_rollup"].replace("file://", ""))
+    n1 = landed.count()
+
+    ev = read_table(spark, cfg["source"]["sf_dir"], "events")
+    wm = ev.agg(F.max("ts").cast("long").alias("m")).collect()[0].m - 3600
+    expected = (
+        tumbling_counts(ev)
+        .filter((F.col("window_start") + 600) <= wm)
+    )
+    exp_rows = {tuple(r) for r in expected.collect()}
+    got_rows = {tuple(r) for r in landed.collect()}
+    assert got_rows == exp_rows, (len(got_rows), len(exp_rows))
+
+    # second run: checkpoint says everything is processed -> no new rows
+    run_jobs(cfg, spark=spark, run_ts="20240102000000")
+    n2 = spark.read.parquet(
+        out["events_rollup"].replace("file://", "")
+    ).count()
+    assert n2 == n1
