@@ -103,8 +103,8 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
         q = (
             tumbling_counts(stream, duration)
             .writeStream.format("parquet")
-            .option("path", local_path(rollup_path))
-            .option("checkpointLocation", local_path(ckpt_path))
+            .option("path", rollup_path)
+            .option("checkpointLocation", ckpt_path)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()

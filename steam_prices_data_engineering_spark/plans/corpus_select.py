@@ -361,9 +361,10 @@ def weighted_sample_expkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # H(doc) = -sum_c (n_c/n) ln(n_c/n) over single characters. Key-mash and
 # repeated-char spam score near 0 nats; natural language sits ~3+.
-# Chars come from explode(sequence(1, length)) + substr — identical
-# arithmetic on both engines (no reliance on either engine's empty-
-# pattern split semantics). The explode is heavy (one row per char) but
+# Spark explodes split(text, '') (one O(len) tokenization per doc;
+# Spark's empty-pattern split yields exactly the characters, no trailing
+# empty — tested); the oracle keeps the range+substr spelling, identical
+# characters either way. The explode is heavy (one row per char) but
 # the (doc_id, ch) count is map-side combined, so the shuffle carries at
 # most |alphabet| rows per doc — the same budget as the token stats.
 # ---------------------------------------------------------------------------

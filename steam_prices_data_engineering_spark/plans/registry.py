@@ -92,14 +92,23 @@ _PRIORITY: tuple[str, ...] = (
     # favor of the round-2 attribution family.
     "attribution_last_touch",
     "sink_partitioned_latest_run",
-    "csv_source_pruned",
+    # csv_source_pruned rotates to the full local gate (r01-green; the
+    # source-format family keeps three other sampled reps) in favor of
+    # incremental view maintenance.
+    "incremental_agg_merge",
     # §2a relational operator core (window_max_fill / try_arithmetic_funcs /
     # anti_join_substring were driver-green in r01 and rotate to the full
     # local gate; their slots go to the round-2 layout + reconciliation
     # families below)
     "price_parse_locale",
     "proj_filter_customers",
-    "top1_recency",
+    # top1_recency rotates to the local gate (r01-green; §2a core keeps
+    # price_parse_locale + proj_filter_customers) in favor of batch
+    # sessionization. embedding_dim_stats / contrastive_negatives /
+    # bootstrap_mean_ci / chisq / equidepth / int8_rerank / bigram-LM /
+    # gopher stay under the full local gate — their parent families
+    # (similarity, stats, text-quality) already hold sampled slots.
+    "session_ids_batch",
     # storage-layout + reconciliation (round-2 scale families)
     "bucketed_join_no_shuffle",
     "zorder_cell_stats",

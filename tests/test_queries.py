@@ -90,6 +90,8 @@ def test_driver_sample_spans_families():
         "attribution_last_touch",       # last-touch window attribution
         "ohlc_bars",                    # time-series OHLC downsample
         "dp_noisy_release",             # DP Laplace release
+        "incremental_agg_merge",        # incremental view maintenance
+        "session_ids_batch",            # batch sessionization
     }
     missing = must_have - set(first50)
     assert not missing, missing
