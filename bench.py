@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "zorder_cell_stats",
     "doc_bigram_lm_quality",
     "gopher_quality_rules",
+    # round-2 behavioral / stats / retrieval additions
+    "attribution_last_touch",
+    "ohlc_bars",
+    "session_ids_batch",
+    "simsearch_int8_rerank",
+    "bootstrap_mean_ci",
 ]
 
 
