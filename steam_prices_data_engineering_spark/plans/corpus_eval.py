@@ -689,3 +689,172 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top-20 bigrams by pointwise mutual information,
+# PMI = ln(C2(a,b) * N1 / (C1(a) * C1(b))), min-count 5 to kill the
+# hapax-PMI explosion. The word-association analytics built on the SAME
+# staged bigram construction as `doc_bigram_lm_quality` (narrow per-doc
+# pass; vocab-bounded count tables; top-k is TakeOrderedAndProject, no
+# global sort). N1 = total unigram occurrences — the standard estimator
+# with P(a,b) = C2/N1 over adjacent-pair trials.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+_PMI_SQL = f"""
+WITH arr AS (SELECT string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT unnest(t) AS tok FROM arr),
+c1 AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c1),
+bi AS (
+    SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                  ELSE list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1]) END) AS bg
+    FROM arr
+),
+c2 AS (SELECT bg, count(*) AS cnt2 FROM bi GROUP BY bg HAVING count(*) >= {_PMI_MIN_COUNT}),
+scored AS (
+    SELECT c2.bg, c2.cnt2,
+           {R("ln(c2.cnt2 * total.n / (CAST(p.cnt AS DOUBLE) * w.cnt))", 6)} AS pmi
+    FROM c2
+    JOIN c1 p ON p.tok = split_part(c2.bg, ' ', 1)
+    JOIN c1 w ON w.tok = split_part(c2.bg, ' ', 2)
+    CROSS JOIN total
+)
+SELECT bg AS bigram, CAST(cnt2 AS BIGINT) AS n_pair, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, bg ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY pmi DESC, bg ASC
+LIMIT {_PMI_TOP_K}
+"""
+
+
+@register("collocations_pmi", _PMI_SQL)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} collocations by PMI (min pair count 5, deterministic
+    (pmi DESC, bigram ASC) order). Ranking happens post-limit on K rows;
+    the limit lowers to TakeOrderedAndProject."""
+    d = read_table(spark, sf_dir, "documents")
+    arr = (
+        d.select(tokens(F.col("text")).alias("t"))
+        .select(
+            "t",
+            F.when(F.size("t") < 2, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            )
+            .alias("bga"),
+        )
+        .cache()
+    )
+    c1 = (
+        arr.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = c1.agg(F.sum("cnt").cast("double").alias("n"))
+    c2 = (
+        arr.select(F.explode("bga").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .filter(F.col("cnt2") >= _PMI_MIN_COUNT)
+    )
+    prev_c = c1.select(F.col("tok").alias("ptok"), F.col("cnt").alias("pcnt"))
+    cur_c = c1.select(F.col("tok").alias("wtok"), F.col("cnt").alias("wcnt"))
+    pmi = F.log(
+        F.col("cnt2") * F.col("n") / (F.col("pcnt").cast("double") * F.col("wcnt"))
+    )
+    scored = (
+        c2.join(
+            F.broadcast(prev_c),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("ptok"),
+        )
+        .join(
+            F.broadcast(cur_c),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("wtok"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cnt2").cast("long").alias("n_pair"),
+            dround(pmi, 6).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(_PMI_TOP_K)
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Score-calibration report: does the continuous heuristic quality score
+# actually predict the rule-based Gopher gate? Bin the [0,1] score into
+# deciles and report each bin's occupancy, mean score, and empirical
+# keep-rate under `gopher_quality_rules` — the reliability-diagram shape
+# used to calibrate any document-quality classifier before trusting its
+# threshold at corpus scale. Both signals COMPOSE from their canonical
+# definitions (the registry's quality SQL CTE and this module's Gopher
+# SQL), so the calibration can never disagree with the per-doc reports.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_sql() -> str:
+    from .registry import _DOC_QUALITY_SQL
+
+    return f"""
+WITH q AS ({_DOC_QUALITY_SQL}),
+g AS ({_GOPHER_SQL}),
+j AS (
+    SELECT least(CAST(floor(q.quality * 10) AS INTEGER), 9) AS bin,
+           q.quality, g.keep
+    FROM q JOIN g ON g.doc_id = q.doc_id
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R('avg(quality)', 6)} AS mean_quality,
+       {R('CAST(count(*) FILTER (keep) AS DOUBLE) / count(*)', 6)} AS keep_rate
+FROM j GROUP BY bin
+"""
+
+
+@register("quality_calibration_bins", _calibration_sql())
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins of the heuristic quality score against the Gopher
+    rule gate: per score-decile occupancy, mean score, empirical
+    keep-rate.
+
+    Plan: the two per-doc signals are the SAME plans their standalone
+    queries run (composition, not re-implementation); the join keys on
+    doc_id and the report is a 10-row aggregate."""
+    from ..functions.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", dround(quality_score(F.col("text")), 6).alias("quality")
+    )
+    g = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    j = q.join(g, "doc_id").select(
+        F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        "quality",
+        "keep",
+    )
+    return j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        dround(F.avg("quality"), 6).alias("mean_quality"),
+        dround(
+            F.sum(F.col("keep").cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )

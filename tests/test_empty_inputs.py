@@ -85,6 +85,8 @@ REPRESENTATIVES = [
     "session_ids_batch",
     "embedding_dim_stats",
     "contrastive_negatives",
+    "collocations_pmi",
+    "quality_calibration_bins",
 ]
 
 

@@ -121,6 +121,8 @@ def test_projection_prunes_scan_columns(spark):
         "session_ids_batch",
         "embedding_dim_stats",
         "contrastive_negatives",
+        "collocations_pmi",
+        "quality_calibration_bins",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
