@@ -858,3 +858,84 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-free gate evaluation: exact ROC-AUC of the heuristic quality
+# score against the Gopher keep label, via the Mann-Whitney rank-sum with
+# the tie-aware 0.5 credit: AUC = sum over distinct scores of
+# n_pos(s) * (N_neg below s + 0.5 * n_neg(s)) / (P * N). The corpus
+# reduces to DISTINCT-SCORE rows first (bounded by score cardinality, not
+# docs) — the cumulative window then runs on that small table, which is
+# the scale-correct alternative to ranking every document in one task.
+# Composes the same two canonical signals as `quality_calibration_bins`.
+# ---------------------------------------------------------------------------
+
+
+def _auc_sql() -> str:
+    from .registry import _DOC_QUALITY_SQL
+
+    return f"""
+WITH q AS ({_DOC_QUALITY_SQL}),
+g AS ({_GOPHER_SQL}),
+lab AS (
+    SELECT q.quality AS s, g.keep FROM q JOIN g ON g.doc_id = q.doc_id
+),
+per_score AS (
+    SELECT s,
+           CAST(count(*) FILTER (keep) AS DOUBLE) AS np,
+           CAST(count(*) FILTER (NOT keep) AS DOUBLE) AS nn
+    FROM lab GROUP BY s
+),
+cum AS (
+    SELECT s, np, nn,
+           coalesce(sum(nn) OVER (ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS neg_below
+    FROM per_score
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       {R('sum(np * (neg_below + 0.5 * nn)) / (sum(np) * sum(nn))', 6)} AS auc
+FROM cum
+"""
+
+
+@register("auc_quality_gate", _auc_sql())
+def auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the quality score as a predictor of the
+    Gopher keep gate (one row: n_pos, n_neg, auc)."""
+    from ..functions.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", dround(quality_score(F.col("text")), 6).alias("s")
+    )
+    g = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    per_score = (
+        q.join(g, "doc_id")
+        .groupBy("s")
+        .agg(
+            F.count(F.when(F.col("keep"), F.lit(1)))
+            .cast("double")
+            .alias("np"),
+            F.count(F.when(~F.col("keep"), F.lit(1)))
+            .cast("double")
+            .alias("nn"),
+        )
+    )
+    w = Window.orderBy(F.asc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0.0))
+    )
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        dround(
+            F.sum(F.col("np") * (F.col("neg_below") + 0.5 * F.col("nn")))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )

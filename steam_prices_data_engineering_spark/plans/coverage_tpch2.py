@@ -534,3 +534,86 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile(F.col("m"), F.lit(0.975)), 4).alias("ci_hi"),
         F.lit(_BOOT_B).cast("long").alias("n_resamples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: Welch's unequal-variance t statistic per event
+# type, arms assigned deterministically by user-id parity (the hash-split
+# discipline of trainset_hash_split: reproducible under any partitioning,
+# no rand()). Both arms' (n, sum, sum-sq) ride ONE map-side-combined
+# aggregate via conditional sums — one fact scan for the whole report;
+# means/variances/t/df derive from the six monoid columns, so the oracle
+# proves the full Welch algebra including the Satterthwaite df.
+# ---------------------------------------------------------------------------
+
+_AB_SQL = f"""
+WITH agg AS (
+    SELECT event_type,
+           count(*) FILTER (user_id % 2 = 0) AS na,
+           sum(value) FILTER (user_id % 2 = 0) AS sa,
+           sum(value * value) FILTER (user_id % 2 = 0) AS qa,
+           count(*) FILTER (user_id % 2 = 1) AS nb,
+           sum(value) FILTER (user_id % 2 = 1) AS sb,
+           sum(value * value) FILTER (user_id % 2 = 1) AS qb
+    FROM events GROUP BY event_type
+),
+d AS (
+    SELECT event_type, na, nb,
+           sa / na AS ma, sb / nb AS mb,
+           (qa - sa * sa / na) / (na - 1) AS va,
+           (qb - sb * sb / nb) / (nb - 1) AS vb
+    FROM agg
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {R('ma', 6)} AS mean_a, {R('mb', 6)} AS mean_b,
+       {R('(ma - mb) / sqrt(va / na + vb / nb)', 6)} AS t_stat,
+       {R("pow(va / na + vb / nb, 2) / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))", 4)} AS welch_df
+FROM d
+"""
+
+
+@register("ab_test_welch", _AB_SQL)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t per event type between the even/odd user-id arms: one
+    conditional-sum scan, statistics derived from monoid columns."""
+    e = read_table(spark, sf_dir, "events")
+    arm_a = F.col("user_id") % 2 == 0
+
+    def cs(cond, col):
+        return F.sum(F.when(cond, col))
+
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(arm_a, F.lit(1))).alias("na"),
+        cs(arm_a, F.col("value")).alias("sa"),
+        cs(arm_a, F.col("value") * F.col("value")).alias("qa"),
+        F.count(F.when(~arm_a, F.lit(1))).alias("nb"),
+        cs(~arm_a, F.col("value")).alias("sb"),
+        cs(~arm_a, F.col("value") * F.col("value")).alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    se2a = va / F.col("na")
+    se2b = vb / F.col("nb")
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        dround(ma, 6).alias("mean_a"),
+        dround(mb, 6).alias("mean_b"),
+        dround((ma - mb) / F.sqrt(se2a + se2b), 6).alias("t_stat"),
+        dround(
+            F.pow(se2a + se2b, 2)
+            / (
+                F.pow(se2a, 2) / (F.col("na") - 1)
+                + F.pow(se2b, 2) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )

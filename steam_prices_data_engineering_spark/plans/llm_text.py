@@ -475,3 +475,74 @@ def neardup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: recall-boosted bucket search. Single-probe SRP search
+# misses any neighbor whose sign vector differs in >=1 bit; multi-probe
+# additionally scans the Hamming-distance-1 buckets (flip each of the 4
+# hyperplane bits), trading 5x candidate volume for the recall a
+# bands-style rerun would cost a full re-index to get (Lv et al. 2007).
+# Probes are an equi JOIN on bucket id against a 5-row broadcast probe
+# list — the corpus-side plan is identical to single-probe; only the
+# tiny probe dim grows.
+# ---------------------------------------------------------------------------
+
+_MULTIPROBE_SQL = f"""
+WITH bkt AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+    FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM bkt WHERE vec_id = 0),
+probes AS (
+    SELECT xor(qb, flip) AS pb,
+           CASE WHEN flip = 0 THEN 0 ELSE 1 END AS probe_dist
+    FROM q CROSS JOIN (VALUES (0), (1), (2), (4), (8)) f(flip)
+),
+cand AS (
+    SELECT bkt.vec_id, bkt.label, probes.probe_dist,
+           {R("list_dot_product(bkt.v, q.qv) / (sqrt(list_dot_product(bkt.v, bkt.v)) * sqrt(list_dot_product(q.qv, q.qv)))", 6)} AS score
+    FROM bkt JOIN probes ON bkt.bucket = probes.pb CROSS JOIN q
+    WHERE bkt.vec_id <> 0
+)
+SELECT vec_id, label, CAST(probe_dist AS BIGINT) AS probe_dist, score
+FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("simsearch_multiprobe_lsh", _MULTIPROBE_SQL)
+def simsearch_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH top-10 for query vec_id=0: candidates from the
+    query's bucket AND every Hamming-1 bucket (each hyperplane bit
+    flipped), exact-cosine ranked; probe_dist marks which probe found
+    each survivor."""
+    e = read_table(spark, sf_dir, "embeddings")
+    bkt = e.select(
+        "vec_id",
+        "label",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_spark(F.col("embedding")).alias("bucket"),
+    ).cache()
+    q = bkt.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    flips = spark.createDataFrame(
+        [(0,), (1,), (2,), (4,), (8,)], "flip int"
+    )
+    probes = q.crossJoin(flips).select(
+        "qv",
+        F.expr("qb ^ flip").alias("pb"),
+        F.when(F.col("flip") == 0, 0).otherwise(1).alias("probe_dist"),
+    )
+    cand = (
+        bkt.join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.col("probe_dist").cast("long").alias("probe_dist"),
+            dround(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    return cand.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)

@@ -87,6 +87,8 @@ REPRESENTATIVES = [
     "contrastive_negatives",
     "collocations_pmi",
     "quality_calibration_bins",
+    "ab_test_welch",
+    "simsearch_multiprobe_lsh",
 ]
 
 

@@ -123,6 +123,9 @@ def test_projection_prunes_scan_columns(spark):
         "contrastive_negatives",
         "collocations_pmi",
         "quality_calibration_bins",
+        "ab_test_welch",
+        "auc_quality_gate",
+        "simsearch_multiprobe_lsh",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
