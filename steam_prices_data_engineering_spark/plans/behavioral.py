@@ -924,3 +924,88 @@ def session_ids_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ep).alias("end_epoch"),
         (F.max(ep) - F.min(ep)).alias("duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly detection: score every (event_type, hour-of-day x day)
+# bucket against the event type's hour-of-day PROFILE (mean/std of the
+# per-day bucket counts at that hour) — the seasonal-naive monitor that
+# catches "3 AM traffic looks like 3 PM" without any model. Two passes:
+# per-(type, hour, day) counts (map-side combined), then profile stats
+# as a WINDOW over the (type, hour) partitions of that compact bucket
+# table; |z| >= 3 flags. Std derives from explicit sums (engine-identical
+# fold), matching the repo's moment discipline.
+# ---------------------------------------------------------------------------
+
+_SEASON_Z = 3.0
+
+_SEASONAL_SQL = f"""
+WITH buckets AS (
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2, 3
+),
+prof AS (
+    SELECT event_type, hod, day, n,
+           count(*) OVER w AS k,
+           sum(n) OVER w AS s,
+           sum(n * n) OVER w AS q
+    FROM buckets
+    WINDOW w AS (PARTITION BY event_type, hod)
+),
+scored AS (
+    SELECT event_type, hod, day, n,
+           s / k AS mu,
+           sqrt(greatest((q - s * s / k) / (k - 1), 0.0)) AS sigma
+    FROM prof WHERE k > 1
+)
+SELECT event_type, hod, day,
+       CAST(n AS BIGINT) AS n_events,
+       {R('mu', 6)} AS hour_mean,
+       {R('sigma', 6)} AS hour_std,
+       {R('(n - mu) / sigma', 6)} AS z,
+       (abs((n - mu) / sigma) >= {_SEASON_Z}) AS is_anomaly
+FROM scored WHERE sigma > 0
+"""
+
+
+@register("seasonal_anomaly_hours", _SEASONAL_SQL)
+def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score every (type, hour, day) activity bucket against its
+    type x hour-of-day profile; |z| >= 3 flags the anomaly."""
+    e = read_table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type", "hod")
+    k = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    q = F.sum(F.col("n") * F.col("n")).over(w)
+    prof = buckets.select("event_type", "hod", "day", "n",
+                          k.alias("k"), s.alias("s"), q.alias("q"))
+    mu = F.col("s") / F.col("k")
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("k"))
+            / (F.col("k") - 1),
+            F.lit(0.0),
+        )
+    )
+    scored = prof.filter(F.col("k") > 1).select(
+        "event_type", "hod", "day", "n", mu.alias("mu"), sigma.alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return scored.filter(F.col("sigma") > 0).select(
+        "event_type",
+        "hod",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        dround(F.col("mu"), 6).alias("hour_mean"),
+        dround(F.col("sigma"), 6).alias("hour_std"),
+        dround(z, 6).alias("z"),
+        (F.abs(z) >= _SEASON_Z).alias("is_anomaly"),
+    )

@@ -931,3 +931,112 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("n") + noise, 4).alias("noisy_count"),
         F.lit(_DP_EPS).alias("epsilon"),
     )
+
+
+# ===========================================================================
+# Data-drift monitoring: Population Stability Index of o_totalprice
+# between a reference period (orders before the cutoff) and the current
+# period (after). Bin edges are the REFERENCE period's deciles — the
+# production discipline: the monitored distribution is scored against
+# frozen training-time bins, so a drifting current period can't hide by
+# re-binning itself. PSI_bin = (p_cur - p_ref) * ln(p_cur / p_ref);
+# > 0.2 total is the conventional "investigate" threshold. Plan: one
+# percentile aggregate over the reference scan (broadcast back), one
+# conditional-sum pass binning BOTH periods, window totals over the
+# 10-row bin table. Eps-smoothing keeps empty bins finite in both
+# engines identically.
+# ===========================================================================
+
+_PSI_CUTOFF = "1997-06-01"
+_PSI_EPS = 1e-6
+
+_PSI_SQL = f"""
+WITH ref AS (
+    SELECT o_totalprice AS v FROM orders
+    WHERE o_orderdate < DATE '{_PSI_CUTOFF}'
+),
+cur AS (
+    SELECT o_totalprice AS v FROM orders
+    WHERE o_orderdate >= DATE '{_PSI_CUTOFF}'
+),
+th AS (
+    SELECT {", ".join(
+        f"{R(f'quantile_cont(v, {i / 10})', 6)} AS t{i}" for i in range(1, 10)
+    )}
+    FROM ref
+),
+binned AS (
+    SELECT 'ref' AS period,
+           ({" + ".join(f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, 10))}) AS bin
+    FROM ref CROSS JOIN th
+    UNION ALL
+    SELECT 'cur',
+           ({" + ".join(f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, 10))})
+    FROM cur CROSS JOIN th
+),
+cnt AS (
+    SELECT bin,
+           CAST(count(*) FILTER (period = 'ref') AS DOUBLE) AS n_ref,
+           CAST(count(*) FILTER (period = 'cur') AS DOUBLE) AS n_cur
+    FROM binned GROUP BY bin
+),
+share AS (
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           n_ref / sum(n_ref) OVER () + {_PSI_EPS} AS p_ref,
+           n_cur / sum(n_cur) OVER () + {_PSI_EPS} AS p_cur
+    FROM cnt
+)
+SELECT bin, n_ref, n_cur,
+       {R('p_ref', 6)} AS share_ref,
+       {R('p_cur', 6)} AS share_cur,
+       {R('(p_cur - p_ref) * ln(p_cur / p_ref)', 6)} AS psi_part
+FROM share
+"""
+
+
+@register("drift_psi_report", _PSI_SQL)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI of the current period's o_totalprice against the
+    reference period's frozen decile bins (sum of psi_part = the PSI)."""
+    o = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_PSI_CUTOFF).cast("date")
+    ref = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_totalprice").alias("v")
+    )
+    th = ref.agg(
+        *[
+            dround(F.percentile(F.col("v"), F.lit(i / 10)), 6).alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_expr = sum(
+        (F.col("v") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
+    )
+    binned = (
+        ref.withColumn("period", F.lit("ref"))
+        .unionByName(cur.withColumn("period", F.lit("cur")))
+        .crossJoin(F.broadcast(th))
+        .select("period", bin_expr.alias("bin"))
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == "ref", F.lit(1)))
+        .cast("double")
+        .alias("n_ref"),
+        F.count(F.when(F.col("period") == "cur", F.lit(1)))
+        .cast("double")
+        .alias("n_cur"),
+    )
+    w_all = Window.partitionBy()
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(w_all) + _PSI_EPS
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(w_all) + _PSI_EPS
+    return cnt.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        dround(p_ref, 6).alias("share_ref"),
+        dround(p_cur, 6).alias("share_cur"),
+        dround((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_part"),
+    )

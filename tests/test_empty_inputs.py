@@ -89,6 +89,8 @@ REPRESENTATIVES = [
     "quality_calibration_bins",
     "ab_test_welch",
     "simsearch_multiprobe_lsh",
+    "drift_psi_report",
+    "seasonal_anomaly_hours",
 ]
 
 

@@ -126,6 +126,8 @@ def test_projection_prunes_scan_columns(spark):
         "ab_test_welch",
         "auc_quality_gate",
         "simsearch_multiprobe_lsh",
+        "drift_psi_report",
+        "seasonal_anomaly_hours",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
