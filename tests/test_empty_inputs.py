@@ -91,6 +91,7 @@ REPRESENTATIVES = [
     "simsearch_multiprobe_lsh",
     "drift_psi_report",
     "seasonal_anomaly_hours",
+    "ab_cuped_adjusted",
 ]
 
 

@@ -128,6 +128,7 @@ def test_projection_prunes_scan_columns(spark):
         "simsearch_multiprobe_lsh",
         "drift_psi_report",
         "seasonal_anomaly_hours",
+        "ab_cuped_adjusted",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
