@@ -1009,3 +1009,112 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(z, 6).alias("z"),
         (F.abs(z) >= _SEASON_Z).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier curve over user lifetime (days between
+# first and last activity). Users whose last event falls in the final
+# 3 days of the observation window are right-CENSORED (they may still be
+# alive); everyone else's last-activity day is their churn event. The
+# KM estimator S(t) = prod_{s<=t} (1 - d_s / n_s) is a cumulative
+# PRODUCT — expressed relationally as exp(running-sum of ln terms), so
+# the whole curve is: one per-user aggregate (first/last day), one
+# distinct-duration aggregate, and two windows over the compact duration
+# table. Both engines run the identical ln/exp fold; dround(6) absorbs
+# libm ULP.
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 3
+
+_KM_SQL = f"""
+WITH span AS (
+    SELECT max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS max_day FROM events
+),
+users AS (
+    SELECT user_id,
+           min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day,
+           max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_day
+    FROM events GROUP BY user_id
+),
+obs AS (
+    SELECT last_day - first_day AS dur,
+           CASE WHEN last_day >= span.max_day - {_KM_CENSOR_DAYS} + 1
+                THEN 0 ELSE 1 END AS event
+    FROM users CROSS JOIN span
+),
+per_t AS (
+    SELECT dur, CAST(count(*) AS DOUBLE) AS n_at,
+           CAST(sum(event) AS DOUBLE) AS d_t
+    FROM obs GROUP BY dur
+),
+risk AS (
+    SELECT dur, d_t,
+           sum(n_at) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+    FROM per_t
+),
+km AS (
+    SELECT dur, n_t, d_t,
+           exp(sum(ln(1.0 - d_t / n_t)) OVER (ORDER BY dur ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+    FROM risk WHERE d_t < n_t
+)
+SELECT CAST(dur AS BIGINT) AS duration_days,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       CAST(d_t AS BIGINT) AS n_events,
+       {R('s', 6)} AS survival
+FROM km
+"""
+
+
+@register("survival_km_curve", _KM_SQL)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetime with right-censoring for
+    users still active near the window end.
+
+    Plan: per-user first/last-day aggregate (one user-keyed shuffle),
+    distinct-duration aggregate, then a reverse running sum (at-risk
+    counts) and a forward exp-sum-ln (the KM product) — both windows
+    over the duration-cardinality table, never per-user rows."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long")
+    users = e.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("first_day"), F.max("d").alias("last_day")
+    )
+    span = e.select(day.alias("d")).agg(F.max("d").alias("max_day"))
+    obs = users.crossJoin(F.broadcast(span)).select(
+        (F.col("last_day") - F.col("first_day")).alias("dur"),
+        F.when(
+            F.col("last_day") >= F.col("max_day") - (_KM_CENSOR_DAYS - 1),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    per_t = obs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("n_at"),
+        F.sum("event").cast("double").alias("d_t"),
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "dur", "d_t", F.sum("n_at").over(w_desc).alias("n_t")
+    )
+    w_asc = Window.orderBy(F.asc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.filter(F.col("d_t") < F.col("n_t")).select(
+        "dur",
+        "n_t",
+        "d_t",
+        F.exp(
+            F.sum(F.log(1.0 - F.col("d_t") / F.col("n_t"))).over(w_asc)
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n_t").cast("long").alias("n_at_risk"),
+        F.col("d_t").cast("long").alias("n_events"),
+        dround(F.col("s"), 6).alias("survival"),
+    )

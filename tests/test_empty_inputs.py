@@ -92,6 +92,7 @@ REPRESENTATIVES = [
     "drift_psi_report",
     "seasonal_anomaly_hours",
     "ab_cuped_adjusted",
+    "survival_km_curve",
 ]
 
 

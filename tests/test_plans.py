@@ -129,6 +129,7 @@ def test_projection_prunes_scan_columns(spark):
         "drift_psi_report",
         "seasonal_anomaly_hours",
         "ab_cuped_adjusted",
+        "survival_km_curve",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
