@@ -1040,3 +1040,57 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(p_cur, 6).alias("share_cur"),
         dround((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_part"),
     )
+
+
+# ===========================================================================
+# Benford first-digit audit: the classic fabricated-numbers screen.
+# Naturally-occurring multiplicative quantities put digit d first with
+# probability log10(1 + 1/d); a synthetic or truncated column deviates
+# loudly. One map-side-combined aggregate on the 9-value digit key plus
+# the chi-square contribution per digit — the same report shape as
+# `chisq_segment_region`, pointed at data forensics. (The fixture's
+# uniform-ish prices intentionally FAIL Benford — the audit's point is
+# to measure the deviation, not to pass.)
+# ===========================================================================
+
+_BENFORD_SQL = f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+cnt AS (SELECT digit, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS t FROM cnt)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       {R('n / tot.t', 6)} AS share,
+       {R('ln(1.0 + 1.0 / digit) / ln(10.0)', 6)} AS benford_share,
+       {R('pow(n / tot.t - ln(1.0 + 1.0 / digit) / ln(10.0), 2) / (ln(1.0 + 1.0 / digit) / ln(10.0))', 6)} AS chi2_part
+FROM cnt CROSS JOIN tot
+"""
+
+
+@register("benford_digit_audit", _BENFORD_SQL)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford's law with
+    per-digit chi-square contributions."""
+    o = read_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+    ).cast("int")
+    cnt = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    share = F.col("n") / F.col("t")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        dround(share, 6).alias("share"),
+        dround(expected, 6).alias("benford_share"),
+        dround(F.pow(share - expected, 2) / expected, 6).alias("chi2_part"),
+    )

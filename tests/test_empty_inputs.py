@@ -93,6 +93,7 @@ REPRESENTATIVES = [
     "seasonal_anomaly_hours",
     "ab_cuped_adjusted",
     "survival_km_curve",
+    "benford_digit_audit",
 ]
 
 

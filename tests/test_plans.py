@@ -130,6 +130,7 @@ def test_projection_prunes_scan_columns(spark):
         "seasonal_anomaly_hours",
         "ab_cuped_adjusted",
         "survival_km_curve",
+        "benford_digit_audit",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
