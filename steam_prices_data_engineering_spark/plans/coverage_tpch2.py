@@ -717,3 +717,78 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(svar("y_adj"), 4).alias("var_y_adj"),
         dround(F.first("theta"), 6).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spend-concentration report: the Gini coefficient of per-customer spend,
+# computed from the rank-sum identity G = 2*sum(r_i x_i)/(n*sum x)
+# - (n+1)/n with tie groups assigned their exact rank SPAN (a group of c
+# equal values v after R predecessors contributes v*(c*R + c(c+1)/2)).
+# The scale move mirrors `auc_quality_gate`: reduce to DISTINCT spend
+# values first, run the cumulative window over that compact table, and
+# never rank individual customers globally.
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, {R('sum(o_totalprice)', 2)} AS v
+    FROM orders GROUP BY o_custkey
+),
+grp AS (
+    SELECT v, CAST(count(*) AS DOUBLE) AS c FROM per_cust GROUP BY v
+),
+cum AS (
+    SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS r0
+    FROM grp
+),
+agg AS (
+    SELECT sum(c) AS n, sum(c * v) AS s,
+           sum(v * (c * r0 + c * (c + 1) / 2)) AS rs
+    FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       {R('s', 2)} AS total_spend,
+       {R('2.0 * rs / (n * s) - (n + 1.0) / n', 6)} AS gini
+FROM agg
+"""
+
+
+@register("gini_spend_concentration", _GINI_SQL)
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer total spend (tie-exact rank-sum
+    form over distinct spend values)."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dround(F.sum("o_totalprice"), 2).alias("v")
+    )
+    grp = per_cust.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.withColumn(
+        "r0", F.coalesce(F.sum("c").over(w), F.lit(0.0))
+    )
+    agg = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("c") * F.col("r0")
+                + F.col("c") * (F.col("c") + 1) / 2
+            )
+        ).alias("rs"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        dround(F.col("s"), 2).alias("total_spend"),
+        dround(
+            2.0 * F.col("rs") / (F.col("n") * F.col("s"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

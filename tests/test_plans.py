@@ -131,6 +131,7 @@ def test_projection_prunes_scan_columns(spark):
         "ab_cuped_adjusted",
         "survival_km_curve",
         "benford_digit_audit",
+        "gini_spend_concentration",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
