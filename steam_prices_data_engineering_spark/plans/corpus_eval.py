@@ -939,3 +939,67 @@ def auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law view): distinct vocabulary size as
+# a function of tokens processed, in doc_id ingestion order. The naive
+# form needs "distinct tokens so far" per prefix — quadratic. The
+# relational identity: a token joins the vocabulary exactly ONCE, at its
+# minimum doc_id — so per-doc new-vocab counts are min(doc_id)-per-token
+# aggregated (map-side combined), and the curve is two running sums over
+# the doc-cardinality table. The release diagnostic for "is this corpus
+# still adding new language or just repeating itself".
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+doc_tokens AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tok GROUP BY doc_id
+),
+first_seen AS (
+    SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok
+),
+new_vocab AS (
+    SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+    FROM first_seen GROUP BY first_doc
+)
+SELECT d.doc_id,
+       CAST(sum(d.n_toks) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(v.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM doc_tokens d LEFT JOIN new_vocab v ON v.doc_id = d.doc_id
+WINDOW w AS (ORDER BY d.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("vocab_growth_curve", _VOCAB_GROWTH_SQL)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cum_tokens, cum_vocab) after each document in ingestion order —
+    the Heaps'-law vocabulary growth curve via the min-doc first-
+    occurrence identity (no per-prefix distinct)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_vocab = first_seen.groupBy(
+        F.col("first_doc").alias("vd")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    w = Window.orderBy(F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = doc_tokens.join(
+        new_vocab, doc_tokens.doc_id == new_vocab.vd, "left"
+    )
+    return j.select(
+        "doc_id",
+        F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("cum_vocab"),
+    )

@@ -94,6 +94,7 @@ REPRESENTATIVES = [
     "ab_cuped_adjusted",
     "survival_km_curve",
     "benford_digit_audit",
+    "vocab_growth_curve",
 ]
 
 

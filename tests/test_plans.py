@@ -132,6 +132,7 @@ def test_projection_prunes_scan_columns(spark):
         "survival_km_curve",
         "benford_digit_audit",
         "gini_spend_concentration",
+        "vocab_growth_curve",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
