@@ -1118,3 +1118,84 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_t").cast("long").alias("n_events"),
         dround(F.col("s"), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel: view -> click within 1 h -> purchase within 1 h of
+# the click. The unbounded funnel (funnel_view_click_purchase) counts
+# eventual conversion; product analytics usually wants conversion WITHIN
+# a window — same min-aggregate chain (per-user scalars, no per-user
+# event sort), with each stage's deadline riding the join predicate.
+# Deadlines compare floored epoch seconds in both engines.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_S = 3600
+
+_FUNNEL_TB_SQL = f"""
+WITH v AS (
+    SELECT user_id, min(floor(epoch(ts))) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(floor(epoch(e.ts))) AS c_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND floor(epoch(e.ts)) > v.v_ts
+      AND floor(epoch(e.ts)) <= v.v_ts + {_FUNNEL_WINDOW_S}
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(floor(epoch(e.ts))) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) > c.c_ts
+      AND floor(epoch(e.ts)) <= c.c_ts + {_FUNNEL_WINDOW_S}
+    GROUP BY 1
+)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click_1h', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase_1h', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+@register("funnel_time_bounded", _FUNNEL_TB_SQL)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage user counts for the 1-hour-deadline funnel
+    view -> click -> purchase (min-aggregate chain, user-keyed joins)."""
+    e = read_table(spark, sf_dir, "events")
+    ep = F.floor(F.col("ts").cast("long")).cast("long")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (ep > F.col("v_ts")) & (ep <= F.col("v_ts") + _FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (ep > F.col("c_ts")) & (ep <= F.col("c_ts") + _FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "click_1h"))
+        .unionByName(stage(p, "purchase_1h"))
+    )

@@ -133,6 +133,7 @@ def test_projection_prunes_scan_columns(spark):
         "benford_digit_audit",
         "gini_spend_concentration",
         "vocab_growth_curve",
+        "funnel_time_bounded",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
