@@ -632,14 +632,20 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explicit (sum, sum-sq) folds — engine-identical.
 # ---------------------------------------------------------------------------
 
-_CUPED_CUTOFF_EPOCH = 1707350400  # 2024-02-08: ~half the event span
 
 _CUPED_SQL = f"""
-WITH per_user AS (
+WITH cut AS (
+    -- data-derived midpoint: robust to fixture regeneration (a hardcoded
+    -- epoch would put all events on one side and zero the covariate)
+    SELECT CAST(floor((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2)
+                AS BIGINT) AS mid
+    FROM events
+),
+per_user AS (
     SELECT user_id, user_id % 2 AS arm,
-           CAST(coalesce(sum(value) FILTER (floor(epoch(ts)) < {_CUPED_CUTOFF_EPOCH}), 0.0) AS DOUBLE) AS x,
-           CAST(coalesce(sum(value) FILTER (floor(epoch(ts)) >= {_CUPED_CUTOFF_EPOCH}), 0.0) AS DOUBLE) AS y
-    FROM events GROUP BY user_id
+           CAST(coalesce(sum(value) FILTER (floor(epoch(ts)) < cut.mid), 0.0) AS DOUBLE) AS x,
+           CAST(coalesce(sum(value) FILTER (floor(epoch(ts)) >= cut.mid), 0.0) AS DOUBLE) AS y
+    FROM events CROSS JOIN cut GROUP BY user_id
 ),
 mom AS (
     SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -671,7 +677,16 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted per-arm experiment metrics: raw vs adjusted mean
     and variance plus the pooled theta."""
     e = read_table(spark, sf_dir, "events")
-    pre = F.col("ts").cast("long") < _CUPED_CUTOFF_EPOCH
+    cut = e.agg(
+        F.floor(
+            (F.min(F.col("ts").cast("long")) + F.max(F.col("ts").cast("long")))
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    e = e.crossJoin(F.broadcast(cut))
+    pre = F.col("ts").cast("long") < F.col("mid")
     per_user = e.groupBy("user_id").agg(
         F.coalesce(F.sum(F.when(pre, F.col("value"))), F.lit(0.0))
         .cast("double")

@@ -947,17 +947,25 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines identically.
 # ===========================================================================
 
-_PSI_CUTOFF = "1997-06-01"
 _PSI_EPS = 1e-6
 
 _PSI_SQL = f"""
-WITH ref AS (
-    SELECT o_totalprice AS v FROM orders
-    WHERE o_orderdate < DATE '{_PSI_CUTOFF}'
+WITH cut AS (
+    -- data-derived midpoint date: robust to fixture regeneration (a
+    -- hardcoded date could leave one period empty -> 0/0 shares)
+    SELECT min(o_orderdate)
+           + CAST(floor(date_diff('day', min(o_orderdate),
+                                  max(o_orderdate)) / 2) AS INTEGER)
+             * INTERVAL 1 DAY AS mid
+    FROM orders
+),
+ref AS (
+    SELECT o_totalprice AS v FROM orders CROSS JOIN cut
+    WHERE o_orderdate < cut.mid
 ),
 cur AS (
-    SELECT o_totalprice AS v FROM orders
-    WHERE o_orderdate >= DATE '{_PSI_CUTOFF}'
+    SELECT o_totalprice AS v FROM orders CROSS JOIN cut
+    WHERE o_orderdate >= cut.mid
 ),
 th AS (
     SELECT {", ".join(
@@ -999,11 +1007,19 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin PSI of the current period's o_totalprice against the
     reference period's frozen decile bins (sum of psi_part = the PSI)."""
     o = read_table(spark, sf_dir, "orders")
-    cutoff = F.lit(_PSI_CUTOFF).cast("date")
-    ref = o.filter(F.col("o_orderdate") < cutoff).select(
+    cut = o.agg(
+        F.date_add(
+            F.min("o_orderdate"),
+            F.floor(
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    o = o.crossJoin(F.broadcast(cut))
+    ref = o.filter(F.col("o_orderdate") < F.col("mid")).select(
         F.col("o_totalprice").alias("v")
     )
-    cur = o.filter(F.col("o_orderdate") >= cutoff).select(
+    cur = o.filter(F.col("o_orderdate") >= F.col("mid")).select(
         F.col("o_totalprice").alias("v")
     )
     th = ref.agg(
