@@ -942,7 +942,7 @@ _SEASON_Z = 3.0
 _SEASONAL_SQL = f"""
 WITH buckets AS (
     SELECT event_type,
-           CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+           CAST(floor(epoch(ts) / 3600) % 24 AS INTEGER) AS hod,
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
            CAST(count(*) AS DOUBLE) AS n
     FROM events GROUP BY 1, 2, 3
@@ -978,7 +978,9 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     buckets = e.groupBy(
         "event_type",
-        F.hour("ts").cast("int").alias("hod"),
+        (F.floor(F.col("ts").cast("long") / 3600) % 24)
+        .cast("int")
+        .alias("hod"),
         F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
     w = Window.partitionBy("event_type", "hod")

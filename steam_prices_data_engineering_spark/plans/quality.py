@@ -803,23 +803,56 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB quantile_cont == Spark percentile (same (n-1)*p interpolation).
 # ===========================================================================
 
+
+
+def _sql_decile_thresholds(src: str) -> str:
+    """SELECT-list of dround(6) decile thresholds t1..t9 over relation
+    `src`(v) — single source for every decile-bucketing oracle
+    (equidepth_histogram, drift_psi_report)."""
+    return ", ".join(
+        f"{R(f'quantile_cont(v, {i / 10})', 6)} AS t{i}" for i in range(1, 10)
+    )
+
+
+def _sql_decile_bucket() -> str:
+    """0..9 bucket id from v vs t1..t9 — explicit CASE with ELSE 0 so a
+    NULL threshold (empty source period) contributes 0, matching the
+    Spark twin's when/otherwise(0)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+        )
+        + ")"
+    )
+
+
+def _decile_threshold_aggs():
+    """Spark twin of _sql_decile_thresholds over a column named v."""
+    return [
+        dround(F.percentile(F.col("v"), F.lit(i / 10)), 6).alias(f"t{i}")
+        for i in range(1, 10)
+    ]
+
+
+def _decile_bucket_expr():
+    """Spark twin of _sql_decile_bucket: when/otherwise(0) — NOT a bare
+    boolean cast, which would turn a NULL threshold into a NULL bin where
+    the SQL CASE yields 0."""
+    return sum(
+        F.when(F.col("v") > F.col(f"t{i}"), 1).otherwise(0)
+        for i in range(1, 10)
+    )
+
+
 _EQD_BUCKETS = 10
 
 _EQD_SQL = f"""
-WITH th AS (
-    SELECT {", ".join(
-        f"{R(f'quantile_cont(l_extendedprice, {i / _EQD_BUCKETS})', 6)} AS t{i}"
-        for i in range(1, _EQD_BUCKETS)
-    )}
-    FROM lineitem
-),
+WITH src AS (SELECT l_extendedprice AS v FROM lineitem),
+th AS (SELECT {_sql_decile_thresholds('src')} FROM src),
 assigned AS (
-    SELECT l_extendedprice AS v,
-           ({" + ".join(
-               f"CASE WHEN l_extendedprice > t{i} THEN 1 ELSE 0 END"
-               for i in range(1, _EQD_BUCKETS)
-           )}) AS bucket_id
-    FROM lineitem CROSS JOIN th
+    SELECT v, {_sql_decile_bucket()} AS bucket_id
+    FROM src CROSS JOIN th
 )
 SELECT bucket_id,
        CAST(count(*) AS BIGINT) AS n,
@@ -842,18 +875,8 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v")
     )
-    th = li.agg(
-        *[
-            dround(
-                F.percentile(F.col("v"), F.lit(i / _EQD_BUCKETS)), 6
-            ).alias(f"t{i}")
-            for i in range(1, _EQD_BUCKETS)
-        ]
-    )
-    bucket = sum(
-        (F.col("v") > F.col(f"t{i}")).cast("int")
-        for i in range(1, _EQD_BUCKETS)
-    )
+    th = li.agg(*_decile_threshold_aggs())
+    bucket = _decile_bucket_expr()
     return (
         li.crossJoin(F.broadcast(th))
         .select("v", bucket.alias("bucket_id"))
@@ -967,19 +990,12 @@ cur AS (
     SELECT o_totalprice AS v FROM orders CROSS JOIN cut
     WHERE o_orderdate >= cut.mid
 ),
-th AS (
-    SELECT {", ".join(
-        f"{R(f'quantile_cont(v, {i / 10})', 6)} AS t{i}" for i in range(1, 10)
-    )}
-    FROM ref
-),
+th AS (SELECT {_sql_decile_thresholds('ref')} FROM ref),
 binned AS (
-    SELECT 'ref' AS period,
-           ({" + ".join(f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, 10))}) AS bin
+    SELECT 'ref' AS period, {_sql_decile_bucket()} AS bin
     FROM ref CROSS JOIN th
     UNION ALL
-    SELECT 'cur',
-           ({" + ".join(f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, 10))})
+    SELECT 'cur', {_sql_decile_bucket()} AS bin
     FROM cur CROSS JOIN th
 ),
 cnt AS (
@@ -1022,15 +1038,8 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = o.filter(F.col("o_orderdate") >= F.col("mid")).select(
         F.col("o_totalprice").alias("v")
     )
-    th = ref.agg(
-        *[
-            dround(F.percentile(F.col("v"), F.lit(i / 10)), 6).alias(f"t{i}")
-            for i in range(1, 10)
-        ]
-    )
-    bin_expr = sum(
-        (F.col("v") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
-    )
+    th = ref.agg(*_decile_threshold_aggs())
+    bin_expr = _decile_bucket_expr()
     binned = (
         ref.withColumn("period", F.lit("ref"))
         .unionByName(cur.withColumn("period", F.lit("cur")))

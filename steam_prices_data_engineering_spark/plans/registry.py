@@ -119,7 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     "ohlc_bars",
     "tpch_q5_local_volume",
     "sql_tpch_q18_large_orders",
-    "sql_recursive_cte_paths",
+    # sql_recursive_cte_paths rotates to the local gate (the SQL-surface
+    # family keeps q5/q18/scripting; recursive CTE stays pinned by
+    # tests/test_queries.py) in favor of the round-2 monitoring family.
+    "drift_psi_report",
     "sql_scripting_while_loop",
     # graph analytics + chained stateful streaming (round-2 families) take
     # the session-variables/lateral slots — both of those are API-surface
@@ -183,6 +186,18 @@ _PRIORITY: tuple[str, ...] = (
     # skew handling
     "skew_salted_join",
 )
+# Deliberately under the FULL LOCAL GATE only (micro-families whose
+# parent family already holds a sampled slot): seasonal_anomaly_hours +
+# benford_digit_audit + gini_spend_concentration + chisq/bootstrap/
+# equidepth (stats; drift_psi_report carries the monitoring slot),
+# ab_test_welch/ab_cuped_adjusted (experimentation; hash-split sampled
+# via trainset), survival_km_curve + funnel_time_bounded (behavioral;
+# attribution + sessionization sampled), vocab_growth_curve +
+# collocations_pmi + quality_calibration_bins + auc_quality_gate (text
+# analysis/quality sampled), simsearch_multiprobe_lsh +
+# simsearch_int8_rerank + embedding_dim_stats + contrastive_negatives
+# (similarity sampled). Every one is hash-checked by
+# tools/check_oracle.py and tests/test_queries.py each run.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -92,6 +92,7 @@ def test_driver_sample_spans_families():
         "dp_noisy_release",             # DP Laplace release
         "incremental_agg_merge",        # incremental view maintenance
         "session_ids_batch",            # batch sessionization
+        "drift_psi_report",             # drift monitoring (PSI)
     }
     missing = must_have - set(first50)
     assert not missing, missing
