@@ -1003,3 +1003,71 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-overlap matrix: vocabulary Jaccard between every pair of
+# sources — the "are these two crawls the same corpus" screen run before
+# mixing weights are assigned. The inverted-index identity again: a
+# token contributes to |V_a ∩ V_b| iff it appears in both sources, so
+# the pair counts come from an equi self-join of the DISTINCT
+# (source, token) table ON TOKEN (vocab-sized, map-side combined) —
+# never a vocabulary cross product. |V_a ∪ V_b| = |V_a| + |V_b| - inter.
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_SQL = f"""
+WITH st AS (
+    SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+),
+vsize AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, va.nv AS vocab_a, vb.nv AS vocab_b, i.n_shared,
+       {R('CAST(i.n_shared AS DOUBLE) / (va.nv + vb.nv - i.n_shared)', 6)}
+           AS vocab_jaccard
+FROM inter i
+JOIN vsize va ON va.source = i.src_a
+JOIN vsize vb ON vb.source = i.src_b
+"""
+
+
+@register("source_vocab_overlap", _SRC_OVERLAP_SQL)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources via a token-keyed
+    self-join of the distinct (source, token) table."""
+    d = read_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    vsize = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    va = vsize.select(F.col("source").alias("src_a"), F.col("nv").alias("vocab_a"))
+    vb = vsize.select(F.col("source").alias("src_b"), F.col("nv").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a", "src_b", "vocab_a", "vocab_b", "n_shared",
+            dround(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )

@@ -807,3 +807,78 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Post-stratified treatment effect: the A/B estimate re-weighted within
+# activity strata — guards against an activity imbalance between arms
+# biasing the naive difference (and typically cuts variance, CUPED's
+# blunt cousin). Users land in quartile strata of EVENT COUNT via four
+# broadcast percentile thresholds (the ntile-free bucketing helper
+# pattern); each stratum reports its per-arm means and difference, so
+# the pooled ATE = sum(w_s * ate_s) is reconstructible from the rows.
+# ---------------------------------------------------------------------------
+
+_STRATA_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, user_id % 2 AS arm,
+           CAST(count(*) AS DOUBLE) AS v,
+           sum(value) AS y
+    FROM events GROUP BY user_id
+),
+th AS (
+    SELECT {", ".join(f"{R(f'quantile_cont(v, {q / 4})', 6)} AS t{q}" for q in range(1, 4))}
+    FROM per_user
+),
+strat AS (
+    SELECT arm, y,
+           ({" + ".join(f"CASE WHEN v > t{q} THEN 1 ELSE 0 END" for q in range(1, 4))}) AS stratum
+    FROM per_user CROSS JOIN th
+)
+SELECT stratum,
+       CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+       CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+       {R('avg(y) FILTER (arm = 0)', 6)} AS mean_a,
+       {R('avg(y) FILTER (arm = 1)', 6)} AS mean_b,
+       {R('avg(y) FILTER (arm = 0) - avg(y) FILTER (arm = 1)', 6)} AS ate
+FROM strat GROUP BY stratum
+"""
+
+
+@register("ab_stratified_ate", _STRATA_SQL)
+def ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-activity-stratum arm means and treatment-effect estimate
+    (quartile strata from broadcast thresholds over per-user counts)."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("value").alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    th = per_user.agg(
+        *[
+            dround(F.percentile(F.col("v"), F.lit(q / 4)), 6).alias(f"t{q}")
+            for q in range(1, 4)
+        ]
+    )
+    stratum = sum(
+        F.when(F.col("v") > F.col(f"t{q}"), 1).otherwise(0)
+        for q in range(1, 4)
+    )
+    strat = per_user.crossJoin(F.broadcast(th)).select(
+        "arm", "y", stratum.alias("stratum")
+    )
+
+    def arm_avg(a):
+        return F.avg(F.when(F.col("arm") == a, F.col("y")))
+
+    return strat.groupBy("stratum").agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1)))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n_b"),
+        dround(arm_avg(0), 6).alias("mean_a"),
+        dround(arm_avg(1), 6).alias("mean_b"),
+        dround(arm_avg(0) - arm_avg(1), 6).alias("ate"),
+    )

@@ -95,6 +95,8 @@ REPRESENTATIVES = [
     "survival_km_curve",
     "benford_digit_audit",
     "vocab_growth_curve",
+    "source_vocab_overlap",
+    "ab_stratified_ate",
 ]
 
 

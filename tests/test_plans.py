@@ -134,6 +134,8 @@ def test_projection_prunes_scan_columns(spark):
         "gini_spend_concentration",
         "vocab_growth_curve",
         "funnel_time_bounded",
+        "source_vocab_overlap",
+        "ab_stratified_ate",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
