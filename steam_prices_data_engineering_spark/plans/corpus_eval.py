@@ -1071,3 +1071,50 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity index per source: Shannon entropy of the unigram
+# distribution and its exponential ("effective vocabulary" — the number
+# of equally-likely tokens that would produce the same entropy; the
+# perplexity of the source's own unigram LM). Comparable across sources
+# of different sizes where raw vocab counts aren't. One (source, token)
+# aggregate, entropy folded per source from the count table.
+# ---------------------------------------------------------------------------
+
+_EFFVOCAB_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source)
+SELECT cnt.source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+       {R('-sum((c / tot.n) * ln(c / tot.n))', 6)} AS entropy_nats,
+       {R('exp(-sum((c / tot.n) * ln(c / tot.n)))', 4)} AS effective_vocab
+FROM cnt JOIN tot ON tot.source = cnt.source
+GROUP BY cnt.source
+"""
+
+
+@register("effective_vocab_by_source", _EFFVOCAB_SQL)
+def effective_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy and effective vocabulary exp(H)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = cnt.groupBy(F.col("source").alias("tsrc")).agg(
+        F.sum("c").alias("n")
+    )
+    j = cnt.join(F.broadcast(tot), cnt.source == tot.tsrc)
+    p = F.col("c") / F.col("n")
+    h = -F.sum(p * F.log(p))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.first("n").cast("long").alias("n_tokens"),
+        dround(h, 6).alias("entropy_nats"),
+        dround(F.exp(h), 4).alias("effective_vocab"),
+    )

@@ -97,6 +97,7 @@ REPRESENTATIVES = [
     "vocab_growth_curve",
     "source_vocab_overlap",
     "ab_stratified_ate",
+    "effective_vocab_by_source",
 ]
 
 

@@ -136,6 +136,7 @@ def test_projection_prunes_scan_columns(spark):
         "funnel_time_bounded",
         "source_vocab_overlap",
         "ab_stratified_ate",
+        "effective_vocab_by_source",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
