@@ -882,3 +882,82 @@ def ab_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(arm_avg(1), 6).alias("mean_b"),
         dround(arm_avg(0) - arm_avg(1), 6).alias("ate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: exact share of total spend held by the top 1% /
+# 10% / 20% of customers. Tie-exact via the uniform straddle formula —
+# for cutoff k, a value group of c customers after R predecessors (in
+# DESCENDING spend order) contributes v * least(c, greatest(0, k - R)):
+# full if inside, pro-rated if straddling, zero if outside. Cumulative
+# windows over DISTINCT spend values (the Gini/AUC scale pattern); the
+# three fractions are a broadcast dim over the same compact table.
+# ---------------------------------------------------------------------------
+
+_PARETO_FRACS = (0.01, 0.1, 0.2)
+
+_PARETO_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, {R('sum(o_totalprice)', 2)} AS v
+    FROM orders GROUP BY o_custkey
+),
+grp AS (
+    SELECT v, CAST(count(*) AS DOUBLE) AS c FROM per_cust GROUP BY v
+),
+cum AS (
+    SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS r0
+    FROM grp
+),
+tot AS (SELECT sum(c) AS n, sum(c * v) AS s FROM cum),
+f AS (SELECT CAST(unnest([{", ".join(str(x) for x in _PARETO_FRACS)}]) AS DOUBLE) AS pct)
+SELECT f.pct,
+       CAST(floor(f.pct * tot.n) AS BIGINT) AS top_k,
+       {R('sum(v * least(c, greatest(0.0, floor(f.pct * tot.n) - r0))) / tot.s', 6)}
+           AS spend_share
+FROM cum CROSS JOIN tot CROSS JOIN f
+GROUP BY f.pct, tot.n, tot.s
+"""
+
+
+@register("pareto_spend_share", _PARETO_SQL)
+def pareto_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1%/10%/20% spend concentration with tie pro-rating."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dround(F.sum("o_totalprice"), 2).alias("v")
+    )
+    grp = per_cust.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.withColumn(
+        "r0", F.coalesce(F.sum("c").over(w), F.lit(0.0))
+    )
+    tot = cum.agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("v")).alias("s")
+    )
+    fracs = o.sparkSession.createDataFrame(
+        [(x,) for x in _PARETO_FRACS], "pct double"
+    )
+    k = F.floor(F.col("pct") * F.col("n"))
+    contrib = F.col("v") * F.least(
+        F.col("c"), F.greatest(F.lit(0.0), k - F.col("r0"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(fracs))
+        .groupBy("pct", "n", "s")
+        .agg(
+            F.first(k).cast("long").alias("top_k"),
+            dround(F.sum(contrib) / F.first("s"), 6).alias("spend_share"),
+        )
+        .select(
+            "pct",
+            "top_k",
+            "spend_share",
+        )
+    )

@@ -137,6 +137,7 @@ def test_projection_prunes_scan_columns(spark):
         "source_vocab_overlap",
         "ab_stratified_ate",
         "effective_vocab_by_source",
+        "pareto_spend_share",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
