@@ -1118,3 +1118,81 @@ def effective_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(h, 6).alias("entropy_nats"),
         dround(F.exp(h), 4).alias("effective_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank) over each
+# source's top-100 tokens — natural language sits near -1; generated or
+# templated text bends the curve. Companion diagnostic to the Heaps
+# curve (vocab_growth_curve). The rank window partitions by source over
+# the vocab-sized count table (WindowGroupLimit keeps 100 per source);
+# the OLS derives from explicit moment sums, engine-identical.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+_ZIPF_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok ASC) AS r
+    FROM cnt
+),
+pts AS (
+    SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(c) AS y
+    FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+mom AS (
+    SELECT source, CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM pts GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_points,
+       {R('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} AS zipf_slope,
+       {R('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)} AS intercept
+FROM mom
+"""
+
+
+@register("zipf_fit_by_source", _ZIPF_SQL)
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf slope/intercept per source over the top-100 token ranks
+    (explicit-moment regression; per-source rank window)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    pts = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log("c").alias("y"),
+        )
+    )
+    mom = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        "source",
+        F.col("n").cast("long").alias("n_points"),
+        dround(slope, 6).alias("zipf_slope"),
+        dround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -98,6 +98,7 @@ REPRESENTATIVES = [
     "source_vocab_overlap",
     "ab_stratified_ate",
     "effective_vocab_by_source",
+    "zipf_fit_by_source",
 ]
 
 

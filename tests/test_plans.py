@@ -138,6 +138,7 @@ def test_projection_prunes_scan_columns(spark):
         "ab_stratified_ate",
         "effective_vocab_by_source",
         "pareto_spend_share",
+        "zipf_fit_by_source",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
