@@ -1,0 +1,630 @@
+"""Decision-support analytics over the fact tables (round-2 extension
+families): recommendation (item-item collaborative filtering), geospatial
+proximity join, time-series diagnostics (ACF, CUSUM change detection),
+experiment design (power / minimum detectable effect), information-
+theoretic feature ranking, and RFM customer segmentation.
+
+These extend the reference's analytics surface (SURVEY.md §2b) with the
+operators a production data platform runs NEXT to an ETL like
+`/root/reference/Scripts/steam_prices/transformers/steam_prices_transformer.py`
+once the facts land: each is a standard published technique re-expressed
+as a declarative Spark plan with a DuckDB oracle twin.
+
+Scale design notes (100 TB):
+- item-item CF: the Apriori downward-closure prefilter bounds the basket
+  self-join to individually-frequent items (same discipline as
+  `behavioral.py:frequent_itempairs`); the top-k neighbor window is
+  per-item bounded state after aggregation to the (item, item) grain —
+  the windowed relation is |catalog|*avg-neighbors, not |facts|.
+- spatial join: cell-bucketed equi join with a 3x3 neighbor probe —
+  candidate generation is a hash join on the cell key, never all-pairs;
+  the haversine verify runs post-join on candidates only. The 1-degree
+  cell (>= 55.5 km of longitude inside the synthesized |lat| <= 60 band)
+  dominates the 25 km radius, so the 3x3 probe is provably complete.
+- ACF / CUSUM: both run on the DAY-grain aggregate, whose cardinality is
+  calendar-bounded (thousands of rows regardless of fact volume), so the
+  single-partition ordered window in CUSUM is safe at any corpus scale;
+  the heavy lifting (day rollup) is one map-side-combined aggregation.
+- power/MDE + mutual information: single conditional-sum scans emitting
+  monoid columns; everything downstream is arithmetic on tiny frames.
+- RFM: one fact-table aggregation to customer grain, then three ntile
+  windows over the |customers| relation (global windows over a
+  dimension-sized frame; at larger |customers| swap in range-bucketed
+  percent_rank, same contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import md5_hex6_to_int
+from ..functions.sqlfrag import sql_md5_hex6_to_int
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (cosine over co-occurrence): the
+# classic neighborhood recommender (Sarwar et al. 2001, "Item-based
+# collaborative filtering recommendation algorithms"). Baskets = orders;
+# similarity(a, b) = co(a, b) / sqrt(n(a) * n(b)); top-3 neighbors per
+# item. Counts are integers, so the cosine is bit-identical across
+# engines with no rounding step.
+# ---------------------------------------------------------------------------
+
+_CF_MINSUP = 3
+_CF_TOPK = 3
+
+_ITEM_CF_SQL = f"""
+WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+    SELECT l_partkey, count(*) AS c FROM bp GROUP BY 1
+    HAVING count(*) >= {_CF_MINSUP}
+),
+fbp AS (SELECT bp.* FROM bp SEMI JOIN freq USING (l_partkey)),
+co AS (
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS support
+    FROM fbp a JOIN fbp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_CF_MINSUP}
+),
+scored AS (
+    SELECT co.item_a, co.item_b, co.support,
+           co.support / sqrt(CAST(fa.c AS DOUBLE) * fb.c) AS cosine
+    FROM co
+    JOIN freq fa ON fa.l_partkey = co.item_a
+    JOIN freq fb ON fb.l_partkey = co.item_b
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY item_a ORDER BY cosine DESC, item_b
+    ) AS rec_rank
+    FROM scored
+)
+SELECT item_a, CAST(rec_rank AS BIGINT) AS rec_rank, item_b,
+       CAST(support AS BIGINT) AS support, {R("cosine", 6)} AS cosine
+FROM ranked WHERE rec_rank <= {_CF_TOPK}
+"""
+
+
+@register("item_item_cosine", _ITEM_CF_SQL)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 item-item neighbors by co-occurrence cosine, minsup=3.
+
+    Apriori-pruned like `frequent_itempairs`; both pair directions are
+    generated so the per-item top-k window sees every neighbor."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        bp.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CF_MINSUP)
+    )
+    fbp = bp.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+    a, b = fbp.alias("a"), fbp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _CF_MINSUP)
+    )
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("cb"))
+    scored = (
+        co.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            (
+                F.col("support")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("cosine"), F.asc("item_b"))
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= _CF_TOPK)
+        .select(
+            "item_a",
+            F.col("rec_rank").cast("long").alias("rec_rank"),
+            "item_b",
+            F.col("support").cast("long").alias("support"),
+            dround(F.col("cosine"), 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial proximity join: deterministic synthetic coordinates per
+# customer (md5-derived, |lat| < 5 degrees so every 1-degree cell spans
+# >= 110 km of longitude), 1-degree cell bucketing, 3x3 neighbor-cell
+# probe, haversine verify at 25 km. The cell equi join IS the scale
+# design — candidates are cell-local, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_GEO_RADIUS_KM = 25.0
+_GEO_EARTH_KM = 6371.0
+
+_LAT_KEY = "concat_ws('', 'glat_', CAST(c_custkey AS VARCHAR))"
+_LON_KEY = "concat_ws('', 'glon_', CAST(c_custkey AS VARCHAR))"
+_LAT_SQL = f"(({sql_md5_hex6_to_int(_LAT_KEY)}) % 50000) / 10000.0"
+_LON_SQL = f"(({sql_md5_hex6_to_int(_LON_KEY)}) % 50000) / 10000.0"
+
+_SPATIAL_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+    FROM customer
+),
+cells AS (
+    SELECT c_custkey, lat, lon,
+           CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+    FROM pts
+),
+probe AS (
+    SELECT c.c_custkey, c.lat, c.lon, c.cy + dy.v AS py, c.cx + dx.v AS px
+    FROM cells c
+    CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+    CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+),
+cand AS (
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           2 * {_GEO_EARTH_KM} * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2)
+                 * sin(radians(b.lon - a.lon) / 2)
+           )) AS dist
+    FROM probe a JOIN cells b
+      ON a.py = b.cy AND a.px = b.cx AND a.c_custkey < b.c_custkey
+)
+SELECT cust_a, cust_b, {R("dist", 3)} AS dist_km
+FROM cand WHERE {R("dist", 3)} <= {_GEO_RADIUS_KM}
+"""
+
+
+def _geo_coord(salt: str) -> F.Column:
+    key = F.concat_ws("", F.lit(salt), F.col("c_custkey").cast("string"))
+    return (md5_hex6_to_int(key) % 50000) / F.lit(10000.0)
+
+
+@register("spatial_cell_join", _SPATIAL_SQL)
+def spatial_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer pairs within 25 km: cell-bucketed candidate join + exact
+    haversine verify. Each qualifying pair is produced exactly once (the
+    probe side enumerates the 3x3 neighborhood; the build side sits in
+    its single home cell)."""
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        _geo_coord("glat_").alias("lat"),
+        _geo_coord("glon_").alias("lon"),
+    )
+    cells = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+    )
+    build = cells.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cy").alias("py"),
+        F.col("cx").alias("px"),
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    dist = (
+        2
+        * _GEO_EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat) * F.sin(dlat)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.sin(dlon)
+                * F.sin(dlon)
+            )
+        )
+    )
+    return (
+        probe.join(
+            build,
+            ["py", "px"],
+        )
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select("cust_a", "cust_b", dround(dist, 3).alias("dist_km"))
+        .filter(F.col("dist_km") <= _GEO_RADIUS_KM)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily order revenue at lags 1..7 (Box &
+# Jenkins time-series diagnostics): pairs (day t, day t-L) via a shifted
+# self-join per lag, Pearson corr per lag. The lag table is a 7-row
+# broadcast; the series is the calendar-bounded day rollup.
+# ---------------------------------------------------------------------------
+
+_ACF_MAXLAG = 7
+
+_DAILY_REV = """daily AS (
+    SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) AS d,
+           CAST(sum(o_totalprice) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+)"""
+
+_ACF_SQL = f"""
+WITH {_DAILY_REV},
+lags AS (SELECT v AS lag FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) l(v)),
+pairs AS (
+    SELECT l.lag, a.rev AS x, b.rev AS y
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.d = a.d - l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       {R("corr(x, y)", 6)} AS acf
+FROM pairs GROUP BY lag
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_orderdate").cast("long") / 86400)
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum("o_totalprice").cast("double").alias("rev"))
+
+
+@register("acf_daily_revenue", _ACF_SQL)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..7) of the daily revenue series: per-lag shifted self-join
+    of the day rollup, sample Pearson correlation per lag."""
+    daily = _daily_revenue(spark, sf_dir)
+    lags = spark.range(1, _ACF_MAXLAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d"), F.col("rev").alias("x")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = daily.select(F.col("d").alias("d_prev"), F.col("rev").alias("y"))
+    pairs = a.join(b, a["d"] - a["lag"] == b["d_prev"])
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        dround(F.corr("x", "y"), 6).alias("acf"),
+    ).select(F.col("lag").cast("long").alias("lag"), "n_pairs", "acf")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (Page 1954): standardize the daily
+# revenue series against its global mean/sd, accumulate the z-scores in
+# day order, and flag the day where |CUSUM| peaks — the classic
+# shift-in-mean detector. The ordered window runs on the calendar-
+# bounded day grain (see module docstring).
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = f"""
+WITH {_DAILY_REV},
+stats AS (SELECT avg(rev) AS mu, stddev(rev) AS sd FROM daily),
+c AS (
+    SELECT d, {R("sum((rev - mu) / sd) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS cusum
+    FROM daily CROSS JOIN stats
+),
+m AS (SELECT max(abs(cusum)) AS peak FROM c)
+SELECT d AS day_num, cusum, (abs(cusum) = m.peak) AS at_peak
+FROM c CROSS JOIN m
+"""
+
+
+@register("cusum_changepoint", _CUSUM_SQL)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CUSUM of standardized daily revenue with the peak-|CUSUM|
+    day flagged (the estimated change point)."""
+    daily = _daily_revenue(spark, sf_dir)
+    stats = daily.agg(
+        F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sd")
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.crossJoin(F.broadcast(stats)).select(
+        F.col("d").alias("day_num"),
+        dround(
+            F.sum((F.col("rev") - F.col("mu")) / F.col("sd")).over(w), 6
+        ).alias("cusum"),
+    )
+    m = c.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "day_num",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.col("peak")).alias("at_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment design: power analysis / minimum detectable effect per
+# event type at alpha=0.05 (two-sided), power=0.80, arms assigned by the
+# user-id parity discipline of `ab_test_welch`. MDE and the required
+# per-arm n for a 5%-of-mean effect derive from one conditional-sum
+# scan; z quantiles are literals so both engines run identical doubles.
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959964  # Phi^-1(0.975)
+_Z_BETA = 0.841621  # Phi^-1(0.80)
+_MDE_REL_TARGET = 0.05
+
+_POWER_SQL = f"""
+WITH agg AS (
+    SELECT event_type,
+           count(*) FILTER (user_id % 2 = 0) AS na,
+           sum(value) FILTER (user_id % 2 = 0) AS sa,
+           sum(value * value) FILTER (user_id % 2 = 0) AS qa,
+           count(*) FILTER (user_id % 2 = 1) AS nb,
+           sum(value) FILTER (user_id % 2 = 1) AS sb,
+           sum(value * value) FILTER (user_id % 2 = 1) AS qb
+    FROM events GROUP BY event_type
+),
+d AS (
+    SELECT event_type, na, nb,
+           (sa + sb) / (na + nb) AS pooled_mean,
+           (qa - sa * sa / na) / (na - 1) AS va,
+           (qb - sb * sb / nb) / (nb - 1) AS vb
+    FROM agg
+),
+e AS (
+    SELECT event_type, na, nb, pooled_mean, va, vb,
+           ({_Z_ALPHA} + {_Z_BETA}) * sqrt(va / na + vb / nb) AS mde_abs
+    FROM d
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {R("mde_abs", 6)} AS mde_abs,
+       {R("mde_abs / pooled_mean", 6)} AS mde_rel,
+       CAST(ceil(
+           ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA}) * (va + vb)
+           / (({_MDE_REL_TARGET} * pooled_mean) * ({_MDE_REL_TARGET} * pooled_mean))
+       ) AS BIGINT) AS n_required_per_arm
+FROM e
+"""
+
+
+@register("ab_power_mde", _POWER_SQL)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MDE at current sample sizes and the per-arm n
+    required to detect a 5%-of-mean effect (alpha=.05, power=.80)."""
+    e = read_table(spark, sf_dir, "events")
+    arm_a = F.col("user_id") % 2 == 0
+
+    def cs(cond, col):
+        return F.sum(F.when(cond, col))
+
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(arm_a, F.lit(1))).alias("na"),
+        cs(arm_a, F.col("value")).alias("sa"),
+        cs(arm_a, F.col("value") * F.col("value")).alias("qa"),
+        F.count(F.when(~arm_a, F.lit(1))).alias("nb"),
+        cs(~arm_a, F.col("value")).alias("sb"),
+        cs(~arm_a, F.col("value") * F.col("value")).alias("qb"),
+    )
+    pooled_mean = (F.col("sa") + F.col("sb")) / (F.col("na") + F.col("nb"))
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    z = _Z_ALPHA + _Z_BETA
+    mde_abs = F.lit(z) * F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    delta = F.lit(_MDE_REL_TARGET) * pooled_mean
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        dround(mde_abs, 6).alias("mde_abs"),
+        dround(mde_abs / pooled_mean, 6).alias("mde_rel"),
+        F.ceil(F.lit(z) * F.lit(z) * (va + vb) / (delta * delta))
+        .cast("long")
+        .alias("n_required_per_arm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (information-gain feature selection,
+# Cover & Thomas ch. 2): MI(feature; o_orderstatus) for two candidate
+# categorical features, plus the label entropy and the normalized MI.
+# One joint-count aggregation per feature; marginals via window sums
+# over the joint table (no second fact scan).
+# ---------------------------------------------------------------------------
+
+
+def _mi_sql(feature_expr: str, feature_name: str, joint_src: str) -> str:
+    return f"""
+SELECT '{feature_name}' AS feature,
+       CAST(count(DISTINCT fx) AS BIGINT) AS n_classes,
+       {R("sum((c / n) * ln(c * n / (cf * cy)))", 6)} AS mi,
+       {R("sum(CASE WHEN rn = 1 THEN -(cy / n) * ln(cy / n) ELSE 0.0 END)", 6)} AS h_label,
+       {R("sum((c / n) * ln(c * n / (cf * cy))) / sum(CASE WHEN rn = 1 THEN -(cy / n) * ln(cy / n) ELSE 0.0 END)", 6)} AS nmi
+FROM (
+    SELECT fx, y, c,
+           CAST(sum(c) OVER (PARTITION BY fx) AS DOUBLE) AS cf,
+           CAST(sum(c) OVER (PARTITION BY y) AS DOUBLE) AS cy,
+           CAST(sum(c) OVER () AS DOUBLE) AS n,
+           row_number() OVER (PARTITION BY y ORDER BY fx) AS rn
+    FROM (
+        SELECT {feature_expr} AS fx, o_orderstatus AS y,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM {joint_src} GROUP BY 1, 2
+    )
+)
+"""
+
+
+_MI_SQL = (
+    _mi_sql(
+        "c_mktsegment",
+        "c_mktsegment",
+        "(SELECT c_mktsegment, o_orderstatus FROM orders "
+        "JOIN customer ON c_custkey = o_custkey)",
+    )
+    + " UNION ALL "
+    + _mi_sql("o_orderpriority", "o_orderpriority", "orders")
+)
+
+
+def _mi_frame(joint: DataFrame, feature_name: str) -> DataFrame:
+    """(feature, n_classes, mi, h_label, nmi) from a (fx, y, c) joint
+    count table; marginals via window sums, entropy over distinct y."""
+    wf = Window.partitionBy("fx")
+    wy = Window.partitionBy("y")
+    wn = Window.partitionBy()
+    wr = Window.partitionBy("y").orderBy("fx")
+    staged = joint.select(
+        "fx",
+        "y",
+        F.col("c").cast("double").alias("c"),
+        F.sum("c").over(wf).cast("double").alias("cf"),
+        F.sum("c").over(wy).cast("double").alias("cy"),
+        F.sum("c").over(wn).cast("double").alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    mi = F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") * F.col("n") / (F.col("cf") * F.col("cy"))))
+    h = F.sum(
+        F.when(
+            F.col("rn") == 1,
+            -(F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n")),
+        ).otherwise(F.lit(0.0))
+    )
+    return staged.agg(
+        F.lit(feature_name).alias("feature"),
+        F.count_distinct("fx").cast("long").alias("n_classes"),
+        dround(mi, 6).alias("mi"),
+        dround(h, 6).alias("h_label"),
+        dround(mi / h, 6).alias("nmi"),
+    )
+
+
+@register("mutual_info_features", _MI_SQL)
+def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(feature; order status) for c_mktsegment and o_orderpriority:
+    joint-count aggregation per feature, marginals by window sums."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    seg_joint = (
+        o.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("fx"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pri_joint = o.groupBy(
+        F.col("o_orderpriority").alias("fx"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return _mi_frame(seg_joint, "c_mktsegment").unionByName(
+        _mi_frame(pri_joint, "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (Hughes 1994, the standard direct-marketing customer
+# grid): per-customer Recency / Frequency / Monetary, quartile-scored by
+# ntile(4), reported as segment cells. Scores are computed on ROUNDED
+# monetary sums with customer-id tie-breaks so the quartile order is a
+# deterministic total order in both engines.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = f"""
+WITH mx AS (SELECT max(floor(epoch(o_orderdate))) AS mxe FROM orders),
+cust AS (
+    SELECT o_custkey,
+           CAST(floor((mx.mxe - max(floor(epoch(o_orderdate)))) / 86400.0) AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS freq,
+           {R("sum(o_totalprice)", 2)} AS monetary
+    FROM orders CROSS JOIN mx
+    GROUP BY o_custkey, mx.mxe
+),
+scored AS (
+    SELECT monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {R("avg(monetary)", 4)} AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_segments", _RFM_SQL)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile grid: customers per (R, F, M) score cell with the
+    cell's average monetary value. Quartiles via ntile(4) on fully
+    tie-broken orders (rounded monetary + custkey)."""
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("long")).alias("mxe"))
+    cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxe")
+        .agg(
+            F.max(F.col("o_orderdate").cast("long")).alias("last_e"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            dround(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.floor((F.col("mxe") - F.col("last_e")) / 86400.0)
+            .cast("long")
+            .alias("recency_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        dround(F.avg("monetary"), 4).alias("avg_monetary"),
+    )

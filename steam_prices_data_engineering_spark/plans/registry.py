@@ -101,7 +101,10 @@ _PRIORITY: tuple[str, ...] = (
     # local gate; their slots go to the round-2 layout + reconciliation
     # families below)
     "price_parse_locale",
-    "proj_filter_customers",
+    # proj_filter_customers rotates to the local gate (r01-green; §2a core
+    # keeps price_parse_locale) in favor of the round-2c recommendation
+    # family (item-item collaborative filtering, plans/insights.py).
+    "item_item_cosine",
     # top1_recency rotates to the local gate (r01-green; §2a core keeps
     # price_parse_locale + proj_filter_customers) in favor of batch
     # sessionization. embedding_dim_stats / contrastive_negatives /
@@ -117,7 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     # tpch_q1 rotates to the local gate (r01-green; 4 SQL-surface reps
     # remain) in favor of the time-series family, previously unsampled.
     "ohlc_bars",
-    "tpch_q5_local_volume",
+    # tpch_q5_local_volume rotates to the local gate (r01-green; the
+    # TPC-H/SQL surface keeps q18 + scripting) in favor of the round-2c
+    # geospatial family (cell-bucketed proximity join, plans/insights.py).
+    "spatial_cell_join",
     "sql_tpch_q18_large_orders",
     # sql_recursive_cte_paths rotates to the local gate (the SQL-surface
     # family keeps q5/q18/scripting; recursive CTE stays pinned by
@@ -138,7 +144,10 @@ _PRIORITY: tuple[str, ...] = (
     # were driver-green in r01 and stay under the full local gate.
     "dedup_pipeline_report",
     "substring_dup_spans",
-    "neardup_minhash_lsh",
+    # neardup_minhash_lsh rotates to the local gate (r01-green; the
+    # shingle inverted index stays sampled via the new containment tier,
+    # and the LSH band discipline via simsearch_lsh_topk).
+    "containment_dedup_pairs",
     # simhash fingerprinting rotates to the local gate (r01-green; 6
     # dedup-tier reps remain) in favor of the privacy-release family.
     "dp_noisy_release",
@@ -1271,3 +1280,4 @@ from . import bpe as _bpe  # noqa: E402,F401
 from . import corpus_select as _corpus_select  # noqa: E402,F401
 from . import retrieval as _retrieval  # noqa: E402,F401
 from . import semantic_dedup as _semantic_dedup  # noqa: E402,F401
+from . import insights as _insights  # noqa: E402,F401

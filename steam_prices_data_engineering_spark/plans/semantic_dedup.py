@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_shinglehash_ctes
 from ..functions.text import tokens
 from ..functions.vectors import dot, norm, to_double_array
 from ..sources.tables import read_table
@@ -248,4 +249,90 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (Broder 1997's "containment" resemblance variant,
+# the signal SuperMinHash/"one-sided dup" pipelines use): directional
+# |A ∩ B| / |A| over distinct shingle sets — catches a document EMBEDDED
+# inside a larger one, which symmetric Jaccard dilutes below threshold.
+# Candidates come from the shingle inverted index (the join count IS the
+# intersection size), after dropping "promiscuous" shingles that appear
+# in more than _CONT_DF_CAP documents — the standard df-cap that bounds
+# posting-list fan-out at corpus scale. Containment is then computed
+# over the CAPPED sets on both sides (a well-defined semantic both
+# engines replay exactly; docs whose entire set is promiscuous drop out).
+# Scale: the only shuffles are the posting groupBys and the capped
+# posting self-join keyed on the shingle hash; per-key fan-out is
+# <= _CONT_DF_CAP^2 by construction, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_CONT_TAU = 0.8
+_CONT_DF_CAP = 50
+
+_CONTAIN_SQL = f"""
+WITH {sql_shinglehash_ctes()},
+posting0 AS (SELECT doc_id, unnest(hs) AS h FROM shinglehash),
+keep AS (
+    SELECT h FROM posting0 GROUP BY h
+    HAVING count(*) <= {_CONT_DF_CAP}
+),
+posting AS (SELECT p.* FROM posting0 p SEMI JOIN keep USING (h)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM posting GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, count(*) AS shared
+    FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.inner_doc, s.outer_doc,
+       CAST(s.shared AS BIGINT) AS shared_shingles,
+       CAST(sa.sz AS BIGINT) AS inner_size,
+       {R("s.shared / CAST(sa.sz AS DOUBLE)", 6)} AS containment
+FROM shared s JOIN sizes sa ON sa.doc_id = s.inner_doc
+WHERE {R("s.shared / CAST(sa.sz AS DOUBLE)", 6)} >= {_CONT_TAU}
+"""
+
+
+@register("containment_dedup_pairs", _CONTAIN_SQL)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (inner ⊆ outer at >= 0.8) over
+    df-capped distinct shingle sets; inverted-index candidates only.
+
+    Composes `operators/dedup.py:hashed_shingle_table` (the cached
+    shared first stage of the shingle family)."""
+    from ..operators.dedup import hashed_shingle_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = hashed_shingle_table(docs)
+    posting0 = hashed.select("doc_id", F.explode("hs").alias("h"))
+    keep = (
+        posting0.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("h")
+    )
+    posting = posting0.join(keep, "h", "left_semi").cache()
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = posting.select(F.col("doc_id").alias("inner_doc"), "h")
+    b = posting.select(F.col("doc_id").alias("outer_doc"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = dround(F.col("shared") / F.col("sz").cast("double"), 6)
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("inner_doc"), "sz"), "inner_doc"
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            F.col("sz").cast("long").alias("inner_size"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONT_TAU)
     )

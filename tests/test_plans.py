@@ -139,6 +139,14 @@ def test_projection_prunes_scan_columns(spark):
         "effective_vocab_by_source",
         "pareto_spend_share",
         "zipf_fit_by_source",
+        "item_item_cosine",
+        "spatial_cell_join",
+        "acf_daily_revenue",
+        "cusum_changepoint",
+        "ab_power_mde",
+        "mutual_info_features",
+        "rfm_segments",
+        "containment_dedup_pairs",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -650,3 +658,29 @@ def test_session_ids_single_exchange(spark):
     plan = _plan(spark, "session_ids_batch")
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange == 1, plan
+
+
+def test_item_item_cf_broadcasts_frequency_dims(spark):
+    """The Apriori prefilter and both cosine-denominator lookups are
+    broadcast joins of the tiny frequency table; the only big-big join
+    is the basket self-join on the order key. Never a cartesian."""
+    tree = _plan(spark, "item_item_cosine").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_spatial_join_is_cell_equi_join(spark):
+    """Candidate generation is an equi join on the (cell-y, cell-x) key
+    after the 9-row offset broadcast — the only nested-loop join in the
+    plan is that bounded offset explode, never point x point."""
+    tree = _plan(spark, "spatial_cell_join").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree, tree
+
+
+def test_containment_reuses_cached_posting(spark):
+    """Both sides of the posting self-join read the CACHED df-capped
+    posting table (one tokenize+shingle+cap pass, not two)."""
+    tree = _plan(spark, "containment_dedup_pairs").split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") >= 2, tree
+    assert "CartesianProduct" not in tree, tree

@@ -93,6 +93,10 @@ def test_driver_sample_spans_families():
         "incremental_agg_merge",        # incremental view maintenance
         "session_ids_batch",            # batch sessionization
         "drift_psi_report",             # drift monitoring (PSI)
+        # round-2c decision-support families (plans/insights.py)
+        "item_item_cosine",             # recommendation (item-item CF)
+        "spatial_cell_join",            # geospatial proximity join
+        "containment_dedup_pairs",      # directional containment dedup
     }
     missing = must_have - set(first50)
     assert not missing, missing
