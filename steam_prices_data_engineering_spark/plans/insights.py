@@ -628,3 +628,181 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         dround(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtesting: seasonal-naive (t-7, Hyndman & Athanasopoulos'
+# baseline for weekly-seasonal series) vs naive (t-1) daily-revenue
+# forecasts, scored by MAE / MAPE / bias over every day with both
+# ancestors. The standard "beat the naive baseline or don't ship"
+# gate; both predictions are shifted self-joins of the day rollup.
+# ---------------------------------------------------------------------------
+
+_BACKTEST_SQL = f"""
+WITH {_DAILY_REV},
+pred AS (
+    SELECT c.d, c.rev AS actual, p1.rev AS naive_pred, p7.rev AS snaive_pred
+    FROM daily c
+    JOIN daily p1 ON p1.d = c.d - 1
+    JOIN daily p7 ON p7.d = c.d - 7
+)
+SELECT 'naive_t1' AS model, CAST(count(*) AS BIGINT) AS n_days,
+       {R("avg(abs(naive_pred - actual))", 4)} AS mae,
+       {R("avg(abs(naive_pred - actual) / actual)", 6)} AS mape,
+       {R("avg(naive_pred - actual)", 4)} AS bias
+FROM pred
+UNION ALL
+SELECT 'snaive_t7' AS model, CAST(count(*) AS BIGINT) AS n_days,
+       {R("avg(abs(snaive_pred - actual))", 4)} AS mae,
+       {R("avg(abs(snaive_pred - actual) / actual)", 6)} AS mape,
+       {R("avg(snaive_pred - actual)", 4)} AS bias
+FROM pred
+"""
+
+
+@register("forecast_backtest_snaive", _BACKTEST_SQL)
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE/bias of naive(t-1) vs seasonal-naive(t-7) daily-revenue
+    forecasts over the joint backtest window."""
+    daily = _daily_revenue(spark, sf_dir)
+    c = daily.select(F.col("d"), F.col("rev").alias("actual"))
+    p1 = daily.select(
+        (F.col("d") + 1).alias("d"), F.col("rev").alias("naive_pred")
+    )
+    p7 = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("rev").alias("snaive_pred")
+    )
+    pred = c.join(p1, "d").join(p7, "d")
+    long = pred.select(
+        "actual",
+        F.expr(
+            "stack(2, 'naive_t1', naive_pred, 'snaive_t7', snaive_pred) "
+            "as (model, pred)"
+        ),
+    )
+    return long.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        dround(F.avg(F.abs(F.col("pred") - F.col("actual"))), 4).alias("mae"),
+        dround(
+            F.avg(F.abs(F.col("pred") - F.col("actual")) / F.col("actual")), 6
+        ).alias("mape"),
+        dround(F.avg(F.col("pred") - F.col("actual")), 4).alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (Fellegi-Sunter blocking + comparison): resolve the
+# part catalog's near-duplicate names. Records are FIRST consolidated to
+# the distinct-name grain (exact-match pre-consolidation — the step that
+# turns a records x records comparison into a names x names one), then
+# candidate pairs come from attribute blocking on the head noun and are
+# classified by edit-distance bands. `implied_record_pairs` carries the
+# consolidation weight (how many raw record pairs each name pair
+# represents). At 100 TB the same shape holds: the distinct-name table
+# is vocabulary-sized, and blocking bounds every comparison batch.
+# ---------------------------------------------------------------------------
+
+_LINK_MAXLEV = 3
+
+_LINKAGE_SQL = f"""
+WITH names AS (
+    SELECT p_name, count(*) AS n_records,
+           string_split(p_name, ' ')[2] AS noun
+    FROM part GROUP BY p_name
+),
+pairs AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_records AS n_records_a, b.n_records AS n_records_b,
+           levenshtein(a.p_name, b.p_name) AS lev
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       CAST(lev AS BIGINT) AS lev,
+       CAST(n_records_a AS BIGINT) AS n_records_a,
+       CAST(n_records_b AS BIGINT) AS n_records_b,
+       CAST(n_records_a * n_records_b AS BIGINT) AS implied_record_pairs,
+       CASE WHEN lev <= 1 THEN 'strong' ELSE 'weak' END AS match_class
+FROM pairs WHERE lev <= {_LINK_MAXLEV}
+"""
+
+
+@register("record_linkage_blocking", _LINKAGE_SQL)
+def record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-grain linkage pairs: noun blocking + levenshtein <= 3, with
+    strong/weak bands and consolidation weights."""
+    p = read_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_records"))
+    names = names.withColumn("noun", F.split(F.col("p_name"), " ")[1])
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_records").alias("n_records_a"),
+        "noun",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_records").alias("n_records_b"),
+        "noun",
+    )
+    pairs = (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= _LINK_MAXLEV)
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.col("lev").cast("long").alias("lev"),
+        F.col("n_records_a").cast("long").alias("n_records_a"),
+        F.col("n_records_b").cast("long").alias("n_records_b"),
+        (F.col("n_records_a") * F.col("n_records_b"))
+        .cast("long")
+        .alias("implied_record_pairs"),
+        F.when(F.col("lev") <= 1, F.lit("strong"))
+        .otherwise(F.lit("weak"))
+        .alias("match_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record consolidation (the "survivorship" stage of MDM/entity
+# resolution): collapse exact-name duplicate part records into one
+# canonical record per name, surfacing attribute conflicts the merge
+# must resolve (brand disagreement, price spread). One map-side-combined
+# aggregation on the name — the exact-dup consolidation that runs BEFORE
+# any fuzzy comparison at scale.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_SQL = f"""
+SELECT p_name,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(min(p_partkey) AS BIGINT) AS canonical_partkey,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       (count(DISTINCT p_brand) > 1) AS brand_conflict,
+       {R("max(p_retailprice) - min(p_retailprice)", 2)} AS price_spread,
+       {R("avg(p_retailprice)", 4)} AS merged_price
+FROM part GROUP BY p_name
+HAVING count(*) > 1
+"""
+
+
+@register("golden_record_consolidation", _GOLDEN_SQL)
+def golden_record_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship per duplicated part name: canonical key (min id),
+    brand-conflict flag, price spread, merged price."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.min("p_partkey").cast("long").alias("canonical_partkey"),
+            F.count_distinct("p_brand").cast("long").alias("n_brands"),
+            (F.count_distinct("p_brand") > 1).alias("brand_conflict"),
+            dround(F.max("p_retailprice") - F.min("p_retailprice"), 2).alias(
+                "price_spread"
+            ),
+            dround(F.avg("p_retailprice"), 4).alias("merged_price"),
+        )
+        .filter(F.col("n_records") > 1)
+    )

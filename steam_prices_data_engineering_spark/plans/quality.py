@@ -1119,3 +1119,73 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(expected, 6).alias("benford_share"),
         dround(F.pow(share - expected, 2) / expected, 6).alias("chi2_part"),
     )
+
+
+# ===========================================================================
+# l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+# successor — a QI cell can be large yet still leak if every member
+# shares the same SENSITIVE value (homogeneity attack). Per
+# (nation, segment) QI cell over the customers: distinct sensitive
+# values (account-balance thousand-band), the entropy form
+# exp(H(sensitive | cell)) that l-diversity's entropy variant uses, and
+# the l < 3 risk flag. Two aggregations over the cell x band grain —
+# the fact table is touched once; everything else is cell-cardinality.
+# ===========================================================================
+
+_LDIV_L = 3
+
+_LDIV_SQL = f"""
+WITH cb AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM customer GROUP BY 1, 2, 3
+),
+staged AS (
+    SELECT *, sum(n) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cell_n
+    FROM cb
+),
+cells AS (
+    SELECT c_nationkey, c_mktsegment,
+           sum(n) AS cell_size,
+           count(*) AS l_distinct,
+           sum(-(n / cell_n) * ln(n / cell_n)) AS h
+    FROM staged GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(cell_size AS BIGINT) AS cell_size,
+       CAST(l_distinct AS BIGINT) AS l_distinct,
+       {R("exp(h)", 6)} AS entropy_l,
+       l_distinct < {_LDIV_L} AS at_risk
+FROM cells
+"""
+
+
+@register("l_diversity_report", _LDIV_SQL)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + entropy l-diversity of the acctbal band within each
+    (nation, segment) QI cell, with the l < 3 homogeneity-risk flag."""
+    c = read_table(spark, sf_dir, "customer")
+    cb = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wcell = Window.partitionBy("c_nationkey", "c_mktsegment")
+    staged = cb.withColumn("cell_n", F.sum("n").over(wcell))
+    cells = staged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("cell_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum(
+            -(F.col("n") / F.col("cell_n"))
+            * F.log(F.col("n") / F.col("cell_n"))
+        ).alias("h"),
+    )
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cell_size",
+        "l_distinct",
+        dround(F.exp(F.col("h")), 6).alias("entropy_l"),
+        (F.col("l_distinct") < _LDIV_L).alias("at_risk"),
+    )

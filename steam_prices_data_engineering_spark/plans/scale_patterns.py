@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -957,3 +957,173 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("psum") / F.sum("pn"), 4).alias("avg_price"),
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Pre-join skew profiler: the diagnostic you run BEFORE committing a join
+# strategy at scale — per-key row counts for each candidate shuffle key,
+# reduced to (key count, max/avg skew ratio, p99 key size, the hot key).
+# This is the planner-side evidence for choosing broadcast vs salting vs
+# AQE skew-split (`skew_salted_join`): a skew_ratio near 1 means hash
+# partitioning balances; a large one names the key that will straggle.
+# One map-side-combined count per key space; the report is reduced from
+# the key-cardinality table, never the facts. The hot key is tie-broken
+# deterministically (min key id among max-count keys).
+# ---------------------------------------------------------------------------
+
+
+def _skew_profile_sql(key_space: str, key_expr: str, source: str) -> str:
+    return f"""
+SELECT '{key_space}' AS key_space,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       {R("avg(cnt)", 4)} AS avg_key_rows,
+       {R("max(cnt) / avg(cnt)", 4)} AS skew_ratio,
+       {R("quantile_cont(cnt, 0.99)", 4)} AS p99_key_rows,
+       CAST(min(CASE WHEN cnt = mx THEN k END) AS BIGINT) AS hot_key
+FROM (
+    SELECT k, cnt, max(cnt) OVER () AS mx FROM (
+        SELECT {key_expr} AS k, CAST(count(*) AS DOUBLE) AS cnt
+        FROM {source} GROUP BY 1
+    )
+)
+"""
+
+
+_SKEW_PROFILE_SQL = (
+    _skew_profile_sql("lineitem.l_partkey", "l_partkey", "lineitem")
+    + " UNION ALL "
+    + _skew_profile_sql("events.user_id", "user_id", "events")
+)
+
+
+def _skew_profile_frame(
+    df: DataFrame, key_col: str, key_space: str
+) -> DataFrame:
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    staged = counts.withColumn(
+        "mx", F.max("cnt").over(Window.partitionBy())
+    )
+    return staged.agg(
+        F.lit(key_space).alias("key_space"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        dround(F.avg("cnt"), 4).alias("avg_key_rows"),
+        dround(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        dround(F.percentile(F.col("cnt"), F.lit(0.99)), 4).alias(
+            "p99_key_rows"
+        ),
+        F.min(F.when(F.col("cnt") == F.col("mx"), F.col("k")))
+        .cast("long")
+        .alias("hot_key"),
+    )
+
+
+@register("skew_profile_report", _SKEW_PROFILE_SQL)
+def skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for two candidate join keys: key
+    cardinality, max/avg ratio, p99 key size, deterministic hot key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    return _skew_profile_frame(li, "l_partkey", "lineitem.l_partkey").unionByName(
+        _skew_profile_frame(ev, "user_id", "events.user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-explosion audit: estimate a join's output cardinality BEFORE
+# running it — sum over matching keys of count_left * count_right, the
+# exact formula a cost-based optimizer uses with full-resolution key
+# histograms. Reports the total, the single worst key's contribution,
+# and the amplification factor over the larger input; an amplification
+# >> 1 flags a fan-out join that needs pre-aggregation or key salting.
+# Per-side key counts are map-side-combined aggs; the audit joins two
+# key-cardinality tables, never the facts themselves.
+# ---------------------------------------------------------------------------
+
+
+def _join_audit_sql(
+    join_name: str, left_src: str, left_key: str, right_src: str, right_key: str
+) -> str:
+    return f"""
+SELECT '{join_name}' AS join_name,
+       CAST((SELECT count(*) FROM {left_src}) AS BIGINT) AS n_left,
+       CAST((SELECT count(*) FROM {right_src}) AS BIGINT) AS n_right,
+       CAST(count(*) AS BIGINT) AS n_matching_keys,
+       CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est_output_rows,
+       CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_single_key_rows,
+       {R("coalesce(sum(cl * cr), 0) / greatest((SELECT count(*) FROM " + left_src + "), (SELECT count(*) FROM " + right_src + "))", 6)} AS amplification
+FROM (
+    SELECT l.k, l.cl, r.cr
+    FROM (SELECT {left_key} AS k, count(*) AS cl FROM {left_src} GROUP BY 1) l
+    JOIN (SELECT {right_key} AS k, count(*) AS cr FROM {right_src} GROUP BY 1) r
+      ON l.k = r.k
+)
+"""
+
+
+_JOIN_AUDIT_SQL = (
+    _join_audit_sql(
+        "lineitem_x_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"
+    )
+    + " UNION ALL "
+    + _join_audit_sql(
+        "events_self_user", "events", "user_id", "events", "user_id"
+    )
+)
+
+
+def _join_audit_frame(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    join_name: str,
+) -> DataFrame:
+    nl = left.count()
+    nr = right.count()
+    lcnt = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rcnt = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    matched = lcnt.join(rcnt, "k")
+    return matched.agg(
+        F.lit(join_name).alias("join_name"),
+        F.lit(nl).cast("long").alias("n_left"),
+        F.lit(nr).cast("long").alias("n_right"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("long")
+        .alias("est_output_rows"),
+        F.coalesce(F.max(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("long")
+        .alias("max_single_key_rows"),
+        dround(
+            F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+            / F.lit(float(max(nl, nr))),
+            6,
+        ).alias("amplification"),
+    )
+
+
+@register("join_explosion_audit", _JOIN_AUDIT_SQL)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight cardinality estimate for two join candidates: exact
+    sum-of-products over the per-side key histograms.
+
+    The driver-side `.count()` calls materialize two scalars (input
+    sizes) — bounded metadata, not fact rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ev = read_table(spark, sf_dir, "events")
+    return _join_audit_frame(
+        li, "l_orderkey", o, "o_orderkey", "lineitem_x_orders"
+    ).unionByName(
+        _join_audit_frame(ev, "user_id", ev, "user_id", "events_self_user")
+    )

@@ -147,6 +147,12 @@ def test_projection_prunes_scan_columns(spark):
         "mutual_info_features",
         "rfm_segments",
         "containment_dedup_pairs",
+        "forecast_backtest_snaive",
+        "record_linkage_blocking",
+        "golden_record_consolidation",
+        "skew_profile_report",
+        "join_explosion_audit",
+        "l_diversity_report",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -684,3 +690,19 @@ def test_containment_reuses_cached_posting(spark):
     tree = _plan(spark, "containment_dedup_pairs").split("\n\n")[0]
     assert tree.count("InMemoryTableScan") >= 2, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_record_linkage_compares_name_grain_only(spark):
+    """Fuzzy comparison runs on the DISTINCT-NAME grain after exact
+    consolidation: the block join's inputs are aggregates, so levenshtein
+    cost scales with vocabulary, not records. The block join is an equi
+    join on the noun, never a cartesian."""
+    tree = _plan(spark, "record_linkage_blocking").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    # both join inputs are post-aggregation (HashAggregate below the join)
+    join_pos = min(
+        tree.index(m) for m in ("SortMergeJoin", "BroadcastHashJoin")
+        if m in tree
+    )
+    below = tree[join_pos:]
+    assert below.count("HashAggregate") >= 2, below
