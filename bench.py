@@ -87,6 +87,15 @@ BENCH_QUERIES = [
     "session_ids_batch",
     "simsearch_int8_rerank",
     "bootstrap_mean_ci",
+    # round-2c decision-support + diagnostics tier: the heavy candidate
+    # generators (basket self-join, shingle posting self-join, cell probe
+    # join) plus the fact-scan diagnostics
+    "item_item_cosine",
+    "containment_dedup_pairs",
+    "spatial_cell_join",
+    "rfm_segments",
+    "record_linkage_blocking",
+    "skew_profile_report",
 ]
 
 
