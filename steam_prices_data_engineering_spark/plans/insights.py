@@ -813,3 +813,92 @@ def golden_record_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_records") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend, Holt 1957): the
+# next step up from the EWMA — tracks a local linear trend so the
+# one-step forecast is level + trend. Per-user ordered fold with a
+# (level, trend) struct accumulator; the fold is sequential in both
+# engines, so the arithmetic is bit-identical. Series are user-bounded
+# (collect_list of one user's events), the same contract as
+# `behavioral.py:ewma_user_value`.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+# NOTE: the obvious list_reduce oracle with a {'l','b'} struct
+# accumulator mis-evaluates dependent struct fields on DuckDB 1.0.0
+# (probed: fold (p,q)->{v: p.v*10+q.v, w: p.v+p.w} over [1..4] returns
+# w=1358, not 136), so the oracle replays the recursion as a recursive
+# CTE over the per-user step index instead — the same discipline as the
+# unrolled iterative oracles, and the arithmetic order is identical to
+# the Spark fold, so values match bit-for-bit before rounding.
+_HOLT_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, CAST(value AS DOUBLE) AS x,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+rec AS (
+    SELECT user_id, i, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+    FROM seq WHERE i = 1
+    UNION ALL
+    SELECT s.user_id, s.i, s.n,
+           {_HOLT_ALPHA} * s.x + {1 - _HOLT_ALPHA} * (r.l + r.b),
+           {_HOLT_BETA} * (({_HOLT_ALPHA} * s.x
+               + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - _HOLT_BETA} * r.b
+    FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       {R("l", 6)} AS holt_level,
+       {R("b", 6)} AS holt_trend,
+       {R("l + b", 6)} AS forecast_1
+FROM rec WHERE i = n
+"""
+
+
+@register("holt_trend_smoothing", _HOLT_SQL)
+def holt_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Holt (level, trend) state per user at alpha=0.5, beta=0.3,
+    plus the one-step-ahead forecast level + trend."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("series"),
+    )
+
+    def step(acc, s):
+        new_l = (
+            F.lit(_HOLT_ALPHA) * s["value"]
+            + F.lit(1 - _HOLT_ALPHA) * (acc["l"] + acc["b"])
+        )
+        new_b = (
+            F.lit(_HOLT_BETA) * (new_l - acc["l"])
+            + F.lit(1 - _HOLT_BETA) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    first = F.element_at(F.col("series"), 1)["value"]
+    holt = F.aggregate(
+        F.slice(F.col("series"), 2, F.size("series") - 1),
+        F.struct(
+            first.cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    staged = agg.select(
+        "user_id", "n_events", holt.alias("h")
+    )
+    return staged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        dround(F.col("h")["l"], 6).alias("holt_level"),
+        dround(F.col("h")["b"], 6).alias("holt_trend"),
+        dround(F.col("h")["l"] + F.col("h")["b"], 6).alias("forecast_1"),
+    )

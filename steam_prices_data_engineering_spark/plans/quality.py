@@ -1189,3 +1189,138 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.exp(F.col("h")), 6).alias("entropy_l"),
         (F.col("l_distinct") < _LDIV_L).alias("at_risk"),
     )
+
+
+# ===========================================================================
+# Append-only ledger audit: a tamper-evident hash chain per day over the
+# order stream — h_i = md5(h_{i-1} | orderkey | status | cents), seeded
+# 'genesis', folded in orderkey order. Re-running the audit after any
+# backfill reveals exactly which day-chains changed (the blockchain-style
+# integrity check for regulatory event stores). Day partitions bound the
+# chains: each fold is one day's rows (calendar x shard bounded at scale,
+# the same sharding rule production ledgers use); days are independent so
+# the audit parallelizes per day. Prices ride as INTEGER CENTS — a raw
+# double in a hash key would go through each engine's float formatter.
+# ===========================================================================
+
+_LEDGER_SQL = """
+WITH rows_r AS (
+    SELECT CAST(floor(floor(epoch(o_orderdate)) / 86400) AS BIGINT) AS day_num,
+           o_orderkey,
+           concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR)) AS payload
+    FROM orders
+)
+SELECT day_num,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       list_reduce(
+           list_prepend('genesis', list(payload ORDER BY o_orderkey)),
+           (a, x) -> md5(concat_ws('|', a, x))
+       ) AS ledger_hash
+FROM rows_r GROUP BY day_num
+"""
+
+
+@register("ledger_hash_chain", _LEDGER_SQL)
+def ledger_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tamper-evident md5 chain over orders in orderkey order,
+    seeded 'genesis'; cents-rendered prices keep the key engine-exact."""
+    o = read_table(spark, sf_dir, "orders")
+    rows_r = o.select(
+        F.floor(F.col("o_orderdate").cast("long") / 86400)
+        .cast("long")
+        .alias("day_num"),
+        F.struct(
+            "o_orderkey",
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ).alias("payload"),
+        ).alias("s"),
+    )
+    agg = rows_r.groupBy("day_num").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.array_sort(F.collect_list("s")).alias("series"),
+    )
+    chain = F.aggregate(
+        F.col("series"),
+        F.lit("genesis"),
+        lambda acc, s: F.md5(F.concat_ws("|", acc, s["payload"])),
+    )
+    return agg.select("day_num", "n_orders", chain.alias("ledger_hash"))
+
+
+# ===========================================================================
+# Column profiling (ANALYZE TABLE / data-catalog statistics): per-column
+# row count, null count, distinct count, and min/max rendered through
+# type-deterministic representations (BIGINT text for keys, integer
+# cents for prices, epoch seconds for timestamps — never a raw double
+# through a float formatter). Each column's aggregate scans ONLY that
+# column (parquet column pruning), which is how catalog stats collection
+# stays cheap at 100 TB; the union is of 1-row frames.
+# ===========================================================================
+
+
+def _profile_sql(col: str, val_expr: str, repr_expr: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({val_expr}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {val_expr}) AS BIGINT) AS n_distinct,
+       CAST(min({repr_expr}) AS VARCHAR) AS min_repr,
+       CAST(max({repr_expr}) AS VARCHAR) AS max_repr
+FROM orders
+"""
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    [
+        _profile_sql("o_orderkey", "o_orderkey", "o_orderkey"),
+        _profile_sql("o_custkey", "o_custkey", "o_custkey"),
+        _profile_sql("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+        _profile_sql(
+            "o_totalprice",
+            "o_totalprice",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        ),
+        _profile_sql(
+            "o_orderdate",
+            "o_orderdate",
+            "CAST(floor(epoch(o_orderdate)) AS BIGINT)",
+        ),
+    ]
+)
+
+
+@register("column_profile_report", _PROFILE_SQL)
+def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-statistics profile of every orders column: counts, nulls,
+    distincts, deterministic min/max representations."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def prof(col: str, repr_col: F.Column) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(col)))
+            .cast("long")
+            .alias("n_null"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.min(repr_col).cast("string").alias("min_repr"),
+            F.max(repr_col).cast("string").alias("max_repr"),
+        )
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    epoch = F.col("o_orderdate").cast("long")
+    return (
+        prof("o_orderkey", F.col("o_orderkey"))
+        .unionByName(prof("o_custkey", F.col("o_custkey")))
+        .unionByName(prof("o_orderstatus", F.col("o_orderstatus")))
+        .unionByName(prof("o_totalprice", cents))
+        .unionByName(prof("o_orderdate", epoch))
+    )

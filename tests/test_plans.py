@@ -153,6 +153,9 @@ def test_projection_prunes_scan_columns(spark):
         "skew_profile_report",
         "join_explosion_audit",
         "l_diversity_report",
+        "holt_trend_smoothing",
+        "ledger_hash_chain",
+        "column_profile_report",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
