@@ -1281,3 +1281,4 @@ from . import corpus_select as _corpus_select  # noqa: E402,F401
 from . import retrieval as _retrieval  # noqa: E402,F401
 from . import semantic_dedup as _semantic_dedup  # noqa: E402,F401
 from . import insights as _insights  # noqa: E402,F401
+from . import linalg as _linalg  # noqa: E402,F401

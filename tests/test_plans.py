@@ -156,6 +156,8 @@ def test_projection_prunes_scan_columns(spark):
         "holt_trend_smoothing",
         "ledger_hash_chain",
         "column_profile_report",
+        "pca_power_iteration",
+        "ols_normal_equations",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
