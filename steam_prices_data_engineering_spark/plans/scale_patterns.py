@@ -1127,3 +1127,62 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         _join_audit_frame(ev, "user_id", ev, "user_id", "events_self_user")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT SEMI interval join: purchases that DID see an error
+# within the following 10 minutes, emitted once regardless of how many
+# errors matched — the streaming EXISTS. Unlike the left-outer variant
+# there is no state-expiry emission to encode: semi rows emit on first
+# match, unmatched rows never emit, so the batch EXISTS oracle is exact
+# with no watermark clause. State on both sides is still bounded by the
+# watermark delay + interval width, same as the inner join.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEMIJOIN_SQL = f"""
+SELECT p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+       {R('p.value', 4)} AS purchase_value
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+  )
+"""
+
+
+@register("streaming_semi_interval_join", _STREAM_SEMIJOIN_SQL)
+def streaming_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join with watermarks + time-range
+    condition: the streaming EXISTS (each matched purchase emits once)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("p_epoch"),
+        dround(F.col("p_value"), 4).alias("purchase_value"),
+    )
+    sink = _run_to_memory(joined, "stream_semijoin", "append")
+    return spark.table(sink)
