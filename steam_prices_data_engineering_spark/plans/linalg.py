@@ -98,7 +98,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.cache()
     mu = ev.groupBy("i").agg(F.avg("x").alias("m"))
     n_rows = ev.select("vec_id").distinct().count()
-    d = emb.select(F.size("embedding").alias("d")).first()["d"]
+    head = emb.select(F.size("embedding").alias("d")).first()
+    # Empty corpus: no dims exist, every downstream frame is empty; any
+    # positive d keeps the start-vector literal finite.
+    d = head["d"] if head is not None else 1
+    n_rows = n_rows or 1
     a = ev.select(F.col("vec_id"), F.col("i"), F.col("x"))
     b = ev.select(
         F.col("vec_id"), F.col("i").alias("j"), F.col("x").alias("xb")

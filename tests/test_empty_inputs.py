@@ -99,6 +99,23 @@ REPRESENTATIVES = [
     "ab_stratified_ate",
     "effective_vocab_by_source",
     "zipf_fit_by_source",
+    # round-2c decision-support / diagnostics additions (group-keyed
+    # outputs that must vanish on empty facts; the always-1-row global
+    # aggregates — skew/join audits, column profile, OLS, power/MDE —
+    # are intentionally not here, matching the datasheet precedent)
+    "item_item_cosine",
+    "spatial_cell_join",
+    "containment_dedup_pairs",
+    "acf_daily_revenue",
+    "cusum_changepoint",
+    "rfm_segments",
+    "forecast_backtest_snaive",
+    "record_linkage_blocking",
+    "golden_record_consolidation",
+    "l_diversity_report",
+    "holt_trend_smoothing",
+    "ledger_hash_chain",
+    "pca_power_iteration",
 ]
 
 
