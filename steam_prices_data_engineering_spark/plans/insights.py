@@ -1,8 +1,9 @@
 """Decision-support analytics over the fact tables (round-2 extension
 families): recommendation (item-item collaborative filtering), geospatial
-proximity join, time-series diagnostics (ACF, CUSUM change detection),
-experiment design (power / minimum detectable effect), information-
-theoretic feature ranking, and RFM customer segmentation.
+proximity join, time-series diagnostics (ACF, CUSUM change detection,
+Holt smoothing, forecast backtesting), experiment design (power /
+minimum detectable effect), information-theoretic feature ranking, RFM
+customer segmentation, and record linkage / entity resolution.
 
 These extend the reference's analytics surface (SURVEY.md §2b) with the
 operators a production data platform runs NEXT to an ETL like
