@@ -1,0 +1,404 @@
+"""Round-2d pattern operators: complex-event-processing (regex pattern
+matching over sessionized event streams — the relational analog of Flink
+MATCH_RECOGNIZE), a distributed 2-D skyline (Pareto-frontier) query,
+grid-density clustering (DBSCAN-lite over spatial cells + connected
+components), and a group-holdout leakage-safe train/val split.
+
+These extend the reference's analytics surface (SURVEY.md §2b) with the
+pattern-mining tier a production platform layers over an ETL like
+steam_prices_transformer.py (reference Scripts/jobs/*): once facts land,
+the next questions are "which behavioral sequences occur", "which items
+are jointly optimal", "where does activity cluster", and "how do I split
+training data without group leakage".
+
+Scale notes are inline per operator; the common discipline: every
+candidate generator joins on a blocking key (session, qty-bucket, grid
+cell), never all-pairs, and driver-side loops move only counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_md5_hex6_to_int
+from ..functions.text import md5_hex6_to_int
+from ..sources.tables import read_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# CEP: regex pattern matching over per-session event-symbol strings.
+# Sessions use the same 30-minute-gap rule as session_ids_batch; each
+# session reduces to ONE compact symbol string (V/C/P/S/E per event,
+# ordered by ts then event_id), and patterns are ordinary regexes over
+# that string — contiguous sequences, alternation, and repetition all
+# come free, which is exactly the MATCH_RECOGNIZE feature set.
+#
+# Scale: the per-session string is bounded by session length (inactivity
+# gap bounds it in wall-time), so the collect_list never materializes an
+# unbounded buffer; one shuffle on user_id serves the lag window, the
+# running-sum window, AND the groupBy (prefix partitioning, no
+# re-exchange); the pattern dim is a literal broadcast.
+# ---------------------------------------------------------------------------
+
+_CEP_GAP_S = 1800
+
+_CEP_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("browse_then_buy", "V+C+P"),          # contiguous view(s), click(s), purchase
+    ("error_retry", "E[VCS]*E"),           # two errors with no purchase between
+    ("signup_to_purchase", "S.*P"),        # signup eventually converting
+    ("pure_browsing", "^[VC]+$"),          # session with only views/clicks
+)
+
+_CEP_SYM_SQL = (
+    "CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C' "
+    "WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S' ELSE 'E' END"
+)
+
+_CEP_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, {_CEP_SYM_SQL} AS sym,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                     > {_CEP_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+    SELECT user_id, sym, ts, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+    FROM flagged
+),
+strings AS (
+    SELECT user_id, session_idx,
+           string_agg(sym, '' ORDER BY ts, event_id) AS syms
+    FROM ids GROUP BY user_id, session_idx
+),
+pat(pattern_name, pattern) AS (
+    VALUES {", ".join(f"('{n}', '{p}')" for n, p in _CEP_PATTERNS)}
+)
+SELECT p.pattern_name,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM pat p JOIN strings s ON regexp_matches(s.syms, p.pattern)
+GROUP BY p.pattern_name
+"""
+
+
+@register("event_pattern_match", _CEP_SQL)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions matching each behavioral regex pattern (CEP /
+    MATCH_RECOGNIZE analog): sessionize (30-min gap), reduce each session
+    to its ordered event-symbol string, regex-join against a broadcast
+    pattern dim. Spark rlike and DuckDB regexp_matches both do unanchored
+    search with the same POSIX-class-free syntax, so the patterns above
+    are engine-portable by construction."""
+    e = read_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > _CEP_GAP_S)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ids = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sym.alias("sym"),
+        F.sum(new_sess).over(wsum).alias("session_idx"),
+    )
+    # array_sort on struct(ts, event_id, sym) orders by ts then event_id
+    # (field order), matching the oracle's ORDER BY inside string_agg.
+    strings = ids.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x.sym,
+            ),
+        ).alias("syms")
+    )
+    pat = spark.createDataFrame(list(_CEP_PATTERNS), "pattern_name string, pattern string")
+    return (
+        strings.join(F.broadcast(pat), F.regexp_like(F.col("syms"), F.col("pattern")))
+        .groupBy("pattern_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: parts that are jointly optimal on (total
+# quantity sold: maximize, best unit price: minimize) — no other part
+# both sells more AND is cheaper (strict somewhere).
+#
+# Scale design (skyline is distributive: skyline(A ∪ B) =
+# skyline(skyline(A) ∪ skyline(B))): (1) reduce to the distinct-qty
+# grain first (same lesson as record linkage: consolidate before
+# comparing), (2) bucket the grain by qty range; the cross-bucket
+# dominance test needs only the per-bucket min price (a TINY broadcast
+# relation — one row per bucket), and the within-bucket test is a window
+# PARTITIONED by bucket, so no global single-task sort ever happens.
+# The oracle is the textbook NOT EXISTS dominance definition — agreement
+# proves the whole bucket decomposition, not just the window algebra.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_BUCKET_W = 50.0
+
+_SKYLINE_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(l_quantity) AS qty,
+           min(l_extendedprice / l_quantity) AS price
+    FROM lineitem GROUP BY 1
+),
+grain AS (
+    SELECT qty, min(price) AS price,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(l_partkey) AS BIGINT) AS rep_partkey
+    FROM per_part GROUP BY qty
+)
+SELECT CAST(g.qty AS BIGINT) AS total_qty,
+       {R('g.price', 4)} AS best_unit_price,
+       g.n_parts, g.rep_partkey
+FROM grain g
+WHERE NOT EXISTS (
+    SELECT 1 FROM grain d
+    WHERE d.qty >= g.qty AND d.price <= g.price
+      AND (d.qty > g.qty OR d.price < g.price)
+)
+"""
+
+
+@register("pareto_frontier_parts", _SKYLINE_SQL)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts: maximize total quantity sold, minimize the
+    best observed unit price. Distributed form: qty-grain reduce, then a
+    bucket decomposition — cross-bucket dominance via the broadcast
+    per-bucket running-min-price table, within-bucket dominance via a
+    bucket-partitioned window. No global-ordered window (which would drag
+    the full grain to one task; cf. the top1_recency rule).
+
+    l_quantity is integer-valued and unit price is a single IEEE
+    division, so qty sums and price mins are bit-identical across
+    engines; comparisons here are exact, rounding only decorates the
+    output column."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+    )
+    grain = per_part.groupBy("qty").agg(
+        F.min("price").alias("price"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("l_partkey").cast("long").alias("rep_partkey"),
+    ).withColumn("bucket", F.floor(F.col("qty") / _SKYLINE_BUCKET_W))
+    # Per-bucket min price, then the running min over STRICTLY HIGHER
+    # buckets (bucket b+1.. all have qty > any qty in bucket b because
+    # floor is monotone). One row per bucket: broadcastable by design.
+    bucket_mins = grain.groupBy("bucket").agg(F.min("price").alias("bmin"))
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher_min = bucket_mins.select(
+        "bucket", F.min("bmin").over(wb).alias("higher_bucket_min")
+    )
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("qty").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        grain.join(F.broadcast(higher_min), "bucket")
+        .withColumn("within_min", F.min("price").over(ww))
+    )
+    dominated = (
+        (F.col("higher_bucket_min") <= F.col("price"))
+        | (F.col("within_min") <= F.col("price"))
+    )
+    return (
+        scored.filter(~F.coalesce(dominated, F.lit(False)))
+        .select(
+            F.col("qty").cast("long").alias("total_qty"),
+            dround(F.col("price"), 4).alias("best_unit_price"),
+            "n_parts",
+            "rep_partkey",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite): bucket the synthetic customer
+# coordinates (same md5-derived lat/lon and 0.25-degree cells as
+# spatial_cell_join) into grid cells, mark CORE cells whose point count
+# clears max(2x the global mean occupied-cell density, 3), and connect
+# 8-adjacent core cells into clusters via min-label propagation.
+#
+# Scale: the density threshold derives from a 1-row broadcast aggregate;
+# the adjacency join is cell-local (3x3 probe, never all-pairs); the CC
+# loop runs over the CORE-CELL graph — orders of magnitude smaller than
+# the point set — and the driver sees only convergence counts. Self-edges
+# keep isolated core cells as singleton clusters.
+# ---------------------------------------------------------------------------
+
+_DB_CELLS_PER_DEG = 4
+_DB_CID = 1000  # cell id = cy * _DB_CID + cx (cy, cx < 20 at 0.25 deg)
+_DB_ITERS = 8  # core-cell graph diameter bound at a 20x20 grid
+
+_DB_LAT_KEY = "concat_ws('', 'glat_', CAST(c_custkey AS VARCHAR))"
+_DB_LON_KEY = "concat_ws('', 'glon_', CAST(c_custkey AS VARCHAR))"
+
+
+def _db_unrolled_cte() -> str:
+    """Recursive-CTE oracle over the core-cell adjacency graph (the
+    pagerank/CC oracle discipline: the oracle replays true reachability,
+    not the iteration schedule)."""
+    lat = f"(({sql_md5_hex6_to_int(_DB_LAT_KEY)}) % 50000) / 10000.0"
+    lon = f"(({sql_md5_hex6_to_int(_DB_LON_KEY)}) % 50000) / 10000.0"
+    return f"""
+WITH RECURSIVE cells AS (
+    SELECT CAST(floor(({lat}) * {_DB_CELLS_PER_DEG}) AS BIGINT) * {_DB_CID}
+           + CAST(floor(({lon}) * {_DB_CELLS_PER_DEG}) AS BIGINT) AS cid,
+           count(*) AS n
+    FROM customer GROUP BY 1
+),
+thresh AS (
+    SELECT greatest(CAST(ceil(2.0 * avg(n)) AS BIGINT), 3) AS minpts
+    FROM cells
+),
+core AS (
+    SELECT c.cid, c.n FROM cells c, thresh t WHERE c.n >= t.minpts
+),
+edges AS (
+    SELECT a.cid AS u, b.cid AS v
+    FROM core a JOIN core b
+      ON abs((a.cid // {_DB_CID}) - (b.cid // {_DB_CID})) <= 1
+     AND abs((a.cid % {_DB_CID}) - (b.cid % {_DB_CID})) <= 1
+),
+reach(u, label) AS (
+    SELECT cid AS u, cid AS label FROM core
+    UNION
+    SELECT e.v AS u, r.label FROM reach r JOIN edges e ON e.u = r.u
+),
+labels AS (
+    SELECT u AS cid, min(label) AS cluster_id FROM reach GROUP BY u
+)
+SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c.n) AS BIGINT) AS n_points
+FROM labels l JOIN core c ON l.cid = c.cid
+GROUP BY l.cluster_id
+"""
+
+
+@register("dbscan_grid_clusters", _db_unrolled_cte())
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clusters of customer locations: core grid cells (count >=
+    max(2x mean occupied-cell density, 3)) connected through 8-adjacency.
+    Returns one row per cluster: min-cell-id label, cell count, point
+    count. Deterministic — min-label propagation has a unique fixpoint."""
+    from .iterative import cc_labels
+
+    cust = read_table(spark, sf_dir, "customer")
+
+    def coord(salt: str) -> F.Column:
+        key = F.concat_ws("", F.lit(salt), F.col("c_custkey").cast("string"))
+        return (md5_hex6_to_int(key) % 50000) / F.lit(10000.0)
+
+    cells = (
+        cust.select(
+            (
+                F.floor(coord("glat_") * _DB_CELLS_PER_DEG).cast("long") * _DB_CID
+                + F.floor(coord("glon_") * _DB_CELLS_PER_DEG).cast("long")
+            ).alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thresh = cells.agg(
+        F.greatest(F.ceil(2.0 * F.avg("n")).cast("long"), F.lit(3)).alias("minpts")
+    )
+    core = cells.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n") >= F.col("minpts")
+    ).select("cid", "n").persist()
+    a = core.select(F.col("cid").alias("doc_id_a"), (F.col("cid") / _DB_CID).cast("long").alias("ay"), (F.col("cid") % _DB_CID).alias("ax"))
+    b = core.select(F.col("cid").alias("doc_id_b"), (F.col("cid") / _DB_CID).cast("long").alias("by"), (F.col("cid") % _DB_CID).alias("bx"))
+    edges = a.join(
+        b,
+        (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.abs(F.col("ax") - F.col("bx")) <= 1),
+    ).select("doc_id_a", "doc_id_b")
+    labels = cc_labels(edges)  # self-pairs keep isolated cells as nodes
+    out = (
+        labels.join(core, labels.node == core.cid)
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Group-holdout train/val split: hash the GROUP key (source), not the
+# row, so every document from one source lands on the same side — the
+# leakage-safe discipline for near-duplicate-heavy corpora (row-level
+# splits leak templated near-dups across the boundary; group-level
+# splits cannot). Pure-hash assignment: reproducible under repartition,
+# no sampling state, the same rule at any scale (cf. trainset_hash_split
+# for the row-level form).
+# ---------------------------------------------------------------------------
+
+_GH_BUCKETS = 10  # bucket 0 -> val (10% of GROUPS, not of rows)
+
+_GROUP_HOLDOUT_SQL = f"""
+WITH assigned AS (
+    SELECT source, n_chars,
+           CASE WHEN ({sql_md5_hex6_to_int(
+               "concat_ws('', 'gh_', source)")}) % {_GH_BUCKETS} = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT split,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split
+"""
+
+
+@register("trainset_group_holdout", _GROUP_HOLDOUT_SQL)
+def trainset_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split corpus stats under a group-level (source-hashed) holdout:
+    a source appears in exactly one split by construction, so templated
+    near-duplicates within a source can never straddle the train/val
+    boundary."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = md5_hex6_to_int(
+        F.concat_ws("", F.lit("gh_"), F.col("source"))
+    ) % _GH_BUCKETS
+    assigned = docs.select(
+        "source",
+        "n_chars",
+        F.when(bucket == 0, "val").otherwise("train").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -1282,3 +1282,4 @@ from . import retrieval as _retrieval  # noqa: E402,F401
 from . import semantic_dedup as _semantic_dedup  # noqa: E402,F401
 from . import insights as _insights  # noqa: E402,F401
 from . import linalg as _linalg  # noqa: E402,F401
+from . import patterns as _patterns  # noqa: E402,F401

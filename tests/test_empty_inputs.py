@@ -116,6 +116,11 @@ REPRESENTATIVES = [
     "holt_trend_smoothing",
     "ledger_hash_chain",
     "pca_power_iteration",
+    # round-2d pattern tier (plans/patterns.py)
+    "event_pattern_match",
+    "pareto_frontier_parts",
+    "dbscan_grid_clusters",
+    "trainset_group_holdout",
 ]
 
 

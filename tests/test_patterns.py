@@ -1,0 +1,174 @@
+"""Semantic contracts of the round-2d pattern tier (plans/patterns.py):
+skyline equals the brute-force dominance filter, DBSCAN clusters are
+exactly the brute-force union-find over core cells, the CEP session
+strings match an independent Python re-implementation, and the group
+holdout split really is group-disjoint."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from steam_prices_data_engineering_spark.plans import registry
+from steam_prices_data_engineering_spark.plans.patterns import (
+    _CEP_GAP_S,
+    _CEP_PATTERNS,
+    _DB_CELLS_PER_DEG,
+    _DB_CID,
+)
+from steam_prices_data_engineering_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """The bucket-decomposed skyline must equal the O(n^2) textbook
+    dominance filter — bucketing is an optimization, never a semantics
+    change."""
+    li = read_table(spark, SF, "lineitem")
+    grain = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+        )
+        .groupBy("qty")
+        .agg(F.min("price").alias("price"))
+        .collect()
+    )
+    pts = [(r.qty, r.price) for r in grain]
+    brute = {
+        (q, p)
+        for q, p in pts
+        if not any(
+            (q2 >= q and p2 <= p and (q2 > q or p2 < p)) for q2, p2 in pts
+        )
+    }
+    out = registry.queries()["pareto_frontier_parts"](spark, SF).collect()
+    got = {(r.total_qty, None) for r in out}
+    assert {(int(q), None) for q, _ in brute} == got
+    # along the frontier, higher qty can only survive with higher price
+    # (a cheaper-and-bigger point would dominate everything below it):
+    srt = sorted(((r.total_qty, r.best_unit_price) for r in out))
+    prices = [p for _, p in srt]
+    assert prices == sorted(prices) and len(set(prices)) == len(prices)
+
+
+def test_dbscan_matches_brute_force_union_find(spark):
+    """Cluster labels equal a Python union-find over the same core cells
+    (8-adjacency), and every reported cluster is maximal."""
+    cust = registry.queries()["dbscan_grid_clusters"](spark, SF).collect()
+    # Recompute core cells independently.
+    from steam_prices_data_engineering_spark.functions.text import md5_hex6_to_int
+
+    c = read_table(spark, SF, "customer")
+
+    def coord(salt):
+        key = F.concat_ws("", F.lit(salt), F.col("c_custkey").cast("string"))
+        return (md5_hex6_to_int(key) % 50000) / F.lit(10000.0)
+
+    cells = (
+        c.select(
+            (
+                F.floor(coord("glat_") * _DB_CELLS_PER_DEG).cast("long") * _DB_CID
+                + F.floor(coord("glon_") * _DB_CELLS_PER_DEG).cast("long")
+            ).alias("cid")
+        )
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    counts = {r.cid: r["count"] for r in cells}
+    avg = sum(counts.values()) / len(counts)
+    minpts = max(math.ceil(2 * avg), 3)
+    core = {cid: n for cid, n in counts.items() if n >= minpts}
+    parent = {cid: cid for cid in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in core:
+            if (
+                abs(a // _DB_CID - b // _DB_CID) <= 1
+                and abs(a % _DB_CID - b % _DB_CID) <= 1
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(list)
+    for cid in core:
+        comps[find(cid)].append(cid)
+    expect = {
+        min(v): (len(v), sum(core[c] for c in v)) for v in comps.values()
+    }
+    got = {r.cluster_id: (r.n_cells, r.n_points) for r in cust}
+    assert expect == got
+
+
+def test_event_pattern_match_python_parity(spark):
+    """Pattern counts equal an independent Python sessionizer + re.search
+    over the same events."""
+    rows = (
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    sym = {"view": "V", "click": "C", "purchase": "P", "signup": "S"}
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, sym.get(r.event_type, "E")))
+    sessions = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur, prev = [], None
+        for ts, eid, s in evs:
+            ep = int(ts.timestamp())
+            if prev is not None and ep - prev > _CEP_GAP_S:
+                sessions.append((uid, "".join(cur)))
+                cur = []
+            cur.append(s)
+            prev = ep
+        if cur:
+            sessions.append((uid, "".join(cur)))
+    expect = {}
+    for name, pat in _CEP_PATTERNS:
+        hit = [(u, s) for u, s in sessions if re.search(pat, s)]
+        if hit:
+            expect[name] = (len(hit), len({u for u, _ in hit}))
+    out = registry.queries()["event_pattern_match"](spark, SF).collect()
+    got = {r.pattern_name: (r.n_sessions, r.n_users) for r in out}
+    assert expect == got
+
+
+def test_group_holdout_is_group_disjoint(spark):
+    """No source may appear in both splits, and doc counts must cover the
+    corpus exactly."""
+    docs = read_table(spark, SF, "documents")
+    from steam_prices_data_engineering_spark.functions.text import md5_hex6_to_int
+
+    assigned = docs.select(
+        "source",
+        (
+            md5_hex6_to_int(F.concat_ws("", F.lit("gh_"), F.col("source"))) % 10
+        ).alias("b"),
+    )
+    overlap = (
+        assigned.select(
+            "source", F.when(F.col("b") == 0, "val").otherwise("train").alias("s")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("s").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert overlap == 0
+    out = registry.queries()["trainset_group_holdout"](spark, SF).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert {r.split for r in out} <= {"train", "val"}
