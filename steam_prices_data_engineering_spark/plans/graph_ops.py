@@ -26,8 +26,10 @@ _MAX_POSTING_DF = 50  # drop shingles appearing in more docs (stop-shingles)
 # analyzes, so the formulas are composed, never inlined.
 from ..functions.sqlfrag import sql_shinglehash_ctes as _sql_shinglehash_ctes  # noqa: E402
 
-_TRIANGLE_SQL = f"""
-WITH {_sql_shinglehash_ctes()},
+# Shared edge-list CTE chain: shingle index -> df cap -> >=2-shared-hash
+# pair join. Composed by the triangle AND k-core oracles (never inlined
+# twice — the CLAUDE.md hash-arithmetic rule).
+_SQL_EDGE_CTES = f"""{_sql_shinglehash_ctes()},
 fps AS (SELECT doc_id, unnest(hs) AS fp FROM shinglehash),
 kept AS (
     SELECT fp FROM fps GROUP BY fp
@@ -39,7 +41,10 @@ edges AS (
     FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= {_MIN_SHARED_FPS}
-),
+)"""
+
+_TRIANGLE_SQL = f"""
+WITH {_SQL_EDGE_CTES},
 tri AS (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
     FROM edges e1
@@ -64,6 +69,38 @@ FROM degree d LEFT JOIN tri_count t ON t.doc_id = d.doc_id
 """
 
 
+def neardup_edges(docs: DataFrame) -> DataFrame:
+    """(u, v) edge list of the shared-shingle candidate graph (u < v;
+    >= _MIN_SHARED_FPS shared hashes; posting lists df-capped at
+    _MAX_POSTING_DF). Built on the staged+cached shingle index
+    (operators/dedup.py:hashed_shingle_table) — same shingle space as
+    the LSH pipeline, and the cache barrier before the explode
+    (Generate over the uncached interpreted chain re-evaluates it per
+    exploded row; measured 50s vs 3s at sf0.1 for this stage). SQL twin:
+    _SQL_EDGE_CTES."""
+    from ..operators.dedup import hashed_shingle_table
+
+    hashed = hashed_shingle_table(docs)
+    fps = hashed.select("doc_id", F.explode("hs").alias("fp"))
+    kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MAX_POSTING_DF
+    )
+    capped = fps.join(kept.select("fp"), "fp", "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _MIN_SHARED_FPS)
+        .select("u", "v")
+    )
+
+
 @register("graph_neardup_triangles", _TRIANGLE_SQL)
 def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document degree + triangle count in the shared-shingle candidate
@@ -78,33 +115,7 @@ def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u<v<w) double join — each edge shuffles by its endpoint keys, the
     textbook distributed triangle count. Per-doc totals are two
     map-side-combined aggregations."""
-    from ..operators.dedup import hashed_shingle_table
-
-    d = read_table(spark, sf_dir, "documents")
-    # Shared staged+cached shingle index (operators/dedup.py) — same
-    # shingle space as the LSH pipeline, and the cache barrier before the
-    # explode (Generate over the uncached interpreted chain re-evaluates
-    # it per exploded row; measured 50s vs 3s at sf0.1 for this stage).
-    hashed = hashed_shingle_table(d)
-    fps = hashed.select("doc_id", F.explode("hs").alias("fp"))
-    kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _MAX_POSTING_DF
-    )
-    capped = fps.join(kept.select("fp"), "fp", "left_semi")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= _MIN_SHARED_FPS)
-        .select("u", "v")
-        .cache()
-    )
+    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -141,4 +152,80 @@ def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
             "n_triangles"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-core decomposition (K=2): iteratively peel nodes of degree < K until
+# the fixpoint; survivors form the 2-core — the "dense part" of the
+# near-dup graph, where aggressive collapse policies are safe (every
+# member has >= 2 independent similarity witnesses). Peeling is NOT a
+# monotone reachability (nodes are removed, not added), so a recursive
+# CTE cannot express it; both engines instead unroll a FIXED number of
+# peel rounds (_KCORE_ROUNDS — the fixture graphs converge in <= 2;
+# tests/test_patterns.py asserts the fixpoint was actually reached).
+#
+# Scale: each round is one degree aggregation + two semi joins on the
+# node key — per-round cost is O(|edges|) shuffled on endpoints, and the
+# edge list only shrinks. The driver never sees a row.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev_e = "bidir"
+    for i in range(_KCORE_ROUNDS):
+        rounds.append(
+            f"s{i} AS (SELECT u AS node FROM {prev_e} GROUP BY u "
+            f"HAVING count(*) >= {_KCORE_K})"
+        )
+        rounds.append(
+            f"e{i + 1} AS (SELECT b.u, b.v FROM {prev_e} b "
+            f"JOIN s{i} x ON b.u = x.node JOIN s{i} y ON b.v = y.node)"
+        )
+        prev_e = f"e{i + 1}"
+    return f"""
+WITH {_SQL_EDGE_CTES},
+bidir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+{",".join(rounds)}
+SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev_e} GROUP BY u HAVING count(*) >= {_KCORE_K}
+"""
+
+
+@register("kcore_neardup_graph", _kcore_sql())
+def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the shared-shingle candidate graph: per surviving doc,
+    its degree within the core subgraph. Fixed _KCORE_ROUNDS peel rounds
+    unrolled identically in both engines (the kmeans fixed-iteration
+    discipline)."""
+    edges = neardup_edges(read_table(spark, sf_dir, "documents"))
+    # localCheckpoint per generation, not persist: each round references
+    # its bidir three times (degree agg + two semi joins) AND deepens the
+    # plan, and AQE re-plans the whole persisted stack every round —
+    # measured 2.1s -> 14.4s per-round growth with persist vs a flat
+    # 0.3s/round once the lineage is truncated (32s -> 9s total at
+    # sf0.01). The data stays on executors; only the logical plan resets.
+    bidir = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        survivors = (
+            bidir.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        bidir = bidir.join(
+            survivors, bidir.u == survivors.node, "left_semi"
+        ).join(
+            survivors, bidir.v == survivors.node, "left_semi"
+        ).localCheckpoint()
+    return (
+        bidir.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
     )

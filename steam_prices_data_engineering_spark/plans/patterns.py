@@ -402,3 +402,161 @@ def trainset_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP: the same session pattern matching on the event STREAM —
+# session_window merges state as events arrive; the per-session symbol
+# string builds inside the aggregate (collect_list of (ts, event_id, sym)
+# structs, sorted post-agg, so arrival order never matters), and the
+# pattern checks are stateless post-agg boolean columns, keeping the
+# whole query a SINGLE stateful operator. Complete mode with one
+# availableNow batch == the batch sessionization, which is the oracle
+# (the streaming_session_window discipline).
+# ---------------------------------------------------------------------------
+
+_STREAM_CEP_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, {_CEP_SYM_SQL} AS sym,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                     > {_CEP_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+    SELECT user_id, sym, ts, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+    FROM flagged
+),
+strings AS (
+    SELECT user_id,
+           CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start,
+           string_agg(sym, '' ORDER BY ts, event_id) AS syms
+    FROM ids GROUP BY user_id, session_idx
+)
+SELECT user_id, session_start, syms,
+       regexp_matches(syms, '{_CEP_PATTERNS[0][1]}') AS m_browse_then_buy,
+       regexp_matches(syms, '{_CEP_PATTERNS[1][1]}') AS m_error_retry
+FROM strings
+"""
+
+
+@register("streaming_event_pattern", _STREAM_CEP_SQL)
+def streaming_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session CEP flags computed in Structured Streaming: one
+    session_window aggregate builds the ordered symbol string; the regex
+    flags are stateless projections after it. Production notes: in append
+    mode the watermark closes sessions and drops their state, so pattern
+    flags emit exactly once per closed session — collect_list state is
+    bounded by the inactivity gap."""
+    from ..sources.tables import events_stream
+    from .scale_patterns import _run_to_memory
+
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    stream = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id", sym.alias("sym"))
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{_CEP_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start"),
+            F.collect_list(F.struct("ts", "event_id", "sym")).alias("evs"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.concat_ws(
+                "", F.transform(F.array_sort("evs"), lambda x: x.sym)
+            ).alias("syms"),
+        )
+        .withColumn(
+            "m_browse_then_buy",
+            F.regexp_like(F.col("syms"), F.lit(_CEP_PATTERNS[0][1])),
+        )
+        .withColumn(
+            "m_error_retry",
+            F.regexp_like(F.col("syms"), F.lit(_CEP_PATTERNS[1][1])),
+        )
+    )
+    sink = _run_to_memory(agg, "stream_cep", "complete")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup: the mergeable-sketch pattern that makes 100 TB
+# distinct counting tractable — per-nation HLL sketches built in ONE fact
+# pass, then region totals by MERGING sketches (hll_union_agg), never
+# rescanning facts. The estimate is verified in-query against the exact
+# distinct (5% bound; Spark's default lgConfigK=12 gives ~1.6% stderr),
+# emitted as booleans the oracle asserts TRUE — the approx_aggregates
+# discipline.
+# ---------------------------------------------------------------------------
+
+_HLL_SQL = """
+WITH facts AS (
+    SELECT r.r_name, n.n_name, o.o_custkey
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name,
+       CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS approx_within_5pct
+FROM facts GROUP BY r_name
+"""
+
+
+@register("hll_sketch_rollup", _HLL_SQL)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-customer rollup where the region level is
+    computed by merging nation-level HLL sketches (Datasketches binary
+    payloads) instead of touching facts again — at scale, the re-scan is
+    the cost and the sketch merge is free. The exact companion runs once
+    for verification only."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    facts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "o_custkey")
+    )
+    per_nation = facts.groupBy("r_name", "n_name").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_nation.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
+    )
+    exact = facts.groupBy("r_name").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    return merged.join(exact, "r_name").select(
+        "r_name",
+        "n_nations",
+        "exact_custs",
+        F.coalesce(
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs"),
+            F.lit(True),
+        ).alias("approx_within_5pct"),
+    )

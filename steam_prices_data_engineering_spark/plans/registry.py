@@ -111,7 +111,11 @@ _PRIORITY: tuple[str, ...] = (
     # bootstrap_mean_ci / chisq / equidepth / int8_rerank / bigram-LM /
     # gopher stay under the full local gate — their parent families
     # (similarity, stats, text-quality) already hold sampled slots.
-    "session_ids_batch",
+    # Round-2d rotation: event_pattern_match (CEP) subsumes
+    # session_ids_batch's slot — it embeds the SAME gaps-and-islands
+    # sessionizer (30-min lag+cumsum) and adds the regex pattern-match
+    # family on top, so the sampled coverage is strictly stronger.
+    "event_pattern_match",
     # storage-layout + reconciliation (round-2 scale families)
     "bucketed_join_no_shuffle",
     "zorder_cell_stats",

@@ -116,11 +116,14 @@ REPRESENTATIVES = [
     "holt_trend_smoothing",
     "ledger_hash_chain",
     "pca_power_iteration",
-    # round-2d pattern tier (plans/patterns.py)
+    # round-2d pattern tier (plans/patterns.py, graph_ops.py)
     "event_pattern_match",
     "pareto_frontier_parts",
     "dbscan_grid_clusters",
     "trainset_group_holdout",
+    "kcore_neardup_graph",
+    "streaming_event_pattern",
+    "hll_sketch_rollup",
 ]
 
 

@@ -172,3 +172,36 @@ def test_group_holdout_is_group_disjoint(spark):
     out = registry.queries()["trainset_group_holdout"](spark, SF).collect()
     assert sum(r.n_docs for r in out) == docs.count()
     assert {r.split for r in out} <= {"train", "val"}
+
+
+def test_kcore_is_a_fixpoint_and_subgraph_consistent(spark):
+    """The fixed peel rounds must actually converge on the fixture: every
+    reported core_degree is the node's degree within the survivor set,
+    and all are >= K (one more peel would change nothing)."""
+    from steam_prices_data_engineering_spark.plans.graph_ops import (
+        _KCORE_K,
+        neardup_edges,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    out = registry.queries()["kcore_neardup_graph"](spark, SF).collect()
+    core = {r.doc_id: r.core_degree for r in out}
+    edges = [(r.u, r.v) for r in neardup_edges(docs).collect()]
+    deg = defaultdict(int)
+    for u, v in edges:
+        if u in core and v in core:
+            deg[u] += 1
+            deg[v] += 1
+    assert all(d >= _KCORE_K for d in core.values())
+    assert {k: deg[k] for k in core} == core
+
+
+def test_streaming_event_pattern_matches_batch(spark):
+    """Complete-mode streaming CEP over one availableNow batch equals the
+    batch sessionization + flags (arrival order must not matter because
+    the symbol string sorts inside the projection)."""
+    out = registry.queries()["streaming_event_pattern"](spark, SF)
+    rows = {(r.user_id, r.session_start): (r.syms, r.m_browse_then_buy) for r in out.collect()}
+    assert rows, "stream produced no sessions"
+    for (uid, start), (syms, m) in rows.items():
+        assert m == bool(re.search("V+C+P", syms))

@@ -158,6 +158,10 @@ def test_projection_prunes_scan_columns(spark):
         "column_profile_report",
         "pca_power_iteration",
         "ols_normal_equations",
+        "event_pattern_match",
+        "pareto_frontier_parts",
+        "trainset_group_holdout",
+        "hll_sketch_rollup",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

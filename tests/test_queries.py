@@ -91,7 +91,9 @@ def test_driver_sample_spans_families():
         "ohlc_bars",                    # time-series OHLC downsample
         "dp_noisy_release",             # DP Laplace release
         "incremental_agg_merge",        # incremental view maintenance
-        "session_ids_batch",            # batch sessionization
+        "event_pattern_match",          # CEP regex over sessions (embeds the
+                                        # gaps-and-islands sessionizer that
+                                        # session_ids_batch pioneered)
         "drift_psi_report",             # drift monitoring (PSI)
         # round-2c decision-support families (plans/insights.py)
         "item_item_cosine",             # recommendation (item-item CF)
