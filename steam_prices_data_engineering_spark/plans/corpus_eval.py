@@ -1196,3 +1196,169 @@ def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over the
+# word co-occurrence graph — adjacent-token pairs form undirected
+# weighted edges; 3 fixed power iterations (the
+# pagerank_event_transitions discipline, unrolled identically in the
+# oracle); top-20 keywords by rank.
+#
+# Vocabulary gate: document frequency in [_TR_MIN_DF, 90% of docs] —
+# drops hapax noise AND the most stopword-grade tokens before any pair
+# is built (the fixture vocabulary is 31 tokens at df 75-80%, so a
+# production-style 50% cap would empty the graph; the gate's INTENT is
+# what matters and the bound is a named constant either way),
+# so the graph is sparse-vocab-bounded, never corpus-bounded. Scale: the
+# bigram build is the shared narrow staged+cached pass; the rank table
+# is vocab-sized (broadcast here; at web vocabularies this flips to the
+# partitioned-join PR loop with localCheckpoint per round, as
+# kcore_neardup_graph demonstrates).
+# ---------------------------------------------------------------------------
+
+_TR_DAMPING = 0.85
+_TR_ITERS = 3
+_TR_MIN_DF = 3
+_TR_TOPK = 20
+
+
+def _textrank_sql() -> str:
+    d = _TR_DAMPING
+    iters = ["r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"]
+    for i in range(1, _TR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+    SELECT node, (1 - {d}) / n + {d} * coalesce(c.contrib, 0.0) AS rank
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT b.dst AS cn, sum(r.rank * b.w / ow.outw) AS contrib
+        FROM bidir b
+        JOIN r{i - 1} r ON r.node = b.src
+        JOIN outw ow ON ow.src = b.src
+        GROUP BY b.dst
+    ) c ON c.cn = node
+)""")
+    return f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM arr),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+ndocs AS (SELECT count(*) AS nd FROM documents),
+kept AS (
+    SELECT tok FROM df CROSS JOIN ndocs
+    WHERE df >= {_TR_MIN_DF} AND df * 10 <= nd * 9
+),
+bi AS (
+    SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                  ELSE list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1]) END) AS bg
+    FROM arr
+),
+uv AS (
+    SELECT split_part(bg, ' ', 1) AS u, split_part(bg, ' ', 2) AS v FROM bi
+),
+pairs AS (
+    SELECT least(u, v) AS u, greatest(u, v) AS v,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM uv
+    WHERE u <> v
+      AND u IN (SELECT tok FROM kept) AND v IN (SELECT tok FROM kept)
+    GROUP BY 1, 2
+),
+bidir AS (
+    SELECT u AS src, v AS dst, w FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM pairs
+),
+outw AS (SELECT src, sum(w) AS outw FROM bidir GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM bidir),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+{",".join(iters)}
+SELECT node AS token, {R('rank', 6)} AS tr_rank
+FROM r{_TR_ITERS}
+ORDER BY {R('rank', 6)} DESC, node
+LIMIT {_TR_TOPK}
+"""
+
+
+@register("textrank_keywords", _textrank_sql())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by TextRank: PageRank (damping 0.85, 3
+    fixed iterations) over the df-gated adjacent-token co-occurrence
+    graph. Final top-k is orderBy().limit() — TakeOrderedAndProject,
+    never a global ranked window."""
+    docs = read_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", tokens(F.col("text")).alias("t")).cache()
+    tok = arr.select("doc_id", F.explode("t").alias("tok"))
+    ndocs = docs.count()
+    kept = (
+        tok.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= _TR_MIN_DF) & (F.col("df") * 10 <= ndocs * 9))
+        .select("tok")
+    )
+    bg = arr.select(
+        F.explode(
+            F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            )
+        ).alias("bg")
+    )
+    uv = bg.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("u"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    uv = uv.join(
+        F.broadcast(kept.select(F.col("tok").alias("u"))), "u", "left_semi"
+    ).join(F.broadcast(kept.select(F.col("tok").alias("v"))), "v", "left_semi")
+    pairs = (
+        uv.select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    bidir = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").persist()
+    outw = bidir.groupBy("src").agg(F.sum("w").alias("outw"))
+    weighted = bidir.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("wn")
+    ).persist()
+    nodes = bidir.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:  # empty landing: no co-occurrence graph, no keywords
+        return spark.createDataFrame([], "token string, tr_rank double")
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            weighted.join(F.broadcast(ranks), weighted.src == ranks.node)
+            .groupBy(F.col("dst").alias("cn"))
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == F.col("cn"), "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - _TR_DAMPING) / n)
+                + F.lit(_TR_DAMPING)
+                * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("token"), dround(F.col("rank"), 6).alias("tr_rank")
+        )
+        .orderBy(F.col("tr_rank").desc(), "token")
+        .limit(_TR_TOPK)
+    )

@@ -124,6 +124,7 @@ REPRESENTATIVES = [
     "kcore_neardup_graph",
     "streaming_event_pattern",
     "hll_sketch_rollup",
+    "textrank_keywords",
 ]
 
 

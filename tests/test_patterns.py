@@ -205,3 +205,55 @@ def test_streaming_event_pattern_matches_batch(spark):
     assert rows, "stream produced no sessions"
     for (uid, start), (syms, m) in rows.items():
         assert m == bool(re.search("V+C+P", syms))
+
+
+def test_textrank_matches_python_pagerank(spark):
+    """TextRank top-k equals an independent Python PageRank over the same
+    df-gated co-occurrence graph (graph build AND iteration algebra)."""
+    from steam_prices_data_engineering_spark.plans.corpus_eval import (
+        _TR_DAMPING,
+        _TR_ITERS,
+        _TR_MIN_DF,
+        _TR_TOPK,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    df = defaultdict(set)
+    pair_w = defaultdict(float)
+    for r in docs:
+        t = r.text.split(" ")
+        for w in t:
+            df[w].add(r.doc_id)
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                pair_w[(min(a, b), max(a, b))] += 1.0
+    kept = {w for w, s in df.items() if len(s) >= _TR_MIN_DF and len(s) * 10 <= nd * 9}
+    pair_w = {k: v for k, v in pair_w.items() if k[0] in kept and k[1] in kept}
+    adj = defaultdict(list)
+    outw = defaultdict(float)
+    for (u, v), w in pair_w.items():
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+        outw[u] += w
+        outw[v] += w
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(_TR_ITERS):
+        contrib = defaultdict(float)
+        for u in nodes:
+            for v, w in adj[u]:
+                contrib[v] += rank[u] * w / outw[u]
+        rank = {
+            u: (1 - _TR_DAMPING) / n + _TR_DAMPING * contrib[u] for u in nodes
+        }
+    expect = sorted(
+        ((round(r, 6), tok) for tok, r in rank.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:_TR_TOPK]
+    out = registry.queries()["textrank_keywords"](spark, SF).collect()
+    got = [(r.tr_rank, r.token) for r in out]
+    assert [t for _, t in expect] == [t for _, t in got]
+    for (er, _), (gr, _) in zip(expect, got):
+        assert abs(er - gr) < 2e-6
