@@ -96,6 +96,13 @@ BENCH_QUERIES = [
     "rfm_segments",
     "record_linkage_blocking",
     "skew_profile_report",
+    # round-2d pattern tier: sessionized CEP (two windows + regex join),
+    # the skyline decomposition, the k-core peel loop, TextRank's
+    # co-occurrence pair build + PR iterations
+    "event_pattern_match",
+    "pareto_frontier_parts",
+    "kcore_neardup_graph",
+    "textrank_keywords",
 ]
 
 

@@ -560,3 +560,179 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("approx_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (PrefixSpan-lite): the top frequent contiguous
+# event 3-grams across sessions — "what do users actually do in order",
+# the discovery complement of event_pattern_match's known-pattern
+# matching. Composes the SAME session symbol strings; the n-gram explode
+# is bounded by session length, and support counting is one
+# map-side-combined aggregation on a 3-char key. Top-k via
+# TakeOrderedAndProject (never a global ranked window).
+# ---------------------------------------------------------------------------
+
+_SEQ_N = 3
+_SEQ_TOPK = 15
+
+_SEQ_MINE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, {_CEP_SYM_SQL} AS sym,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                     > {_CEP_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+    SELECT user_id, sym, ts, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+    FROM flagged
+),
+strings AS (
+    SELECT user_id, session_idx,
+           string_agg(sym, '' ORDER BY ts, event_id) AS syms
+    FROM ids GROUP BY user_id, session_idx
+),
+grams AS (
+    SELECT user_id,
+           unnest(CASE WHEN len(syms) < {_SEQ_N} THEN []
+                  ELSE list_transform(range(1, len(syms) - {_SEQ_N} + 2),
+                                      i -> substr(syms, i, {_SEQ_N})) END)
+               AS gram
+    FROM strings
+)
+SELECT gram AS sequence,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM grams GROUP BY gram
+ORDER BY support DESC, sequence
+LIMIT {_SEQ_TOPK}
+"""
+
+
+@register("frequent_event_sequences", _SEQ_MINE_SQL)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 contiguous event 3-grams by occurrence count across
+    all sessions, with distinct-user support. The session strings reuse
+    event_pattern_match's build (same one-exchange window chain); the
+    n-gram expansion stays bounded because the inactivity gap bounds
+    session length."""
+    e = read_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > _CEP_GAP_S)
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ids = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        sym.alias("sym"),
+        F.sum(new_sess).over(wsum).alias("session_idx"),
+    )
+    strings = ids.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x.sym,
+            ),
+        ).alias("syms")
+    )
+    grams = strings.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.length("syms") < _SEQ_N, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("syms") - _SEQ_N + 1),
+                    lambda i: F.substring(F.col("syms"), i, F.lit(_SEQ_N)),
+                )
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy(F.col("gram").alias("sequence"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("support").desc(), "sequence")
+        .limit(_SEQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (quantity-weighted median unit price per return flag):
+# the smallest price whose cumulative quantity reaches half the total.
+# Consolidate-first discipline: reduce to the distinct-price grain (sum
+# of weights per (flag, price)) BEFORE any window, so the running-sum
+# window orders the GRAIN relation, not the fact rows; weights are
+# integer-valued quantities, so cumulative sums are order-exact in both
+# engines and the boundary comparison is deterministic. At extreme price
+# cardinality the same two-pass trick as equidepth_histogram applies
+# (coarse histogram to find the carrying bucket, exact pass within it).
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = f"""
+WITH grain AS (
+    SELECT l_returnflag, l_extendedprice / l_quantity AS price,
+           sum(l_quantity) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, price, w,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM grain
+)
+SELECT l_returnflag,
+       {R('min(CASE WHEN cw * 2 >= tw THEN price END)', 4)}
+           AS weighted_median_price,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median_price", _WMEDIAN_SQL)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag: distinct-price
+    grain reduce, per-flag cumulative-weight window over the grain, then
+    the first price where cumulative weight covers half the total."""
+    li = read_table(spark, sf_dir, "lineitem")
+    grain = li.groupBy(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wf = Window.partitionBy("l_returnflag")
+    wcum = wf.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grain.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        dround(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price"))), 4
+        ).alias("weighted_median_price"),
+        F.min("tw").cast("long").alias("total_weight"),
+    )

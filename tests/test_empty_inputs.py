@@ -125,6 +125,8 @@ REPRESENTATIVES = [
     "streaming_event_pattern",
     "hll_sketch_rollup",
     "textrank_keywords",
+    "frequent_event_sequences",
+    "weighted_median_price",
 ]
 
 

@@ -162,6 +162,8 @@ def test_projection_prunes_scan_columns(spark):
         "pareto_frontier_parts",
         "trainset_group_holdout",
         "hll_sketch_rollup",
+        "frequent_event_sequences",
+        "weighted_median_price",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
