@@ -903,3 +903,68 @@ def holt_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("h")["b"], 6).alias("holt_trend"),
         dround(F.col("h")["l"] + F.col("h")["b"], 6).alias("forecast_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation: does today's error volume predict purchase
+# revenue k days later (and vice versa)? The two-series companion of
+# acf_daily_revenue — same calendar-day rollup, same shifted-join shape,
+# Pearson per (direction, lag). The windowed relation is |days| x
+# |lags|, calendar-bounded at any event volume.
+# ---------------------------------------------------------------------------
+
+_XCORR_MAXLAG = 3
+
+_XCORR_SQL = f"""
+WITH days AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+           sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS rev,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS errs
+    FROM events GROUP BY 1
+),
+lags AS (SELECT v AS lag FROM (VALUES (0), (1), (2), (3)) l(v)),
+pairs AS (
+    SELECT l.lag, a.errs AS x, b.rev AS y
+    FROM lags l
+    JOIN days a ON TRUE
+    JOIN days b ON b.d = a.d + l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {R("corr(x, y)", 6)} AS xcorr_err_to_rev
+FROM pairs GROUP BY lag
+"""
+
+
+@register("xcorr_error_revenue", _XCORR_SQL)
+def xcorr_error_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily error count against purchase revenue
+    lag days later (lags 0..3): one day rollup, per-lag shifted join,
+    sample Pearson per lag."""
+    e = read_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("rev"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("errs"),
+    )
+    lags = spark.range(0, _XCORR_MAXLAG + 1).select(F.col("id").alias("lag"))
+    a = days.select("d", F.col("errs").alias("x")).crossJoin(F.broadcast(lags))
+    b = days.select(F.col("d").alias("d_next"), F.col("rev").alias("y"))
+    pairs = a.join(b, a["d"] + a["lag"] == b["d_next"])
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            dround(F.corr("x", "y"), 6).alias("xcorr_err_to_rev"),
+        )
+        .select(F.col("lag").cast("long").alias("lag"), "n_pairs", "xcorr_err_to_rev")
+    )

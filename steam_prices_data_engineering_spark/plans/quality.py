@@ -1324,3 +1324,106 @@ def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_totalprice", cents))
         .unionByName(prof("o_orderdate", epoch))
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test: is the current period's order-value
+# DISTRIBUTION the same as the reference period's? The nonparametric
+# companion to drift_psi_report (PSI needs binning; KS compares the full
+# empirical CDFs). Same data-derived midpoint split as PSI.
+#
+# Scale: reduce to the distinct-VALUE grain with per-period counts first
+# (one map-side-combined aggregation), so the cumulative windows order
+# the grain relation, never fact rows; at extreme value cardinality
+# pre-bin exactly as PSI does. Counts are integers -> cumulative CDFs
+# are order-exact in both engines, and the D statistic and the critical
+# value c(.05)*sqrt((n+m)/nm) are identical IEEE expressions.
+# ---------------------------------------------------------------------------
+
+_KS_C05 = 1.358  # Smirnov critical coefficient at alpha = 0.05
+
+_KS_SQL = f"""
+WITH cut AS (
+    SELECT min(o_orderdate)
+           + CAST(floor(date_diff('day', min(o_orderdate),
+                                  max(o_orderdate)) / 2) AS INTEGER)
+             * INTERVAL 1 DAY AS mid
+    FROM orders
+),
+tagged AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderdate < cut.mid THEN 1 ELSE 0 END AS is_ref
+    FROM orders CROSS JOIN cut
+),
+grain AS (
+    SELECT v, CAST(sum(is_ref) AS DOUBLE) AS n_ref,
+           CAST(sum(1 - is_ref) AS DOUBLE) AS n_cur
+    FROM tagged GROUP BY v
+),
+tot AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc FROM grain),
+cdf AS (
+    SELECT sum(n_ref) OVER w / nr AS f_ref,
+           sum(n_cur) OVER w / nc AS f_cur
+    FROM grain CROSS JOIN tot
+    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT CAST(nr AS BIGINT) AS n_ref,
+       CAST(nc AS BIGINT) AS n_cur,
+       {R('max(abs(f_ref - f_cur))', 6)} AS ks_d,
+       max(abs(f_ref - f_cur))
+           > {_KS_C05} * sqrt((nr + nc) / (nr * nc)) AS reject_at_05
+FROM cdf CROSS JOIN tot
+GROUP BY nr, nc
+"""
+
+
+@register("ks_two_sample_drift", _KS_SQL)
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS D statistic between the reference and current halves of the
+    order-value stream, with the alpha=.05 rejection flag."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    mid = bounds.select(
+        F.date_add(
+            F.col("lo"), F.floor(F.datediff("hi", "lo") / 2).cast("int")
+        ).alias("mid")
+    )
+    tagged = o.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.col("mid"), 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    grain = tagged.groupBy("v").agg(
+        F.sum("is_ref").cast("double").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("double").alias("n_cur"),
+    )
+    tot = grain.agg(
+        F.sum("n_ref").alias("nr"), F.sum("n_cur").alias("nc")
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = grain.crossJoin(F.broadcast(tot)).select(
+        (F.sum("n_ref").over(wcum) / F.col("nr")).alias("f_ref"),
+        (F.sum("n_cur").over(wcum) / F.col("nc")).alias("f_cur"),
+        "nr",
+        "nc",
+    )
+    d = F.max(F.abs(F.col("f_ref") - F.col("f_cur")))
+    return cdf.groupBy("nr", "nc").agg(
+        dround(d, 6).alias("ks_d"),
+        (
+            d
+            > _KS_C05
+            * F.sqrt((F.col("nr") + F.col("nc")) / (F.col("nr") * F.col("nc")))
+        ).alias("reject_at_05"),
+    ).select(
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        "ks_d",
+        "reject_at_05",
+    )

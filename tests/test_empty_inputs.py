@@ -127,6 +127,8 @@ REPRESENTATIVES = [
     "textrank_keywords",
     "frequent_event_sequences",
     "weighted_median_price",
+    "xcorr_error_revenue",
+    "ks_two_sample_drift",
 ]
 
 

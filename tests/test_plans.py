@@ -164,6 +164,8 @@ def test_projection_prunes_scan_columns(spark):
         "hll_sketch_rollup",
         "frequent_event_sequences",
         "weighted_median_price",
+        "ks_two_sample_drift",
+        "xcorr_error_revenue",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
