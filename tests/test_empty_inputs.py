@@ -129,6 +129,7 @@ REPRESENTATIVES = [
     "weighted_median_price",
     "xcorr_error_revenue",
     "ks_two_sample_drift",
+    "multimodal_phash_neardup",
 ]
 
 
