@@ -37,6 +37,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -967,4 +969,93 @@ def xcorr_error_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.corr("x", "y"), 6).alias("xcorr_err_to_rev"),
         )
         .select(F.col("lag").cast("long").alias("lag"), "n_pairs", "xcorr_err_to_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal forecast interval (Vovk; Lei et al.): calibrate a
+# distribution-free 90% band for the seasonal-naive daily-revenue
+# forecast on the first half of the backtest days, then measure empirical
+# coverage on the second half. q_hat is the ceil((n+1)*0.9)-th smallest
+# calibration |residual| — an exact order statistic over ROUNDED
+# residuals (daily revenue is a parallel double sum, so raw last-ULP
+# differences could flip the selection between engines; dround first
+# makes the multiset identical). All relations are calendar-day-bounded.
+# ---------------------------------------------------------------------------
+
+_CONF_LEVEL = 0.9
+
+_CONFORMAL_SQL = f"""
+WITH {_DAILY_REV},
+resid AS (
+    SELECT c.d, {R("abs(p7.rev - c.rev)", 4)} AS r
+    FROM daily c JOIN daily p7 ON p7.d = c.d - 7
+),
+mid AS (SELECT min(d) + CAST(floor((max(d) - min(d)) / 2) AS BIGINT) AS m
+        FROM resid),
+cal AS (SELECT r FROM resid CROSS JOIN mid WHERE d < m),
+ev AS (SELECT r FROM resid CROSS JOIN mid WHERE d >= m),
+ncal AS (SELECT count(*) AS n FROM cal),
+ranked AS (
+    SELECT r, row_number() OVER (ORDER BY r) AS rk FROM cal
+),
+qhat AS (
+    SELECT r AS q FROM ranked CROSS JOIN ncal
+    WHERE rk = least(CAST(ceil((n + 1) * {_CONF_LEVEL}) AS BIGINT), n)
+)
+SELECT CAST(ncal.n AS BIGINT) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R("min(q)", 4)} AS q_hat,
+       {R("avg(CASE WHEN ev.r <= q THEN 1.0 ELSE 0.0 END)", 6)} AS coverage
+FROM ev CROSS JOIN qhat CROSS JOIN ncal
+GROUP BY ncal.n
+"""
+
+
+@register("forecast_conformal_interval", _CONFORMAL_SQL)
+def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal interval half-width (q_hat) for the
+    seasonal-naive daily forecast, plus its empirical coverage on the
+    held-out half."""
+    daily = _daily_revenue(spark, sf_dir)
+    c = daily.select("d", F.col("rev").alias("actual"))
+    p7 = daily.select((F.col("d") + 7).alias("d"), F.col("rev").alias("pred"))
+    resid = c.join(p7, "d").select(
+        "d", dround(F.abs(F.col("pred") - F.col("actual")), 4).alias("r")
+    )
+    mid = resid.agg(
+        (
+            F.min("d") + F.floor((F.max("d") - F.min("d")) / 2).cast("long")
+        ).alias("m")
+    )
+    tagged = resid.crossJoin(F.broadcast(mid))
+    cal = tagged.filter(F.col("d") < F.col("m")).select("r")
+    ev = tagged.filter(F.col("d") >= F.col("m")).select("r")
+    n_cal = cal.count()  # driver sees one scalar (calendar-bounded relation)
+    if n_cal == 0:  # empty landing: no calibration days, no interval
+        return spark.createDataFrame(
+            [], "n_cal long, n_eval long, q_hat double, coverage double"
+        )
+    k = min(math.ceil((n_cal + 1) * _CONF_LEVEL), n_cal)
+    w = Window.orderBy("r")
+    qhat = (
+        cal.select("r", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == k)
+        .select(F.col("r").alias("q"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(F.min("q"), 4).alias("q_hat"),
+            dround(
+                F.avg(F.when(F.col("r") <= F.col("q"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select(
+            F.lit(n_cal).cast("long").alias("n_cal"),
+            "n_eval",
+            "q_hat",
+            "coverage",
+        )
     )

@@ -130,6 +130,7 @@ REPRESENTATIVES = [
     "xcorr_error_revenue",
     "ks_two_sample_drift",
     "multimodal_phash_neardup",
+    "forecast_conformal_interval",
 ]
 
 
