@@ -1362,3 +1362,99 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tr_rank").desc(), "token")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity under the TRAIN-split LM: the evaluation loop a
+# training-data pipeline runs after a split — build the unigram LM on the
+# train side of trainset_group_holdout's source-hashed split, score BOTH
+# splits under it with add-1 smoothing over the joint vocabulary (val
+# tokens unseen in train get a finite probability), and report per-split
+# perplexity. A healthy leakage-safe split shows val >= train surprisal;
+# near-equality under a group split is the designed outcome when sources
+# share a language model, and a val BELOW train flags leakage.
+#
+# Scale: same two-shuffle LM shape as doc_unigram_lm_quality (vocab-keyed
+# counts broadcast back onto the token stream); the split tag rides the
+# token rows from the doc scan, no extra join.
+# ---------------------------------------------------------------------------
+
+from ..functions.sqlfrag import sql_md5_hex6_to_int as _sql_md5i  # noqa: E402
+from ..functions.text import md5_hex6_to_int as _md5i  # noqa: E402
+
+_HOLDOUT_BUCKETS = 10  # composes trainset_group_holdout's split rule
+
+_HOLDOUT_PPL_SQL = f"""
+WITH tagged AS (
+    SELECT doc_id, text,
+           CASE WHEN ({_sql_md5i("concat_ws('', 'gh_', source)")})
+                     % {_HOLDOUT_BUCKETS} = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+),
+tok AS (
+    SELECT split, doc_id, unnest(string_split(text, ' ')) AS tok FROM tagged
+),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tok),
+lm AS (
+    SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok
+    WHERE split = 'train' GROUP BY tok
+),
+ntrain AS (SELECT sum(cnt) AS n FROM lm),
+scored AS (
+    SELECT t.split,
+           -ln((coalesce(lm.cnt, 0.0) + 1.0) / (ntrain.n + vocab.v)) AS s
+    FROM tok t
+    LEFT JOIN lm ON lm.tok = t.tok
+    CROSS JOIN ntrain CROSS JOIN vocab
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {R("avg(s)", 6)} AS mean_surprisal,
+       {R("exp(avg(s))", 4)} AS perplexity
+FROM scored GROUP BY split
+"""
+
+
+@register("holdout_lm_perplexity", _HOLDOUT_PPL_SQL)
+def holdout_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split perplexity under the train-split add-1-smoothed unigram
+    LM — the held-out evaluation of trainset_group_holdout's split,
+    composed from the same md5 split rule (functions/text.py twin of the
+    sqlfrag fragment)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = _md5i(F.concat_ws("", F.lit("gh_"), F.col("source"))) % _HOLDOUT_BUCKETS
+    tagged = d.select(
+        "doc_id",
+        "text",
+        F.when(bucket == 0, "val").otherwise("train").alias("split"),
+    )
+    tok = tagged.select(
+        "split", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = tok.agg(F.countDistinct("tok").cast("double").alias("v"))
+    lm = (
+        tok.filter(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    ntrain = lm.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(F.broadcast(lm), "tok", "left")
+        .crossJoin(F.broadcast(ntrain))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "split",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0.0)) + 1.0)
+                    / (F.col("n") + F.col("v"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        dround(F.avg("s"), 6).alias("mean_surprisal"),
+        dround(F.exp(F.avg("s")), 4).alias("perplexity"),
+    )

@@ -131,6 +131,7 @@ REPRESENTATIVES = [
     "ks_two_sample_drift",
     "multimodal_phash_neardup",
     "forecast_conformal_interval",
+    "holdout_lm_perplexity",
 ]
 
 

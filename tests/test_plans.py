@@ -166,6 +166,7 @@ def test_projection_prunes_scan_columns(spark):
         "weighted_median_price",
         "ks_two_sample_drift",
         "xcorr_error_revenue",
+        "holdout_lm_perplexity",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
