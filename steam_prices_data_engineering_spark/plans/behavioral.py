@@ -1201,3 +1201,103 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "click_1h"))
         .unionByName(stage(p, "purchase_1h"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch position-based (U-shaped) attribution: each purchase
+# distributes credit over the user's clicks in the preceding 7 days —
+# first click 40%, last click 40%, middles share the remaining 20%
+# (1 click takes 100%, 2 clicks split 50/50). The "campaign" is the
+# deterministic pseudo-channel k % 10 from the props JSON (the fixture
+# has no channel column; swap a real one in one-for-one). Complements
+# attribution_last_touch with the many-to-many credit model.
+#
+# Scale: the purchase x click pair join is user-keyed with a bounded
+# 7-day interval (the interval_overlap_bin_join shape — candidates are
+# per-user and window-bounded, never cross-user); the rank/count
+# windows partition by purchase, whose group size is bounded by the
+# window; credit aggregation is map-side combined on a 10-value key.
+# ---------------------------------------------------------------------------
+
+_MTA_WINDOW_S = 7 * 86400
+
+_MTA_SQL = f"""
+WITH purchases AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+    WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS c_id, ts AS c_ts,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+               AS campaign
+    FROM events WHERE event_type = 'click'
+),
+pairs AS (
+    SELECT p.p_id, c.campaign, c.c_ts, c.c_id,
+           row_number() OVER (PARTITION BY p.p_id
+                              ORDER BY c.c_ts, c.c_id) AS rn,
+           count(*) OVER (PARTITION BY p.p_id) AS n
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND floor(epoch(c.c_ts)) > floor(epoch(p.p_ts)) - {_MTA_WINDOW_S}
+),
+credited AS (
+    SELECT campaign,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN rn = 1 OR rn = n THEN 0.4
+                ELSE 0.2 / (n - 2) END AS credit
+    FROM pairs
+)
+SELECT CAST(campaign AS BIGINT) AS campaign,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       {R("sum(credit)", 6)} AS credit
+FROM credited GROUP BY campaign
+"""
+
+
+@register("attribution_position_based", _MTA_SQL)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution credit per pseudo-campaign
+    (props.k % 10): user-keyed 7-day interval join of purchases to
+    preceding clicks, per-purchase position windows, credit rollup."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object(F.col("props"), "$.k").cast("int") % 10).alias(
+            "campaign"
+        ),
+    )
+    pairs = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts").cast("long") > F.col("p_ts").cast("long") - _MTA_WINDOW_S),
+    )
+    wp = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id",
+        "campaign",
+        F.row_number().over(wp.orderBy("c_ts", "c_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select(F.col("campaign").cast("long").alias("campaign"), credit.alias("credit"))
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            dround(F.sum("credit"), 6).alias("credit"),
+        )
+    )

@@ -132,6 +132,7 @@ REPRESENTATIVES = [
     "multimodal_phash_neardup",
     "forecast_conformal_interval",
     "holdout_lm_perplexity",
+    "attribution_position_based",
 ]
 
 

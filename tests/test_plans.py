@@ -167,6 +167,7 @@ def test_projection_prunes_scan_columns(spark):
         "ks_two_sample_drift",
         "xcorr_error_revenue",
         "holdout_lm_perplexity",
+        "attribution_position_based",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
