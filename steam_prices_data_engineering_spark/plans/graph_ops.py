@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import dround, dround_sql as R
 from ..sources.tables import read_table
 from .registry import register
 
@@ -228,4 +229,89 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bidir.groupBy(F.col("u").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= _KCORE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by neighbor overlap: for document pairs NOT directly
+# connected but sharing neighbors (distance 2 in the candidate graph),
+# score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the classic Jaccard link
+# predictor. In a dedup pipeline this surfaces "probably the same
+# template family, but the shingle blocking missed the direct edge"
+# pairs for a second-look pass.
+#
+# Scale: common neighbors come from ONE self-join of the edge list on
+# the shared endpoint (the triangle-count wedge join); the direct-edge
+# exclusion is an anti join on the edge key; degrees are one map-side
+# aggregation. Never all-pairs.
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+_LINKPRED_SQL = f"""
+WITH {_SQL_EDGE_CTES},
+bidir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bidir GROUP BY u),
+wedge AS (
+    SELECT a.u AS x, b.v AS y, CAST(count(*) AS BIGINT) AS common
+    FROM bidir a JOIN bidir b ON a.v = b.u AND a.u < b.v
+    GROUP BY a.u, b.v
+),
+cand AS (
+    SELECT w.x, w.y, w.common FROM wedge w
+    WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = w.x AND e.v = w.y)
+)
+SELECT c.x AS doc_id_a, c.y AS doc_id_b, c.common,
+       {R("CAST(c.common AS DOUBLE) / (da.d + db.d - c.common)", 6)}
+           AS jaccard_score
+FROM cand c JOIN deg da ON da.node = c.x JOIN deg db ON db.node = c.y
+ORDER BY {R("CAST(c.common AS DOUBLE) / (da.d + db.d - c.common)", 6)} DESC,
+         c.x, c.y
+LIMIT {_LP_TOPK}
+"""
+
+
+@register("linkpred_neighbor_jaccard", _LINKPRED_SQL)
+def linkpred_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted missing edges in the near-dup candidate graph by
+    neighbor-overlap Jaccard: wedge self-join for common neighbors, anti
+    join to exclude existing edges, degree join for the union size,
+    TakeOrderedAndProject for the top-k."""
+    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()
+    bidir = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = bidir.alias("a")
+    b = bidir.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v")))
+        .groupBy(F.col("a.u").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    cand = wedge.join(
+        edges,
+        (wedge.x == edges.u) & (wedge.y == edges.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("db"))
+    score = dround(
+        F.col("common").cast("double")
+        / (F.col("da") + F.col("db") - F.col("common")),
+        6,
+    )
+    return (
+        cand.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("doc_id_a"),
+            F.col("y").alias("doc_id_b"),
+            "common",
+            score.alias("jaccard_score"),
+        )
+        .orderBy(F.col("jaccard_score").desc(), "doc_id_a", "doc_id_b")
+        .limit(_LP_TOPK)
     )

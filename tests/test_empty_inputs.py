@@ -133,6 +133,7 @@ REPRESENTATIVES = [
     "forecast_conformal_interval",
     "holdout_lm_perplexity",
     "attribution_position_based",
+    "linkpred_neighbor_jaccard",
 ]
 
 
