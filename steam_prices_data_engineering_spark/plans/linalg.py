@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..sources.tables import read_table
 from .registry import register
 
@@ -243,4 +244,185 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(b1, 4).alias("beta1"),
         dround(b2, 4).alias("beta2"),
         dround(r2, 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection with distortion verification:
+# project the 64-dim embeddings to 16 dims with a deterministic +-1 sign
+# matrix (md5-derived, built as its own 1024-row relation — the hash
+# runs once per MATRIX cell, never per data row) and measure pairwise
+# squared-distance distortion on a fixed 20-vector panel. JL promises
+# ||ya-yb||^2 / (k * ||xa-xb||^2) ~ 1; the query reports the mean ratio
+# and the share inside [0.5, 2].
+#
+# Exactness: coordinates are quantized to integers (round(x * 2^20)) so
+# every sum is order-independent and bit-identical across engines — no
+# float fold anywhere; the scale cancels inside the ratio. Magnitudes:
+# |y_i| <= 64 * 2^21 ~ 2^27, squared-sums over 16 dims < 2^58 — inside
+# long range.
+#
+# Scale: the projection is (rows x 64) exploded coordinates joined to a
+# BROADCAST 1024-cell sign matrix, then an integer groupBy — linear in
+# input, shuffles on (vec_id, proj_dim). The panel self-joins are
+# 20-vector bounded by construction.
+# ---------------------------------------------------------------------------
+
+_JL_IN_DIMS = 64
+_JL_OUT_DIMS = 16
+_JL_PANEL = 20
+_JL_Q = 1 << 20
+
+_JL_SQL = f"""
+WITH panel AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_PANEL}
+),
+coords AS (
+    SELECT vec_id, j,
+           -- CAST to DOUBLE before scaling (FLOAT*INT stays float in
+           -- DuckDB) and floor(v + 0.5) instead of round() (tie rule is
+           -- engine-defined; floor+0.5 is not)
+           CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * {_JL_Q} + 0.5)
+                AS BIGINT) AS xq
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(0, {_JL_IN_DIMS})) AS j
+          FROM panel)
+),
+signs AS (
+    -- the projection-dim column is named oi, NOT i: the md5 fragment's
+    -- internal list_transform lambda binds i and would SHADOW the column
+    -- (probed: the key silently hashed the lambda index -> sign matrix
+    -- constant across output dims)
+    SELECT oi, j,
+           CASE WHEN ({sql_md5_hex6_to_int(
+               "concat_ws('', 'jl_', CAST(oi AS VARCHAR), '_', CAST(j AS VARCHAR))"
+           )}) % 2 = 0 THEN 1 ELSE -1 END AS s
+    FROM (SELECT unnest(range(0, {_JL_OUT_DIMS})) AS oi) a
+    CROSS JOIN (SELECT unnest(range(0, {_JL_IN_DIMS})) AS j) b
+),
+proj AS (
+    SELECT c.vec_id, s.oi, sum(s.s * c.xq) AS y
+    FROM coords c JOIN signs s ON s.j = c.j
+    GROUP BY c.vec_id, s.oi
+),
+ydist AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           sum((a.y - b.y) * (a.y - b.y)) AS dy2
+    FROM proj a JOIN proj b ON a.oi = b.oi AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+xdist AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           sum((a.xq - b.xq) * (a.xq - b.xq)) AS dx2
+    FROM coords a JOIN coords b ON a.j = b.j AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+ratios AS (
+    SELECT CAST(y.dy2 AS DOUBLE)
+           / ({_JL_OUT_DIMS} * CAST(x.dx2 AS DOUBLE)) AS r
+    FROM ydist y JOIN xdist x ON x.va = y.va AND x.vb = y.vb
+    WHERE x.dx2 > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       {R("avg(r)", 6)} AS mean_ratio,
+       {R("avg(CASE WHEN r >= 0.5 AND r <= 2.0 THEN 1.0 ELSE 0.0 END)", 6)}
+           AS share_within_2x
+FROM ratios
+"""
+
+
+@register("jl_projection_distortion", _JL_SQL)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64->16-dim +-1 random projection of a 20-vector panel with
+    pairwise squared-distance distortion stats (mean ratio, share within
+    [0.5, 2]). All integer arithmetic up to the final two divisions."""
+    from ..functions.text import md5_hex6_to_int
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < _JL_PANEL)
+    coords = panel.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x") * _JL_Q + 0.5).cast("long").alias("xq"),
+    )
+    ij = spark.range(_JL_OUT_DIMS).select(F.col("id").alias("i")).crossJoin(
+        spark.range(_JL_IN_DIMS).select(F.col("id").alias("j"))
+    )
+    sign_key = F.concat_ws(
+        "",
+        F.lit("jl_"),
+        F.col("i").cast("string"),
+        F.lit("_"),
+        F.col("j").cast("string"),
+    )
+    signs = ij.select(
+        "i",
+        "j",
+        F.when(md5_hex6_to_int(sign_key) % 2 == 0, 1).otherwise(-1).alias("s"),
+    )
+    proj = (
+        coords.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("s") * F.col("xq")).alias("y"))
+    )
+    pa = proj.alias("pa")
+    pb = proj.alias("pb")
+    ydist = (
+        pa.join(
+            pb,
+            (F.col("pa.i") == F.col("pb.i"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("va"), F.col("pb.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("pa.y") - F.col("pb.y"))
+                * (F.col("pa.y") - F.col("pb.y"))
+            ).alias("dy2")
+        )
+    )
+    ca = coords.alias("ca")
+    cb = coords.alias("cb")
+    xdist = (
+        ca.join(
+            cb,
+            (F.col("ca.j") == F.col("cb.j"))
+            & (F.col("ca.vec_id") < F.col("cb.vec_id")),
+        )
+        .groupBy(
+            F.col("ca.vec_id").alias("va"), F.col("cb.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("ca.xq") - F.col("cb.xq"))
+                * (F.col("ca.xq") - F.col("cb.xq"))
+            ).alias("dx2")
+        )
+    )
+    ratios = (
+        ydist.join(xdist, ["va", "vb"])
+        .filter(F.col("dx2") > 0)
+        .select(
+            (
+                F.col("dy2").cast("double")
+                / (F.lit(_JL_OUT_DIMS) * F.col("dx2").cast("double"))
+            ).alias("r")
+        )
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        dround(F.avg("r"), 6).alias("mean_ratio"),
+        dround(
+            F.avg(
+                F.when((F.col("r") >= 0.5) & (F.col("r") <= 2.0), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("share_within_2x"),
     )
