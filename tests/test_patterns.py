@@ -257,3 +257,32 @@ def test_textrank_matches_python_pagerank(spark):
     assert [t for _, t in expect] == [t for _, t in got]
     for (er, _), (gr, _) in zip(expect, got):
         assert abs(er - gr) < 2e-6
+
+
+def test_round2d_plans_have_no_cartesian_products(spark):
+    """Every round-2d join must be keyed or broadcast — a CartesianProduct
+    node (unbroadcast all-pairs) in any of these plans is a scale bug.
+    (BroadcastNestedLoopJoin is allowed: those are the intentional 1-row
+    threshold/pattern-dim cross joins and the bounded core-cell
+    adjacency.)"""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in [
+        "event_pattern_match",
+        "pareto_frontier_parts",
+        "dbscan_grid_clusters",
+        "trainset_group_holdout",
+        "hll_sketch_rollup",
+        "frequent_event_sequences",
+        "weighted_median_price",
+        "ks_two_sample_drift",
+        "xcorr_error_revenue",
+        "attribution_position_based",
+        "linkpred_neighbor_jaccard",
+        "holdout_lm_perplexity",
+        "textrank_keywords",
+    ]:
+        df = registry.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "CartesianProduct" not in plan, name
