@@ -1059,3 +1059,88 @@ def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of daily revenue: trend = centered
+# 7-day moving average (only days with the full +-3 neighborhood, so the
+# estimate is never edge-biased), seasonal = day-of-week mean of the
+# detrended series, residual = value - trend - seasonal, with |residual|
+# > 2 sd flagged. The decomposition grain is the calendar-day rollup —
+# bounded at any fact volume — and every component is a window or a
+# 7-row broadcast join.
+# ---------------------------------------------------------------------------
+
+_STL_Z = 2.0
+
+_STL_SQL = f"""
+WITH {_DAILY_REV},
+trend AS (
+    SELECT d, rev,
+           CASE WHEN count(*) OVER w = 7 THEN avg(rev) OVER w END AS tr
+    FROM daily
+    WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT d, rev, tr, rev - tr AS dt, d % 7 AS dow
+    FROM trend WHERE tr IS NOT NULL
+),
+seas AS (SELECT dow, avg(dt) AS s FROM detr GROUP BY dow),
+resid AS (
+    SELECT t.d, t.rev, t.tr, se.s, t.dt - se.s AS r
+    FROM detr t JOIN seas se ON se.dow = t.dow
+),
+sd AS (
+    SELECT sqrt(sum(r * r) / count(*) - pow(sum(r) / count(*), 2)) AS sigma
+    FROM resid
+)
+SELECT CAST(r.d AS BIGINT) AS day,
+       {R('r.rev', 4)} AS revenue,
+       {R('r.tr', 4)} AS trend,
+       {R('r.s', 4)} AS seasonal,
+       {R('r.r', 4)} AS residual,
+       abs(r.r) > {_STL_Z} * sd.sigma AS is_anomaly
+FROM resid r CROSS JOIN sd
+"""
+
+
+@register("stl_decomposition_lite", _STL_SQL)
+def stl_decomposition_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal/residual decomposition of daily revenue with 2-sigma
+    residual anomaly flags. The RANGE window over the day grain gives the
+    centered MA without a self-join; population sd from explicit sums
+    (the repo's moment discipline)."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("d").rangeBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "rev",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("rev").over(w)).alias(
+            "tr"
+        ),
+    )
+    detr = trend.filter(F.col("tr").isNotNull()).select(
+        "d",
+        "rev",
+        "tr",
+        (F.col("rev") - F.col("tr")).alias("dt"),
+        (F.col("d") % 7).alias("dow"),
+    )
+    seas = detr.groupBy("dow").agg(F.avg("dt").alias("s"))
+    resid = detr.join(F.broadcast(seas), "dow").select(
+        "d", "rev", "tr", "s", (F.col("dt") - F.col("s")).alias("r")
+    )
+    sd = resid.agg(
+        F.sqrt(
+            F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1))
+            - F.pow(F.sum("r") / F.count(F.lit(1)), 2)
+        ).alias("sigma")
+    )
+    return resid.crossJoin(F.broadcast(sd)).select(
+        F.col("d").cast("long").alias("day"),
+        dround(F.col("rev"), 4).alias("revenue"),
+        dround(F.col("tr"), 4).alias("trend"),
+        dround(F.col("s"), 4).alias("seasonal"),
+        dround(F.col("r"), 4).alias("residual"),
+        (F.abs(F.col("r")) > _STL_Z * F.col("sigma")).alias("is_anomaly"),
+    )

@@ -168,6 +168,11 @@ def test_projection_prunes_scan_columns(spark):
         "xcorr_error_revenue",
         "holdout_lm_perplexity",
         "attribution_position_based",
+        "stl_decomposition_lite",
+        "jl_projection_distortion",
+        "linkpred_neighbor_jaccard",
+        "pareto_frontier_parts",
+        "dbscan_grid_clusters",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
