@@ -1301,3 +1301,177 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("credit"), 6).alias("credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model evaluation: train the first-order transition
+# model on the FIRST half of the time span (argmax next type per
+# previous type, ties broken lexicographically), score top-1 accuracy on
+# transitions inside the second half — the in-engine train/evaluate loop
+# for the transition matrix that event_transition_matrix only describes.
+# Both halves derive from the same data-driven midpoint rule as
+# drift_psi_report. The model is |event_types| rows — broadcast; the
+# heavy work is two lag windows over user-keyed exchanges.
+# ---------------------------------------------------------------------------
+
+_MARKOV_EVAL_SQL = f"""
+WITH cut AS (
+    SELECT CAST(min(floor(epoch(ts)))
+           + floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 2)
+           AS BIGINT) AS mid
+    FROM events
+),
+train AS (
+    SELECT user_id, ts, event_id, event_type FROM events CROSS JOIN cut
+    WHERE floor(epoch(ts)) < cut.mid
+),
+test AS (
+    SELECT user_id, ts, event_id, event_type FROM events CROSS JOIN cut
+    WHERE floor(epoch(ts)) >= cut.mid
+),
+tr_pairs AS (
+    SELECT lag(event_type) OVER w AS prev, event_type AS nxt
+    FROM train
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+    SELECT prev, nxt, count(*) AS c FROM tr_pairs
+    WHERE prev IS NOT NULL GROUP BY prev, nxt
+),
+model AS (
+    SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS rk
+        FROM counts
+    ) WHERE rk = 1
+),
+te_pairs AS (
+    SELECT lag(event_type) OVER w AS prev, event_type AS nxt
+    FROM test
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t.prev AS prev_type, m.predicted,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       {R("avg(CASE WHEN t.nxt = m.predicted THEN 1.0 ELSE 0.0 END)", 6)}
+           AS top1_accuracy
+FROM te_pairs t JOIN model m ON m.prev = t.prev
+WHERE t.prev IS NOT NULL
+GROUP BY t.prev, m.predicted
+"""
+
+
+@register("markov_next_event_eval", _MARKOV_EVAL_SQL)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 accuracy of the train-half Markov next-event predictor on
+    test-half transitions, per previous event type."""
+    e = read_table(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    cut = e.agg(
+        (F.min(ep) + F.floor((F.max(ep) - F.min(ep)) / 2)).cast("long").alias("mid")
+    )
+    tagged = e.crossJoin(F.broadcast(cut))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def pairs(df):
+        return df.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("nxt"),
+        ).filter(F.col("prev").isNotNull())
+
+    tr = pairs(tagged.filter(ep < F.col("mid")))
+    te = pairs(tagged.filter(ep >= F.col("mid")))
+    counts = tr.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        counts.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    return (
+        te.join(F.broadcast(model), "prev")
+        .groupBy(F.col("prev").alias("prev_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            dround(
+                F.avg(
+                    F.when(F.col("nxt") == F.col("predicted"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("top1_accuracy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness: per user, the coefficient of variation of
+# gaps between consecutive events — CV << 1 is clockwork-regular, ~1 is
+# Poisson-like, >> 1 is bursty. One lag window for gaps, one user-grain
+# aggregate with explicit moment sums, then a 3-way classification
+# rollup. Integer epoch gaps keep the moment sums order-exact.
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_EVENTS = 5
+
+_BURSTINESS_SQL = f"""
+WITH gaps AS (
+    SELECT user_id,
+           floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+    SELECT user_id,
+           count(gap) AS n,
+           sum(gap) AS s,
+           sum(gap * gap) AS q
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id HAVING count(gap) >= {_BURST_MIN_EVENTS}
+),
+cv AS (
+    SELECT user_id,
+           sqrt(CAST(q AS DOUBLE) / n - pow(CAST(s AS DOUBLE) / n, 2))
+               / (CAST(s AS DOUBLE) / n) AS cv
+    FROM per_user WHERE s > 0
+)
+SELECT CASE WHEN cv < 0.5 THEN 'regular'
+            WHEN cv < 1.5 THEN 'poisson_like'
+            ELSE 'bursty' END AS rhythm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       {R("avg(cv)", 6)} AS avg_cv
+FROM cv GROUP BY 1
+"""
+
+
+@register("interarrival_burstiness", _BURSTINESS_SQL)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users classified by the CV of their inter-event gaps (regular /
+    Poisson-like / bursty), with the class mean CV."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gaps = e.select("user_id", gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("q"),
+    ).filter((F.col("n") >= _BURST_MIN_EVENTS) & (F.col("s") > 0))
+    mean = F.col("s").cast("double") / F.col("n")
+    cv = (
+        F.sqrt(F.col("q").cast("double") / F.col("n") - F.pow(mean, 2)) / mean
+    )
+    classified = per_user.select(
+        F.when(cv < 0.5, "regular")
+        .when(cv < 1.5, "poisson_like")
+        .otherwise("bursty")
+        .alias("rhythm"),
+        cv.alias("cv"),
+    )
+    return classified.groupBy("rhythm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        dround(F.avg("cv"), 6).alias("avg_cv"),
+    )

@@ -135,6 +135,8 @@ REPRESENTATIVES = [
     "attribution_position_based",
     "linkpred_neighbor_jaccard",
     "stl_decomposition_lite",
+    "markov_next_event_eval",
+    "interarrival_burstiness",
     # jl_projection_distortion is an always-1-row global aggregate
     # (n_pairs=0 on empty input in BOTH engines) — excluded like OLS and
     # the skew audits, per the datasheet precedent above.

@@ -173,6 +173,8 @@ def test_projection_prunes_scan_columns(spark):
         "linkpred_neighbor_jaccard",
         "pareto_frontier_parts",
         "dbscan_grid_clusters",
+        "markov_next_event_eval",
+        "interarrival_burstiness",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
