@@ -1,0 +1,268 @@
+"""Scale-safe global ordering primitives: binned prefix sums, global
+ranks, and exact ntile — none of which ever run a partition-less Window
+over a fact-scale grain.
+
+The problem: `Window.orderBy(...)` with no PARTITION BY drags every row
+through ONE task. Fine at sf0.1; a scale-killer at 100 TB. The classic
+two-phase fix (per-partition partials + broadcast offsets) needs a
+DETERMINISTIC order-preserving partitioner — `repartitionByRange` samples
+and can re-sample differently on the offset branch vs the rank branch,
+so we derive the partition (the "bin") from the DATA instead:
+
+    bin(v) = floor((v - min) * N_BINS / (max - min)),  clipped to N_BINS-1
+
+min/max come from a 1-row broadcast aggregate, so the bin id is a pure
+deterministic expression of the row, order-preserving, and the bin COUNT
+is a constant (default 64) independent of data volume. Then:
+
+  * per-bin partials: one map-side-combined groupBy over N_BINS groups;
+  * bin offsets: a bins x bins broadcast theta-join (<= N_BINS^2 = 4096
+    pairs — no window at all on the bins grain);
+  * within-bin detail: a Window PARTITIONED by bin — every task touches
+    only its own bin.
+
+Exactness note: prefix sums of integer-valued columns (counts, longs)
+are exact under any association, so two-phase == sequential bit-for-bit.
+Double-valued prefix sums re-associate (last-ULP drift vs a sequential
+window); callers that hash-compare against a sequential oracle should
+keep integer accumulators (every current caller does).
+
+Skew: all-equal order keys collapse to one bin, degrading to the global
+window's behaviour — callers pick an order column with real spread
+(spend, timestamps, ids), which every current caller has.
+
+No counterpart in the reference (single-threaded pandas ranks in memory,
+e.g. /root/reference/Scripts/transformers/world_map_transformer.py's
+frame-wide ops); this is the Spark-native scale substitute.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BINS = 64
+
+_MN, _MX, _BIN = "_rk_mn", "_rk_mx", "_rk_bin"
+
+
+def _with_bin(
+    df: DataFrame, order_col: Column, n_bins: int
+) -> DataFrame:
+    """Attach the deterministic min-max bin id (always ascending in the
+    order column; descending consumers flip the comparison, not the id).
+    """
+    mnmx = df.agg(
+        F.min(order_col).cast("double").alias(_MN),
+        F.max(order_col).cast("double").alias(_MX),
+    )
+    v = order_col.cast("double")
+    span = F.col(_MX) - F.col(_MN)
+    bin_id = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.col(_MN)) * n_bins / span).cast("int"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(mnmx))
+        .withColumn(_BIN, bin_id)
+        .drop(_MN, _MX)
+    )
+
+
+def _bin_offsets(
+    binned: DataFrame, sums: Mapping[str, Column], desc: bool
+) -> DataFrame:
+    """Per-bin totals -> per-bin EXCLUSIVE offsets via a broadcast
+    theta-join over the constant-size bin table (no window)."""
+    bins = binned.groupBy(_BIN).agg(
+        *[expr.alias(name) for name, expr in sums.items()]
+    )
+    before = (
+        F.col(f"y.{_BIN}") > F.col(f"x.{_BIN}")
+        if desc
+        else F.col(f"y.{_BIN}") < F.col(f"x.{_BIN}")
+    )
+    return (
+        bins.alias("x")
+        .join(F.broadcast(bins.alias("y")), before, "left")
+        .groupBy(F.col(f"x.{_BIN}").alias(_BIN))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"y.{name}")), F.lit(0)).alias(name)
+                for name in sums
+            ]
+        )
+    )
+
+
+def prefix_sums_binned(
+    df: DataFrame,
+    order_col: Column,
+    vals: Mapping[str, Column],
+    *,
+    desc: bool = False,
+    exclusive: bool = False,
+    tie_cols: Sequence[Column] = (),
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Cumulative sums of `vals` over the total order (order_col [+
+    tie_cols]) — the two-phase, bin-partitioned equivalent of
+    `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING [AND 1
+    PRECEDING])`. Output column names are the mapping keys.
+
+    `order_col` must be numeric and non-null; with `tie_cols` empty it
+    must be unique per row (distinct-value grains) for the order to be
+    total — prefix sums are still well-defined under ties either way.
+    """
+    binned = _with_bin(df, order_col, n_bins)
+    offs = _bin_offsets(
+        binned, {n: F.sum(c) for n, c in vals.items()}, desc
+    )
+    order = [order_col.desc() if desc else order_col.asc()] + list(tie_cols)
+    frame = Window.partitionBy(_BIN).orderBy(*order)
+    hi = -1 if exclusive else Window.currentRow
+    w = frame.rowsBetween(Window.unboundedPreceding, hi)
+    renamed = offs.select(
+        _BIN, *[F.col(n).alias(f"_off_{n}") for n in vals]
+    )
+    out = binned.join(F.broadcast(renamed), _BIN)
+    for name, col in vals.items():
+        cum = F.sum(col).over(w)
+        if exclusive:
+            cum = F.coalesce(cum, F.lit(0))
+        out = out.withColumn(name, F.col(f"_off_{name}") + cum)
+    return out.drop(_BIN, *[f"_off_{n}" for n in vals])
+
+
+def _ntile_from_rank(p: Column, n: Column, k: int) -> Column:
+    """Spark's / DuckDB's ntile(k) fill rule, arithmetically from the
+    1-based rank p and total n: with q = n div k and r = n mod k, the
+    first r buckets hold q+1 rows and the rest q."""
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    head = r * (q + F.lit(1))
+    # q == 0 (n < k) makes the tail branch unreachable (head == n), but
+    # ANSI mode still type-checks the div-by-zero — greatest() guards it.
+    qs = F.greatest(q, F.lit(1))
+    return (
+        F.when(p <= head, F.floor((p + q) / (q + F.lit(1))))
+        .otherwise(r + F.floor((p - head + qs - 1) / qs))
+        .cast("long")
+    )
+
+
+def ntile_scores(
+    df: DataFrame,
+    key_col: str,
+    measures: Mapping[str, tuple[Column, bool]],
+    n_buckets: int,
+    *,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Exact ntile(n_buckets) for SEVERAL measures of one keyed frame,
+    scale-safe: adds one BIGINT score column per `measures` entry
+    (mapping output name -> (measure Column, descending?)); ties always
+    break ascending on `key_col`; all other columns pass through.
+
+    Two driver-coordinated prep passes over `df` (which callers should
+    .cache()) collect BOUNDED state — the same discipline as the
+    k-means centroid / BPE argmax loops: (1) one aggregate row with
+    per-measure min/max + the row count, (2) the (measure, bin)
+    histogram (<= |measures| * n_bins rows, via a prep-only melt).
+    Both fold into LITERAL expressions — bin bounds and exclusive rank
+    offsets — so the final plan is |measures| chained row_number
+    windows, each PARTITIONED by that measure's constant-count min-max
+    bin, plus pure ntile arithmetic from (rank, n). Desc measures rank
+    on the negated value. No partition-less window anywhere, no
+    broadcast chain, no melt/pivot in the hot path (a broadcast-join
+    draft of this operator serialized ~6 local jobs and benched 5x over
+    the global-window form it replaced; a melt+pivot draft still paid
+    two extra fact-grain shuffles).
+
+    At 100 TB the prep passes are map-side-combined aggregations, the
+    collected state stays <= |measures| * n_bins rows, and each rank
+    partition holds ~n/n_bins rows — raise n_bins if a single bin's
+    sort must stay smaller."""
+    names = list(measures)
+    ordv = {
+        name: (-col if desc else col).cast("double")
+        for name, (col, desc) in measures.items()
+    }
+
+    # Prep pass 1: one row — per-measure bounds + total count.
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, name in enumerate(names):
+        aggs.append(F.min(ordv[name]).alias(f"_mn{i}"))
+        aggs.append(F.max(ordv[name]).alias(f"_mx{i}"))
+    st = df.agg(*aggs).collect()[0]
+    n_total = st["_n"]
+
+    def bin_expr(i: int, name: str) -> Column:
+        mn, mx = st[f"_mn{i}"], st[f"_mx{i}"]
+        if mn is None or mx is None or mx <= mn:
+            return F.lit(0)
+        return (
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (ordv[name] - F.lit(mn)) * n_bins / F.lit(mx - mn)
+                ).cast("int"),
+            )
+        )
+
+    # Prep pass 2: (measure, bin) histogram via a prep-only melt ->
+    # exclusive rank offsets, folded to literal lookup maps. (A
+    # single-row |measures| * n_bins sum(when) aggregate was tried and
+    # benched SLOWER — the giant aggregate pays codegen compile per
+    # build; the melt histogram is one map-side-combined groupBy over a
+    # constant-size group domain.)
+    melt = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), bin_expr(i, name).alias("b")
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.m").alias("_m"), F.col("e.b").alias(_BIN))
+    hist = melt.groupBy("_m", _BIN).agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    ).collect()
+    offsets: dict[int, dict[int, int]] = {i: {} for i in range(len(names))}
+    for i in range(len(names)):
+        acc = 0
+        for r in sorted(
+            (r for r in hist if r["_m"] == i), key=lambda r: r[_BIN]
+        ):
+            offsets[i][r[_BIN]] = acc
+            acc += r["bc"]
+
+    out = df
+    for i, name in enumerate(names):
+        bcol = f"_rk_b{i}"
+        out = out.withColumn(bcol, bin_expr(i, name))
+        if offsets[i]:
+            pairs: list[Column] = []
+            for k, v in offsets[i].items():
+                pairs.extend((F.lit(k), F.lit(v)))
+            off = F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col(bcol)),
+                F.lit(0),
+            )
+        else:
+            off = F.lit(0)
+        w = Window.partitionBy(bcol).orderBy(
+            ordv[name].asc(), F.col(key_col).asc()
+        )
+        rank = F.row_number().over(w).cast("long") + off
+        out = out.withColumn(
+            name, _ntile_from_rank(rank, F.lit(n_total), n_buckets)
+        ).drop(bcol)
+    return out

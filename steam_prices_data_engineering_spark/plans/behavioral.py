@@ -1072,7 +1072,9 @@ FROM km
 @register("survival_km_curve", _KM_SQL)
 def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival of user lifetime with right-censoring for
-    users still active near the window end.
+    users still active near the window end. The ordered windows run over
+    the DISTINCT-DURATION grain, bounded by the observation window in
+    days (calendar-bounded, independent of user count).
 
     Plan: per-user first/last-day aggregate (one user-keyed shuffle),
     distinct-duration aggregate, then a reverse running sum (at-risk

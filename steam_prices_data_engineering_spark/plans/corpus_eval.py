@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import STOPWORDS, tokens
 from ..functions.vectors import cosine
+from ..operators.ranking import prefix_sums_binned
 from ..sources.tables import read_table
 from .registry import register
 
@@ -125,18 +126,18 @@ GROUP BY t.source
 def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OOV occurrence rate per source against the top-16 (_VOCAB_K) vocab.
 
-    The ranking window runs on the already-aggregated frequency table
-    (vocab-sized — a single tiny partition is correct, not a skew bug),
-    and the vocab broadcasts back onto the token stream as a left join;
-    the corpus-scale work is the same two map-side-combined token
-    aggregations as the LM scorer."""
+    Top-K selection is `orderBy().limit(K)` (TakeOrderedAndProject — a
+    per-partition heap + a K-row driver merge), NOT a global row_number
+    window: corpus vocabulary at 100 TB is tens of millions of rows and
+    must never funnel through one task. The K survivors broadcast back
+    onto the token stream as a left join; the corpus-scale work is the
+    same two map-side-combined token aggregations as the LM scorer."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
     vocab = (
-        freq.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _VOCAB_K)
+        freq.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_VOCAB_K)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     return (
@@ -904,7 +905,13 @@ FROM cum
 @register("auc_quality_gate", _auc_sql())
 def auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC of the quality score as a predictor of the
-    Gopher keep gate (one row: n_pos, n_neg, auc)."""
+    Gopher keep gate (one row: n_pos, n_neg, auc).
+
+    Grain-cardinality assumption: the rank-sum window runs over the
+    DISTINCT-score grain (scores are dround(6)-quantized, so the domain
+    is bounded by score resolution, not corpus size). For an unbounded
+    continuous score, quantize first — exact tie-aware AUC requires the
+    full score order."""
     from ..functions.text import quality_score
 
     d = read_table(spark, sf_dir, "documents")
@@ -979,7 +986,14 @@ WINDOW w AS (ORDER BY d.doc_id ASC
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cum_tokens, cum_vocab) after each document in ingestion order —
     the Heaps'-law vocabulary growth curve via the min-doc first-
-    occurrence identity (no per-prefix distinct)."""
+    occurrence identity (no per-prefix distinct).
+
+    The two running totals are two-phase prefix sums
+    (`operators.ranking.prefix_sums_binned`: constant-count doc_id bins,
+    broadcast bin offsets, bin-PARTITIONED windows) — the per-doc grain
+    scales with the corpus, so a partition-less cumulative window would
+    one-task at 100 TB. Both accumulators are BIGINT counts, so the
+    two-phase re-association is bit-exact vs the sequential oracle."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     doc_tokens = tok.groupBy("doc_id").agg(
@@ -989,19 +1003,20 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_vocab = first_seen.groupBy(
         F.col("first_doc").alias("vd")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
-    w = Window.orderBy(F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     j = doc_tokens.join(
         new_vocab, doc_tokens.doc_id == new_vocab.vd, "left"
     )
-    return j.select(
+    return prefix_sums_binned(
+        j,
+        F.col("doc_id"),
+        {
+            "cum_tokens": F.col("n_toks"),
+            "cum_vocab": F.coalesce(F.col("n_new"), F.lit(0)),
+        },
+    ).select(
         "doc_id",
-        F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
-        F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
-        .over(w)
-        .cast("long")
-        .alias("cum_vocab"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
 
 

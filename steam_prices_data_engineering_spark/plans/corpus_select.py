@@ -490,8 +490,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token projection feeds both the sketch build (explode x3
     hash rows -> groupBy(j, bucket), bounded at d*w groups) and the exact
-    frequency table; candidates are the exact top-K (rank window over the
-    vocab-sized aggregate); the estimate joins candidates to the sketch
+    frequency table; candidates are the exact top-K via orderBy().limit(K)
+    (TakeOrderedAndProject — per-partition heaps, never the whole
+    vocabulary through one window task); the estimate joins candidates to the sketch
     as a broadcast (<= d*w rows). over_estimate >= 0 on every row is the
     CMS no-undercount guarantee, oracle-checked."""
     d = read_table(spark, sf_dir, "documents")
@@ -513,12 +514,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value(F.col("h")).alias("h"),
         F.count(F.lit(1)).cast("long").alias("exact_cnt"),
     )
-    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
-    cand = (
-        exact.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _CMS_TOP_K)
-        .drop("r")
-    )
+    cand = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(_CMS_TOP_K)
     est = (
         cand.crossJoin(F.broadcast(rdim))
         .withColumn(

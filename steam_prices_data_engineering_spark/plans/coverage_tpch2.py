@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_md5_hex6_to_int
+from ..operators.ranking import prefix_sums_binned
 from ..sources.tables import read_table
 from .registry import register
 
@@ -773,7 +774,14 @@ FROM agg
 @register("gini_spend_concentration", _GINI_SQL)
 def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer total spend (tie-exact rank-sum
-    form over distinct spend values)."""
+    form over distinct spend values).
+
+    The exclusive cumulative rank r0 comes from
+    `operators.ranking.prefix_sums_binned` (bin-partitioned two-phase
+    prefix sum), not a partition-less window — distinct spend values
+    scale with |customers|, so the global-window form would one-task at
+    100 TB. r0 sums integer-valued counts, so the two-phase
+    re-association is bit-exact vs the oracle's sequential window."""
     o = read_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         dround(F.sum("o_totalprice"), 2).alias("v")
@@ -781,11 +789,8 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = per_cust.groupBy("v").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    w = Window.orderBy(F.asc("v")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = grp.withColumn(
-        "r0", F.coalesce(F.sum("c").over(w), F.lit(0.0))
+    cum = prefix_sums_binned(
+        grp, F.col("v"), {"r0": F.col("c")}, exclusive=True
     )
     agg = cum.agg(
         F.sum("c").alias("n"),
@@ -923,7 +928,12 @@ GROUP BY f.pct, tot.n, tot.s
 
 @register("pareto_spend_share", _PARETO_SQL)
 def pareto_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-1%/10%/20% spend concentration with tie pro-rating."""
+    """Exact top-1%/10%/20% spend concentration with tie pro-rating.
+
+    Descending exclusive rank r0 via
+    `operators.ranking.prefix_sums_binned` (integer-valued counts —
+    bit-exact two-phase), never a partition-less window over the
+    distinct-spend grain."""
     o = read_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         dround(F.sum("o_totalprice"), 2).alias("v")
@@ -931,11 +941,8 @@ def pareto_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = per_cust.groupBy("v").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    w = Window.orderBy(F.desc("v")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = grp.withColumn(
-        "r0", F.coalesce(F.sum("c").over(w), F.lit(0.0))
+    cum = prefix_sums_binned(
+        grp, F.col("v"), {"r0": F.col("c")}, desc=True, exclusive=True
     )
     tot = cum.agg(
         F.sum("c").alias("n"), F.sum(F.col("c") * F.col("v")).alias("s")

@@ -29,10 +29,11 @@ Scale design notes (100 TB):
   the heavy lifting (day rollup) is one map-side-combined aggregation.
 - power/MDE + mutual information: single conditional-sum scans emitting
   monoid columns; everything downstream is arithmetic on tiny frames.
-- RFM: one fact-table aggregation to customer grain, then three ntile
-  windows over the |customers| relation (global windows over a
-  dimension-sized frame; at larger |customers| swap in range-bucketed
-  percent_rank, same contract).
+- RFM: one fact-table aggregation to customer grain, then three EXACT
+  ntile(4) scorings via `operators.ranking.ntile_scores` — driver-folded
+  constant-count min-max bins + rank offsets, bin-PARTITIONED
+  row_number; no partition-less window ever touches the |customers|
+  grain.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import md5_hex6_to_int
 from ..functions.sqlfrag import sql_md5_hex6_to_int
+from ..operators.ranking import ntile_scores
 from ..sources.tables import read_table
 from .registry import register
 
@@ -350,7 +352,9 @@ FROM c CROSS JOIN m
 @register("cusum_changepoint", _CUSUM_SQL)
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day CUSUM of standardized daily revenue with the peak-|CUSUM|
-    day flagged (the estimated change point)."""
+    day flagged (the estimated change point). The cumulative window runs
+    over the DAY grain — calendar-bounded (thousands of rows at any fact
+    volume), per the module scale notes."""
     daily = _daily_revenue(spark, sf_dir)
     stats = daily.agg(
         F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sd")
@@ -597,8 +601,11 @@ FROM scored GROUP BY 1, 2, 3
 @register("rfm_segments", _RFM_SQL)
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile grid: customers per (R, F, M) score cell with the
-    cell's average monetary value. Quartiles via ntile(4) on fully
-    tie-broken orders (rounded monetary + custkey)."""
+    cell's average monetary value. Quartiles are exact ntile(4) on fully
+    tie-broken orders (rounded monetary + custkey), computed scale-safe
+    via `operators.ranking.ntile_scores` — chained bin-PARTITIONED rank
+    windows with literal-folded bounds/offsets, never a partition-less
+    window over the customer grain."""
     o = read_table(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.col("o_orderdate").cast("long")).alias("mxe"))
     cust = (
@@ -618,17 +625,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = cust.select(
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+    # Customer-grain aggregate (dimension-scale, bounded): cached because
+    # the melted scorer's min/max + histogram branches re-derive it —
+    # without the cache each branch re-runs the orders scan.
+    cust = cust.cache()
+    scored = ntile_scores(
+        cust,
+        "o_custkey",
+        {
+            "r_score": (F.col("recency_days"), False),
+            "f_score": (F.col("freq"), True),
+            "m_score": (F.col("monetary"), True),
+        },
+        4,
     )
     return scored.groupBy(
         F.col("r_score").cast("long").alias("r_score"),
@@ -1016,7 +1025,8 @@ GROUP BY ncal.n
 def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90% split-conformal interval half-width (q_hat) for the
     seasonal-naive daily forecast, plus its empirical coverage on the
-    held-out half."""
+    held-out half. The residual-rank window runs over the calibration
+    half of the DAY grain — calendar-bounded at any fact volume."""
     daily = _daily_revenue(spark, sf_dir)
     c = daily.select("d", F.col("rev").alias("actual"))
     p7 = daily.select((F.col("d") + 7).alias("d"), F.col("rev").alias("pred"))
@@ -1108,7 +1118,8 @@ FROM resid r CROSS JOIN sd
 def stl_decomposition_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend/seasonal/residual decomposition of daily revenue with 2-sigma
     residual anomaly flags. The RANGE window over the day grain gives the
-    centered MA without a self-join; population sd from explicit sums
+    centered MA without a self-join (day grain = calendar-bounded at any
+    fact volume); population sd from explicit sums
     (the repo's moment discipline)."""
     daily = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("d").rangeBetween(-3, 3)

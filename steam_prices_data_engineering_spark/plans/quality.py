@@ -1381,7 +1381,13 @@ GROUP BY nr, nc
 @register("ks_two_sample_drift", _KS_SQL)
 def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS D statistic between the reference and current halves of the
-    order-value stream, with the alpha=.05 rejection flag."""
+    order-value stream, with the alpha=.05 rejection flag.
+
+    Grain-cardinality assumption: the cumulative ECDF windows run over
+    the DISTINCT-order-value grain (exact KS needs the full value
+    order). Bounded by the price domain (cents-rounded), not the fact
+    count — for a near-continuous measure at 100 TB, pre-round or
+    bucket the measure, or use a quantile-sketch KS instead."""
     o = read_table(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")

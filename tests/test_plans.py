@@ -728,3 +728,60 @@ def test_record_linkage_compares_name_grain_only(spark):
     )
     below = tree[join_pos:]
     assert below.count("HashAggregate") >= 2, below
+
+
+# ---------------------------------------------------------------------------
+# Global-window census: the repo-wide scale guard. A Window with no
+# PARTITION BY drags its entire input through ONE task — acceptable only
+# when the input is provably bounded (a post-limit K-row frame, a
+# constant bucket grid, a calendar / distinct-measure-value grain). Every
+# allowance is explicit below; anything new fails the census until it is
+# either re-shaped (see operators/ranking.py) or justified here.
+# ---------------------------------------------------------------------------
+
+# query -> why a partition-less window is bounded there
+_GLOBAL_WINDOW_ALLOWED = {
+    # rank-of-K-survivors AFTER orderBy().limit(K): window input is K rows
+    "dsir_importance_select": "post-limit top-K frame",
+    "weighted_sample_expkeys": "post-limit top-K frame",
+    "collocations_pmi": "post-limit top-K frame",
+    "hybrid_rrf_fusion": "post-limit top-K fused frame",
+    # constant bucket grids (10 deciles / fixed score buckets)
+    "histogram_extendedprice": "10-row decile grid",
+    "pareto_frontier_parts": "constant bucket decomposition grid",
+    # calendar-bounded grains (days), independent of fact volume
+    "survival_km_curve": "duration-days grain (calendar-bounded)",
+    "cusum_changepoint": "day grain (calendar-bounded)",
+    "stl_decomposition_lite": "day grain (calendar-bounded)",
+    "forecast_conformal_interval": "backtest-days grain (calendar-bounded)",
+    # distinct-measure-value grains; exact ECDF semantics need the full
+    # value order. Bounded by value-domain cardinality, which these
+    # queries' docstrings state as an explicit assumption.
+    "ks_two_sample_drift": "distinct-measure-value grain (documented)",
+    "auc_quality_gate": "distinct-score-value grain (documented)",
+}
+
+
+def test_no_unbounded_global_windows_anywhere(spark):
+    """Census over EVERY registered query's optimized plan: a
+    partition-less windowspecdefinition (first spec argument is a sort
+    order, i.e. zero partition expressions) may appear only in the
+    explicitly-justified allowlist above. Asserts exact equality so
+    stale allowances fail too."""
+    import re
+
+    from steam_prices_data_engineering_spark.plans import registry
+
+    qs = registry.queries()
+    offenders = set()
+    for name, fn in qs.items():
+        opt = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", opt):
+            first = m.group(1).split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                offenders.add(name)
+                break
+    assert offenders == set(_GLOBAL_WINDOW_ALLOWED), (
+        f"unexpected global windows: {sorted(offenders - set(_GLOBAL_WINDOW_ALLOWED))}; "
+        f"stale allowances: {sorted(set(_GLOBAL_WINDOW_ALLOWED) - offenders)}"
+    )
