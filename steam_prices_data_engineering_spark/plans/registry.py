@@ -69,147 +69,97 @@ def register(name: str, oracle: str | None):
 
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of `queries()`,
 # so the exported order is not cosmetic: it decides which operators get
-# driver-verified rows each round. This list front-loads one representative
-# of EVERY operator family (reference-parity pipeline/sources/sinks,
-# relational core, TPC-H/SQL surface, each dedup tier, similarity search,
-# text analysis, trainset ops, multimodal, streaming incl. stream-stream
-# joins, iterative algorithms, approx sketches, CDC/SCD/merge, the Arrow
-# UDF surface, skew handling). Everything else follows in registration
-# order and is covered by the full local gate (tools/check_oracle.py).
-# Round-2 rotation: simsearch_recall_eval subsumes ivf_cells' slot (it
-# exercises LSH + brute force + the eval family), doc_unigram_lm_quality
-# subsumes tfidf's (both are token-statistics plans; the LM adds the new
-# quality-filter family), multimodal_audio_windows subsumes frame_sample's
-# (same mapInPandas plumbing, strictly stronger value verification).
+# driver-verified rows each round.
+#
+# ROUND-3 ROTATION (per VERDICT.md r2 task 2): rounds 1-2 drove 97
+# distinct queries green (CORRECTNESS_r01 + _r02); this round's first 50
+# are drawn ENTIRELY from the never-driver-sampled set — with ONE
+# exception, `spatial_cell_join`, the geospatial family's only member,
+# kept as its anchor — while still spanning every operator family
+# (pinned by tests/test_queries.py::test_driver_sample_spans_families).
+# Families whose every member is already driver-green (reference
+# pipelines, exact-dedup, windows/watermarks, Arrow grouped UDFs, skew
+# joins, k-means/PageRank, SCD2/merge, BM25, SemDeDup, governance
+# cascade, DP release, IVM, CEP-batch, PSI drift, item-item CF,
+# containment) hand their slots to never-sampled siblings or tiers;
+# every displaced query stays under the full local gate
+# (tools/check_oracle.py, 267/267) and the slow-marked full-oracle
+# pytest.
 _PRIORITY: tuple[str, ...] = (
-    # §2a reference parity: pipelines, sources, sinks
-    "flagship_nation_price_dev",
-    "steam_job1_prices_etl",
-    "world_map_job2_deviation",
-    "steam_api_json_extract",
-    # steam_pysource_extract rotates to the full local gate (r01-green;
-    # the custom-DataSource family keeps steam_api_json_extract's slot) in
-    # favor of the round-2 attribution family.
-    "attribution_last_touch",
-    "sink_partitioned_latest_run",
-    # csv_source_pruned rotates to the full local gate (r01-green; the
-    # source-format family keeps three other sampled reps) in favor of
-    # incremental view maintenance.
-    "incremental_agg_merge",
-    # §2a relational operator core (window_max_fill / try_arithmetic_funcs /
-    # anti_join_substring were driver-green in r01 and rotate to the full
-    # local gate; their slots go to the round-2 layout + reconciliation
-    # families below)
-    "price_parse_locale",
-    # proj_filter_customers rotates to the local gate (r01-green; §2a core
-    # keeps price_parse_locale) in favor of the round-2c recommendation
-    # family (item-item collaborative filtering, plans/insights.py).
-    "item_item_cosine",
-    # top1_recency rotates to the local gate (r01-green; §2a core keeps
-    # price_parse_locale + proj_filter_customers) in favor of batch
-    # sessionization. embedding_dim_stats / contrastive_negatives /
-    # bootstrap_mean_ci / chisq / equidepth / int8_rerank / bigram-LM /
-    # gopher stay under the full local gate — their parent families
-    # (similarity, stats, text-quality) already hold sampled slots.
-    # Round-2d rotation: event_pattern_match (CEP) subsumes
-    # session_ids_batch's slot — it embeds the SAME gaps-and-islands
-    # sessionizer (30-min lag+cumsum) and adds the regex pattern-match
-    # family on top, so the sampled coverage is strictly stronger.
-    "event_pattern_match",
-    # storage-layout + reconciliation (round-2 scale families)
-    "bucketed_join_no_shuffle",
-    "zorder_cell_stats",
-    "snapshot_diff_report",
-    # TPC-H / SQL API surface
-    # tpch_q1 rotates to the local gate (r01-green; 4 SQL-surface reps
-    # remain) in favor of the time-series family, previously unsampled.
-    "ohlc_bars",
-    # tpch_q5_local_volume rotates to the local gate (r01-green; the
-    # TPC-H/SQL surface keeps q18 + scripting) in favor of the round-2c
-    # geospatial family (cell-bucketed proximity join, plans/insights.py).
+    # reference-parity sources: custom Python DataSource, pruned CSV,
+    # JSONL round-trip, file-layout audit
+    "steam_pysource_extract",
+    "csv_source_pruned",
+    "jsonl_source_roundtrip",
+    "source_file_audit",
+    # relational core: semi join, unpivot, theta fuzzy match
+    "semi_join_active_customers",
+    "unpivot_lineitem_measures",
+    "fuzzy_match_levenshtein",
+    # SQL surface: recursive CTE, lateral top-n
+    "sql_recursive_cte_paths",
+    "sql_lateral_topn",
+    # TPC-H tail (never-sampled tier; q1/q3/q5/q18 were r1/r2-green)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_bilateral_volume",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_rich_customers",
+    # window / time-series analytics
+    "window_distribution_funcs",
+    "lead_lag_order_gaps",
+    "cdc_latest_event_per_user",
+    # dedup tiers: SimHash bands, embedding cosine, canonical pick,
+    # incremental ingest, k-core graph
+    "neardup_simhash_banded",
+    "neardup_embedding_cosine",
+    "dedup_canonical_by_quality",
+    "incremental_dedup_ingest",
+    "kcore_neardup_graph",
+    # similarity search + retrieval: PQ-ADC, composed IVF-PQ, RRF
+    # hybrid fusion, df-capped inverted index
+    "simsearch_pq_adc_topk",
+    "simsearch_ivf_pq_topk",
+    "hybrid_rrf_fusion",
+    "inverted_index_postings",
+    # geospatial anchor (single-member family, r2-green)
     "spatial_cell_join",
-    "sql_tpch_q18_large_orders",
-    # sql_recursive_cte_paths rotates to the local gate (the SQL-surface
-    # family keeps q5/q18/scripting; recursive CTE stays pinned by
-    # tests/test_queries.py) in favor of the round-2 monitoring family.
-    "drift_psi_report",
-    "sql_scripting_while_loop",
-    # graph analytics + chained stateful streaming (round-2 families) take
-    # the session-variables/lateral slots — both of those are API-surface
-    # items already driver-green in r01 and still under the full local gate.
-    "graph_neardup_triangles",
-    "streaming_multires_rollup",
-    # deduplication tiers
-    # end-to-end composition takes exact-by-hash's slot (its first stage IS
-    # the content-hash dedup; by-hash stays under the full local gate).
-    # Round-2b rotation: substring_dup_spans (stride-1 substring dedup,
-    # plans/semantic_dedup.py) takes ngram_jaccard's slot and
-    # semdedup_prune takes brute-force topk's — both displaced queries
-    # were driver-green in r01 and stay under the full local gate.
-    "dedup_pipeline_report",
-    "substring_dup_spans",
-    # neardup_minhash_lsh rotates to the local gate (r01-green; the
-    # shingle inverted index stays sampled via the new containment tier,
-    # and the LSH band discipline via simsearch_lsh_topk).
-    "containment_dedup_pairs",
-    # simhash fingerprinting rotates to the local gate (r01-green; 6
-    # dedup-tier reps remain) in favor of the privacy-release family.
-    "dp_noisy_release",
-    "neardup_winnow_fingerprints",
-    "dedup_connected_components",
-    "semdedup_prune",
-    # similarity search + lexical retrieval (bm25 takes tumbling-window's
-    # slot — r01-driver-green, and streaming_multires_rollup's first stage
-    # IS a tumbling windowed agg)
-    "simsearch_lsh_topk",
-    "simsearch_recall_eval",
-    "bm25_search_topk",
-    # text analysis (token-stats + quality families are represented by
-    # lang_id + the unigram-LM gate; text_stats_by_lang/doc_quality_scores
-    # rotate to the full local gate in favor of the round-2 selection tier)
-    "lang_id_ngram",
-    "doc_unigram_lm_quality",
-    # data selection + sketch accounting (plans/corpus_select.py)
-    "dsir_importance_select",
-    "cms_heavy_hitters",
-    # trainset ops (bloom_prefilter_decontam subsumes the plain n-gram
-    # decontam slot: its exact_hit column IS that query's semi join,
-    # plus the Bloom no-false-negative accounting)
-    "trainset_selection_pipeline",
-    "bloom_prefilter_decontam",
-    # multimodal (audio subsumes bytes' mapInPandas slot, r01-driver-green)
-    "multimodal_audio_windows",
-    # data governance (round-2b family)
-    "gdpr_delete_cascade",
-    # streaming
-    "streaming_interval_join",
-    "streaming_leftouter_interval_join",
-    "streaming_dedup_within_watermark",
-    "stateful_user_totals",
-    # iterative algorithms + approx sketches
-    "kmeans_embeddings",
-    "pagerank_event_transitions",
-    "approx_aggregates",
-    # CDC / SCD / merge
-    "scd2_purchase_history",
-    "merge_upsert_user_state",
-    # Arrow UDF surface
-    "pandas_udf_grouped_mean",
-    "apply_in_pandas_zscore",
-    # skew handling
-    "skew_salted_join",
+    # text analysis / quality
+    "tokenizer_vocab_coverage",
+    "gopher_quality_rules",
+    "tfidf_top_terms",
+    "textrank_keywords",
+    # trainset ops + data selection
+    "trainset_hash_split",
+    "corpus_mixture_resample",
+    "weighted_sample_expkeys",
+    # decontamination (semantic tier; lexical was r2-green via Bloom)
+    "decontaminate_embedding_cosine",
+    # iterative algorithms
+    "bpe_train_merges",
+    "pca_power_iteration",
+    # streaming: full-outer + semi interval joins, session window,
+    # streaming CEP
+    "streaming_fullouter_interval_join",
+    "streaming_semi_interval_join",
+    "streaming_session_window",
+    "streaming_event_pattern",
+    # UDF surface + multimodal
+    "udtf_token_positions",
+    "multimodal_phash_neardup",
+    # time-series smoothing + segmentation (freshly re-shaped ntile)
+    "holt_trend_smoothing",
+    "rfm_segments",
+    # governance + sketches
+    "k_anonymity_report",
+    "hll_sketch_rollup",
 )
-# Deliberately under the FULL LOCAL GATE only (micro-families whose
-# parent family already holds a sampled slot): seasonal_anomaly_hours +
-# benford_digit_audit + gini_spend_concentration + chisq/bootstrap/
-# equidepth (stats; drift_psi_report carries the monitoring slot),
-# ab_test_welch/ab_cuped_adjusted (experimentation; hash-split sampled
-# via trainset), survival_km_curve + funnel_time_bounded (behavioral;
-# attribution + sessionization sampled), vocab_growth_curve +
-# collocations_pmi + quality_calibration_bins + auc_quality_gate (text
-# analysis/quality sampled), simsearch_multiprobe_lsh +
-# simsearch_int8_rerank + embedding_dim_stats + contrastive_negatives
-# (similarity sampled). Every one is hash-checked by
+# Deliberately under the FULL LOCAL GATE only this round: every r1/r2
+# driver-green query (97 minus the spatial anchor) plus micro-families
+# whose parent family holds a round-3 slot. Every one is hash-checked by
 # tools/check_oracle.py and tests/test_queries.py each run.
 
 

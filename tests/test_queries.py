@@ -53,6 +53,70 @@ def test_driver_sample_spans_families():
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
     must_have = {
+        # ROUND-3 rotation: every rep below is never-driver-sampled
+        # (absent from CORRECTNESS_r01/r02) except the explicitly-noted
+        # single-member-family anchor. One representative per family.
+        "steam_pysource_extract",        # custom Python DataSource
+        "csv_source_pruned",             # pruned CSV source
+        "source_file_audit",             # file-layout / sink audit
+        "semi_join_active_customers",    # relational core
+        "sql_recursive_cte_paths",       # SQL surface (recursive CTE)
+        "tpch_q2_min_cost_supplier",     # TPC-H tail
+        "tpch_q21_sole_late_supplier",   # TPC-H tail (multi-fact)
+        "window_distribution_funcs",     # window-function surface
+        "cdc_latest_event_per_user",     # CDC latest-per-key
+        "neardup_simhash_banded",        # fingerprint dedup tier
+        "neardup_embedding_cosine",      # embedding near-dup tier
+        "incremental_dedup_ingest",      # incremental dedup/merge
+        "kcore_neardup_graph",           # iterative graph analytics
+        "simsearch_pq_adc_topk",         # ANN: PQ-ADC
+        "simsearch_ivf_pq_topk",         # ANN: composed IVF-PQ
+        "hybrid_rrf_fusion",             # hybrid retrieval fusion
+        "inverted_index_postings",       # lexical index
+        "spatial_cell_join",             # geospatial ANCHOR (only member;
+                                         # r2-green, kept per verdict rule)
+        "tokenizer_vocab_coverage",      # text analysis / vocab
+        "gopher_quality_rules",          # quality filtering
+        "textrank_keywords",             # keyword extraction
+        "trainset_hash_split",           # trainset ops
+        "corpus_mixture_resample",       # data selection
+        "weighted_sample_expkeys",       # weighted sampling
+        "decontaminate_embedding_cosine",  # decontamination
+        "bpe_train_merges",              # iterative tokenizer training
+        "pca_power_iteration",           # in-engine linalg
+        "streaming_fullouter_interval_join",  # stream-stream outer join
+        "streaming_semi_interval_join",  # stream-stream semi join
+        "streaming_session_window",      # stateful session window
+        "streaming_event_pattern",       # streaming CEP
+        "udtf_token_positions",          # UDTF surface
+        "multimodal_phash_neardup",      # multimodal plumbing
+        "holt_trend_smoothing",          # time-series smoothing
+        "rfm_segments",                  # segmentation (re-shaped ntile)
+        "k_anonymity_report",            # governance audit
+        "hll_sketch_rollup",             # mergeable sketches
+    }
+    missing = must_have - set(first50)
+    assert not missing, missing
+    # the rotation's point: at most the named anchors overlap rounds 1-2
+    import json
+    import os
+
+    sampled_before: set[str] = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = os.path.join(os.path.dirname(__file__), "..", f)
+        if os.path.exists(p):
+            sampled_before |= set(json.load(open(p)))
+    anchors = {"spatial_cell_join"}
+    stale = (set(first50) & sampled_before) - anchors
+    assert not stale, f"re-sampled non-anchor queries: {sorted(stale)}"
+    # every exported query still present exactly once overall
+    assert len(registry.queries()) == len(set(registry.queries()))
+
+
+def _old_round2_sample_doc():
+    """Round-2's pinned sample, kept for the audit trail (not executed).
+
+    {
         # one per family — the judge-named representatives
         "steam_job1_prices_etl",        # reference pipeline
         "sink_partitioned_latest_run",  # sink + latest-run discovery
@@ -100,10 +164,7 @@ def test_driver_sample_spans_families():
         "spatial_cell_join",            # geospatial proximity join
         "containment_dedup_pairs",      # directional containment dedup
     }
-    missing = must_have - set(first50)
-    assert not missing, missing
-    # every exported query still present exactly once overall
-    assert len(registry.queries()) == len(set(registry.queries()))
+    """
 
 
 def test_entry_smoke(spark):
