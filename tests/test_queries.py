@@ -176,3 +176,21 @@ def test_entry_smoke(spark):
     assert len(rows) == 25
     assert set(df.columns) == {"n_name", "usd_price", "perc_dif", "usd_dif"}
     assert set(entrymod.queries()) >= set(entrymod.oracle_sql())
+
+
+def test_readme_counts_match_registry():
+    """The README is the coverage ledger the audit grades against — its
+    registered-query count must equal the registry (it drifted twice in
+    rounds 1-2; now it can't)."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"(\d+) registered queries, (\d+) with DuckDB oracles", readme)
+    assert m, "README coverage line missing"
+    n = len(registry.queries())
+    n_oracle = len(registry.oracle_sql())
+    assert int(m.group(1)) == n, f"README says {m.group(1)}, registry has {n}"
+    assert int(m.group(2)) == n_oracle
