@@ -1477,3 +1477,162 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         dround(F.avg("cv"), 6).alias("avg_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (Shapley 1953 applied to marketing
+# attribution, Zhao et al. 2018 "Shapley Value Methods for Attribution
+# Modeling"): the UNIQUE credit split satisfying efficiency/symmetry/
+# dummy axioms. Coalition value v(S) = conversion rate of users whose
+# exposed-channel set is exactly S (0 for unobserved sets); channel i's
+# credit is sum over channel-sets S not containing i of
+# |S|!(K-1-|S|)!/K! * (v(S+i) - v(S)).
+#
+# Scale shape: ONE user-grain aggregate (map-side combined) produces the
+# (mask, users, conversions) table whose grain is <= 2^K rows (K =
+# |channels|, a DOMAIN constant — 4 here); every downstream join
+# (subset grid, weights) is broadcast-tiny literal algebra. The
+# factorial weights are integer-exact doubles, so both engines compute
+# bit-identical credits before the final dround.
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_CONV = "purchase"
+
+_SHAPLEY_SQL = f"""
+WITH RECURSIVE chanidx AS (
+    SELECT event_type AS channel,
+           CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE event_type <> '{_SHAPLEY_CONV}')
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM chanidx),
+fact(n, fv) AS (
+    SELECT CAST(0 AS BIGINT), CAST(1 AS DOUBLE)
+    UNION ALL
+    SELECT n + 1, fv * (n + 1) FROM fact WHERE n < (SELECT k FROM kk)
+),
+conv AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = '{_SHAPLEY_CONV}' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+usermask AS (
+    SELECT ue.user_id, CAST(sum(1 << c.bit) AS BIGINT) AS mask
+    FROM (SELECT DISTINCT user_id, event_type FROM events
+          WHERE event_type <> '{_SHAPLEY_CONV}') ue
+    JOIN chanidx c ON c.channel = ue.event_type
+    GROUP BY ue.user_id
+),
+vs AS (
+    SELECT coalesce(u.mask, 0) AS mask,
+           CAST(count(*) AS DOUBLE) AS n, CAST(sum(conv.y) AS DOUBLE) AS cv
+    FROM conv LEFT JOIN usermask u USING (user_id)
+    GROUP BY 1
+),
+grid AS (
+    SELECT CAST(m.mask AS BIGINT) AS mask, coalesce(vs.cv / vs.n, 0.0) AS v
+    FROM (SELECT unnest(range(0, (SELECT 1 << k FROM kk))) AS mask) m
+    LEFT JOIN vs ON vs.mask = CAST(m.mask AS BIGINT)
+)
+SELECT c.channel, {R(
+    "sum((fs.fv * fk1s.fv / fk.fv) * (gw.v - go.v))", 6
+)} AS shapley_value
+FROM chanidx c
+JOIN grid go ON (go.mask & (1 << c.bit)) = 0
+JOIN grid gw ON gw.mask = go.mask + (1 << c.bit)
+JOIN kk ON TRUE
+JOIN fact fs ON fs.n = bit_count(go.mask)
+JOIN fact fk1s ON fk1s.n = kk.k - 1 - bit_count(go.mask)
+JOIN fact fk ON fk.n = kk.k
+GROUP BY c.channel
+"""
+
+
+@register("attribution_shapley", _SHAPLEY_SQL)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley credit per channel for the purchase conversion.
+
+    Driver-coordinated like the k-means loop: the channel universe (a
+    bounded domain, collected sorted) fixes bit positions and the
+    K-dependent factorial weights as literals; the fact-scale work is
+    two user-grain aggregates, and the 2^K subset grid plus both grid
+    joins are broadcast."""
+    import math
+
+    e = read_table(spark, sf_dir, "events")
+    chans = sorted(
+        r[0]
+        for r in e.select("event_type")
+        .filter(F.col("event_type") != _SHAPLEY_CONV)
+        .distinct()
+        .collect()
+    )
+    k = len(chans)
+    chanidx = spark.createDataFrame(
+        [(c, b) for b, c in enumerate(chans)], "channel string, bit long"
+    )
+    conv = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == _SHAPLEY_CONV, 1).otherwise(0)
+        ).alias("y")
+    )
+    usermask = (
+        e.filter(F.col("event_type") != _SHAPLEY_CONV)
+        .select("user_id", "event_type")
+        .distinct()
+        .join(
+            F.broadcast(chanidx.withColumnRenamed("channel", "event_type")),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("shiftleft(1L, cast(bit as int))")).alias("mask"))
+    )
+    vs = (
+        conv.join(usermask, "user_id", "left")
+        .groupBy(F.coalesce(F.col("mask"), F.lit(0)).alias("mask"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("cv"),
+        )
+    )
+    grid = (
+        spark.range(0, 1 << k)
+        .select(F.col("id").alias("mask"))
+        .join(F.broadcast(vs), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(F.col("cv") / F.col("n"), F.lit(0.0)).alias("v"),
+        )
+    )
+    w_pairs: list = []
+    for s in range(k):
+        w = math.factorial(s) * math.factorial(k - 1 - s) / math.factorial(k)
+        w_pairs.extend((F.lit(s), F.lit(w)))
+    weight = F.element_at(
+        F.create_map(*w_pairs), F.bit_count(F.col("go.mask")).cast("int")
+    )
+    go = grid.alias("go")
+    gw = grid.select(
+        F.col("mask").alias("mask_w"), F.col("v").alias("v_w")
+    ).alias("gw")
+    contrib = (
+        chanidx.crossJoin(F.broadcast(go))
+        .filter(
+            F.col("go.mask").bitwiseAND(
+                F.expr("shiftleft(1L, cast(bit as int))")
+            )
+            == 0
+        )
+        .join(
+            F.broadcast(gw),
+            F.col("mask_w")
+            == F.col("go.mask") + F.expr("shiftleft(1L, cast(bit as int))"),
+        )
+        .select(
+            "channel",
+            (weight * (F.col("v_w") - F.col("go.v"))).alias("part"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        dround(F.sum("part"), 6).alias("shapley_value")
+    )

@@ -1473,3 +1473,85 @@ def holdout_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg("s"), 6).alias("mean_surprisal"),
         dround(F.exp(F.avg("s")), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup shadow-mode agreement: run TWO production near-dup systems over
+# the same corpus — SimHash banded (hamming <= 1) as the CANDIDATE
+# system, MinHash-LSH (jaccard >= 0.5) as the REFERENCE — and report the
+# pairwise confusion: pair counts, precision/recall of the candidate
+# against the reference, and the pair-set Jaccard. This is the standard
+# migration gate before swapping dedup algorithms on a production
+# corpus: run shadow, compare pair sets, ship if agreement clears the
+# bar. Both systems are COMPOSED from the repo's shared stages
+# (operators/dedup.py; plans/coverage_extra.py simhash SQL fragments),
+# so the eval measures exactly the pipelines it would replace — and the
+# full-outer join of the two pair sets is keyed on (doc_id_a, doc_id_b),
+# both sides already blocked/verified, never a corpus-scale product.
+# ---------------------------------------------------------------------------
+
+
+def _shadow_sql() -> str:
+    from .coverage_extra import _SIMHASH_NEARDUP_SQL
+    from .registry import _NEARDUP_MINHASH_SQL
+
+    return f"""
+WITH sp AS (
+    SELECT doc_id_a, doc_id_b FROM ({_SIMHASH_NEARDUP_SQL})
+),
+mp AS (
+    SELECT doc_id_a, doc_id_b FROM ({_NEARDUP_MINHASH_SQL})
+),
+j AS (
+    SELECT (sp.doc_id_a IS NOT NULL) AS in_s,
+           (mp.doc_id_a IS NOT NULL) AS in_m
+    FROM sp FULL OUTER JOIN mp
+      ON sp.doc_id_a = mp.doc_id_a AND sp.doc_id_b = mp.doc_id_b
+)
+SELECT CAST(count(*) FILTER (in_s) AS BIGINT) AS n_simhash,
+       CAST(count(*) FILTER (in_m) AS BIGINT) AS n_minhash,
+       CAST(count(*) FILTER (in_s AND in_m) AS BIGINT) AS n_both,
+       {R("CASE WHEN count(*) FILTER (in_s) > 0 THEN CAST(count(*) FILTER (in_s AND in_m) AS DOUBLE) / count(*) FILTER (in_s) END", 6)} AS precision_vs_minhash,
+       {R("CASE WHEN count(*) FILTER (in_m) > 0 THEN CAST(count(*) FILTER (in_s AND in_m) AS DOUBLE) / count(*) FILTER (in_m) END", 6)} AS recall_vs_minhash,
+       {R("CASE WHEN count(*) > 0 THEN CAST(count(*) FILTER (in_s AND in_m) AS DOUBLE) / count(*) END", 6)} AS pair_jaccard
+FROM j
+"""
+
+
+@register("dedup_shadow_agreement", _shadow_sql())
+def dedup_shadow_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between the SimHash-banded and MinHash-LSH
+    near-dup systems (shadow-mode migration gate): counts, candidate
+    precision/recall vs the MinHash reference, pair-set Jaccard."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from .coverage_extra import neardup_simhash_banded
+
+    d = read_table(spark, sf_dir, "documents")
+    sp = neardup_simhash_banded(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(True).alias("in_s")
+    )
+    mp = minhash_lsh_pairs(d, threshold=0.5).select(
+        "doc_id_a", "doc_id_b", F.lit(True).alias("in_m")
+    )
+    j = sp.join(mp, ["doc_id_a", "doc_id_b"], "full_outer").select(
+        F.coalesce(F.col("in_s"), F.lit(False)).alias("in_s"),
+        F.coalesce(F.col("in_m"), F.lit(False)).alias("in_m"),
+    )
+    ns = F.sum(F.col("in_s").cast("long"))
+    nm = F.sum(F.col("in_m").cast("long"))
+    nb = F.sum((F.col("in_s") & F.col("in_m")).cast("long"))
+    nt = F.count(F.lit(1))
+    return j.agg(
+        ns.cast("long").alias("n_simhash"),
+        nm.cast("long").alias("n_minhash"),
+        nb.cast("long").alias("n_both"),
+        dround(
+            F.when(ns > 0, nb.cast("double") / ns), 6
+        ).alias("precision_vs_minhash"),
+        dround(
+            F.when(nm > 0, nb.cast("double") / nm), 6
+        ).alias("recall_vs_minhash"),
+        dround(
+            F.when(nt > 0, nb.cast("double") / nt), 6
+        ).alias("pair_jaccard"),
+    )

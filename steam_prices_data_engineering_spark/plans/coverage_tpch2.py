@@ -968,3 +968,86 @@ def pareto_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (Card & Krueger 1994's workhorse causal
+# design): arms by the deterministic user-id parity split, periods by
+# the midpoint of the event-time range; DiD = (post_t - pre_t) -
+# (post_c - pre_c) over per-event value means, plus the parallel-trends
+# diagnostic (the same contrast across the two PRE half-periods — the
+# assumption check every DiD readout must ship with). One fact scan:
+# the time cuts ride a broadcast 1-row min/max aggregate and every
+# estimate is a conditional mean off the same map-side-combined pass.
+# ---------------------------------------------------------------------------
+
+_DID_SQL = f"""
+WITH bounds AS (
+    SELECT min(floor(epoch(ts))) AS lo,
+           min(floor(epoch(ts)))
+             + CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 2.0) AS BIGINT) AS cut,
+           min(floor(epoch(ts)))
+             + CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 4.0) AS BIGINT) AS q1
+    FROM events
+),
+tagged AS (
+    SELECT user_id % 2 AS arm, value,
+           CASE WHEN floor(epoch(ts)) < cut THEN 0 ELSE 1 END AS post,
+           CASE WHEN floor(epoch(ts)) < q1 THEN 0 ELSE 1 END AS prehalf
+    FROM events CROSS JOIN bounds
+)
+SELECT
+    {R("avg(value) FILTER (arm = 0 AND post = 0)", 6)} AS mean_pre_c,
+    {R("avg(value) FILTER (arm = 1 AND post = 0)", 6)} AS mean_pre_t,
+    {R("avg(value) FILTER (arm = 0 AND post = 1)", 6)} AS mean_post_c,
+    {R("avg(value) FILTER (arm = 1 AND post = 1)", 6)} AS mean_post_t,
+    {R("(avg(value) FILTER (arm = 1 AND post = 1) - avg(value) FILTER (arm = 1 AND post = 0))"
+       " - (avg(value) FILTER (arm = 0 AND post = 1) - avg(value) FILTER (arm = 0 AND post = 0))", 6)} AS did,
+    {R("(avg(value) FILTER (arm = 1 AND post = 0 AND prehalf = 1) - avg(value) FILTER (arm = 1 AND post = 0 AND prehalf = 0))"
+       " - (avg(value) FILTER (arm = 0 AND post = 0 AND prehalf = 1) - avg(value) FILTER (arm = 0 AND post = 0 AND prehalf = 0))", 6)} AS pretrend_gap
+FROM tagged
+"""
+
+
+@register("ab_difference_in_differences", _DID_SQL)
+def ab_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DiD estimate of the parity-arm effect on event value across the
+    midpoint time split, with the parallel-pre-trends gap diagnostic."""
+    e = read_table(spark, sf_dir, "events")
+    ep = F.floor(F.col("ts").cast("long")).cast("long")
+    bounds = e.agg(
+        F.min(ep).alias("lo"),
+        (
+            F.min(ep)
+            + F.floor((F.max(ep) - F.min(ep)) / 2.0).cast("long")
+        ).alias("cut"),
+        (
+            F.min(ep)
+            + F.floor((F.max(ep) - F.min(ep)) / 4.0).cast("long")
+        ).alias("q1"),
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "value",
+        F.when(ep < F.col("cut"), 0).otherwise(1).alias("post"),
+        F.when(ep < F.col("q1"), 0).otherwise(1).alias("prehalf"),
+    )
+
+    def m(arm, post, prehalf=None):
+        cond = (F.col("arm") == arm) & (F.col("post") == post)
+        if prehalf is not None:
+            cond = cond & (F.col("prehalf") == prehalf)
+        return F.avg(F.when(cond, F.col("value")))
+
+    did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    pretrend = (m(1, 0, 1) - m(1, 0, 0)) - (m(0, 0, 1) - m(0, 0, 0))
+    return tagged.agg(
+        dround(m(0, 0), 6).alias("mean_pre_c"),
+        dround(m(1, 0), 6).alias("mean_pre_t"),
+        dround(m(0, 1), 6).alias("mean_post_c"),
+        dround(m(1, 1), 6).alias("mean_post_t"),
+        dround(did, 6).alias("did"),
+        dround(pretrend, 6).alias("pretrend_gap"),
+    )

@@ -1155,3 +1155,119 @@ def stl_decomposition_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("r"), 4).alias("residual"),
         (F.abs(F.col("r")) > _STL_Z * F.col("sigma")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile forecast evaluation by pinball loss (Koenker & Bassett's
+# quantile-regression loss; the CRPS-decomposition standard for judging
+# probabilistic forecasts, e.g. the M5-uncertainty metric). Quantile
+# forecasts are built the split-conformal way: seasonal-naive point
+# forecast + the tau-quantile of CALIBRATION-half signed residuals
+# (exact percentile over dround'd residuals — DuckDB quantile_cont and
+# Spark percentile share the (n-1)*p interpolation, and rounding first
+# makes the multiset identical across engines); the HOLDOUT half scores
+# each tau with mean pinball loss and the empirical below-forecast rate.
+# All relations are calendar-day-bounded.
+# ---------------------------------------------------------------------------
+
+_PINBALL_TAUS = (0.1, 0.5, 0.9)
+
+_PINBALL_SQL = f"""
+WITH {_DAILY_REV},
+pr AS (
+    SELECT c.d, c.rev AS actual, p7.rev AS pred,
+           {R("c.rev - p7.rev", 4)} AS r
+    FROM daily c JOIN daily p7 ON p7.d = c.d - 7
+),
+mid AS (SELECT min(d) + CAST(floor((max(d) - min(d)) / 2) AS BIGINT) AS m
+        FROM pr),
+qs AS (
+    SELECT {", ".join(
+        f'{R(f"quantile_cont(r, {t})", 4)} AS q{int(t * 100)}'
+        for t in _PINBALL_TAUS
+    )}
+    FROM pr CROSS JOIN mid WHERE d < m
+)
+SELECT tau,
+       q_shift,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R("avg(greatest(tau * (actual - fq), (tau - 1.0) * (actual - fq)))", 6)}
+           AS pinball,
+       {R("avg(CASE WHEN actual <= fq THEN 1.0 ELSE 0.0 END)", 6)}
+           AS below_rate
+FROM (
+    SELECT pr.actual, t.tau, t.q_shift, pr.pred + t.q_shift AS fq
+    FROM pr CROSS JOIN mid CROSS JOIN qs
+    CROSS JOIN (VALUES {", ".join(
+        f"(CAST({t} AS DOUBLE), q{int(t * 100)})" for t in _PINBALL_TAUS
+    )}) t(tau, q_shift)
+    WHERE pr.d >= mid.m
+)
+GROUP BY tau, q_shift
+"""
+
+
+@register("forecast_pinball_quantiles", _PINBALL_SQL)
+def forecast_pinball_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout pinball loss + below-forecast rate for calibration-shifted
+    seasonal-naive quantile forecasts at tau in {0.1, 0.5, 0.9}."""
+    daily = _daily_revenue(spark, sf_dir)
+    c = daily.select("d", F.col("rev").alias("actual"))
+    p7 = daily.select((F.col("d") + 7).alias("d"), F.col("rev").alias("pred"))
+    pr = c.join(p7, "d").select(
+        "d", "actual", "pred",
+        dround(F.col("actual") - F.col("pred"), 4).alias("r"),
+    )
+    mid = pr.agg(
+        (F.min("d") + F.floor((F.max("d") - F.min("d")) / 2).cast("long"))
+        .alias("m")
+    )
+    cal = pr.crossJoin(F.broadcast(mid)).filter(F.col("d") < F.col("m"))
+    qs = cal.agg(
+        *[
+            dround(F.percentile(F.col("r"), F.lit(t)), 4).alias(
+                f"q{int(t * 100)}"
+            )
+            for t in _PINBALL_TAUS
+        ]
+    )
+    taus = spark.createDataFrame(
+        [(t, f"q{int(t * 100)}") for t in _PINBALL_TAUS],
+        "tau double, qname string",
+    )
+    ev = (
+        pr.crossJoin(F.broadcast(mid))
+        .filter(F.col("d") >= F.col("m"))
+        .crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(taus))
+        .select(
+            "actual",
+            "tau",
+            F.when(F.col("qname") == "q10", F.col("q10"))
+            .when(F.col("qname") == "q50", F.col("q50"))
+            .otherwise(F.col("q90"))
+            .alias("q_shift"),
+            (
+                F.col("pred")
+                + F.when(F.col("qname") == "q10", F.col("q10"))
+                .when(F.col("qname") == "q50", F.col("q50"))
+                .otherwise(F.col("q90"))
+            ).alias("fq"),
+        )
+    )
+    err = F.col("actual") - F.col("fq")
+    return ev.groupBy("tau", "q_shift").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        dround(
+            F.avg(
+                F.greatest(
+                    F.col("tau") * err, (F.col("tau") - 1.0) * err
+                )
+            ),
+            6,
+        ).alias("pinball"),
+        dround(
+            F.avg(F.when(F.col("actual") <= F.col("fq"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("below_rate"),
+    )

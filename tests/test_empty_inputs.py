@@ -137,6 +137,11 @@ REPRESENTATIVES = [
     "stl_decomposition_lite",
     "markov_next_event_eval",
     "interarrival_burstiness",
+    # round-3 additions (dedup_shadow_agreement and
+    # ab_difference_in_differences are always-1-row global aggregates —
+    # excluded like OLS/JL per the datasheet precedent above)
+    "attribution_shapley",
+    "forecast_pinball_quantiles",
     # jl_projection_distortion is an always-1-row global aggregate
     # (n_pairs=0 on empty input in BOTH engines) — excluded like OLS and
     # the skew audits, per the datasheet precedent above.
