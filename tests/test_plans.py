@@ -175,6 +175,10 @@ def test_projection_prunes_scan_columns(spark):
         "dbscan_grid_clusters",
         "markov_next_event_eval",
         "interarrival_burstiness",
+        "attribution_shapley",
+        "ab_difference_in_differences",
+        "forecast_pinball_quantiles",
+        "dedup_shadow_agreement",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -785,3 +789,23 @@ def test_no_unbounded_global_windows_anywhere(spark):
         f"unexpected global windows: {sorted(offenders - set(_GLOBAL_WINDOW_ALLOWED))}; "
         f"stale allowances: {sorted(set(_GLOBAL_WINDOW_ALLOWED) - offenders)}"
     )
+
+
+def test_shapley_subset_grid_broadcasts(spark):
+    """Shapley attribution: fact-scale work is the two user-grain
+    aggregates; the 2^K coalition grid and channel/weight algebra ride
+    broadcast joins — never an unblocked product."""
+    tree = _plan(spark, "attribution_shapley").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+
+
+def test_did_single_scan_conditional_means(spark):
+    """DiD: one events scan, the time cuts enter via a broadcast 1-row
+    aggregate (BroadcastNestedLoopJoin), and every estimate is a
+    conditional mean off the same pass — no joins between period cells."""
+    tree = _plan(spark, "ab_difference_in_differences").split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    shuffles = tree.count("+- Exchange") + tree.count(":- Exchange")
+    assert shuffles <= 2, tree
