@@ -245,3 +245,244 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@10 of the BM25 lexical ranking against
+# EMBEDDING-COSINE graded relevance (Jarvelin & Kekalainen 2002's nDCG;
+# judging lexical search with semantic gold is the standard diagnostic
+# for whether a corpus needs hybrid retrieval — low agreement here is
+# the signal that motivates `hybrid_rrf_fusion`). Queries are DOCUMENTS
+# (doc_id < 3) so each query has both text (drives BM25) and an
+# embedding (drives the gold): relevance of candidate c to query q is
+# the bucketed rounded cosine (>=0.9 -> 3, >=0.7 -> 2, >=0.5 -> 1,
+# else 0; candidates without an embedding count 0).
+#
+# Scale design: BM25 reuses the panel-broadcast shape of
+# `bm25_search_topk` (query-doc vocabulary is panel-bounded, so only
+# matching tokens survive the map side); the cosine gold is
+# panel x corpus like `simsearch_recall_eval` (ground truth is always
+# panel-sized); every window is PARTITIONED by query.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QUERIES = 3
+
+
+def _ndcg_sql() -> str:
+    cos = (
+        "list_dot_product(c.v, q.v) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    rel_case = (
+        "CASE WHEN cs >= 0.9 THEN 3 WHEN cs >= 0.7 THEN 2 "
+        "WHEN cs >= 0.5 THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {_NDCG_QUERIES}),
+qterm AS (
+    SELECT DISTINCT d.doc_id AS qid, t.term
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+    WHERE d.doc_id < {_NDCG_QUERIES}
+),
+gstats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT t.doc_id, t.term, t.dl, count(*) AS tf
+    FROM tok t SEMI JOIN qterm qt ON qt.term = t.term
+    GROUP BY 1, 2, 3
+),
+dfreq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+),
+contrib AS (
+    SELECT qt.qid, h.doc_id,
+           ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * h.tf * ({_BM25_K1} + 1)
+             / (h.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * h.dl / g.avgdl)) AS c
+    FROM tf h
+    JOIN qterm qt ON qt.term = h.term
+    JOIN dfreq d ON d.term = h.term
+    CROSS JOIN gstats g
+    WHERE h.doc_id <> qt.qid
+),
+scored AS (
+    SELECT qid, doc_id, {R("sum(c)", 6)} AS score
+    FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_NDCG_K}
+),
+relt AS (
+    SELECT qid, vec_id, {rel_case} AS rel FROM (
+        SELECT q.qid, c.vec_id, {R(cos, 6)} AS cs
+        FROM e c JOIN q ON c.vec_id <> q.qid
+    )
+),
+dcg AS (
+    SELECT r.qid,
+           CAST(count(*) AS BIGINT) AS n_ranked,
+           sum((pow(2, coalesce(rl.rel, 0)) - 1)
+               / (ln(r.rank + 1) / ln(2))) AS dcg
+    FROM ranked r
+    LEFT JOIN relt rl ON rl.qid = r.qid AND rl.vec_id = r.doc_id
+    GROUP BY 1
+),
+ideal AS (
+    SELECT qid, sum((pow(2, rel) - 1) / (ln(ir + 1) / ln(2))) AS idcg
+    FROM (
+        SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id ASC) AS ir
+        FROM relt
+    ) WHERE ir <= {_NDCG_K}
+    GROUP BY 1
+)
+SELECT d.qid AS query_id, d.n_ranked,
+       {R("d.dcg", 6)} AS dcg,
+       {R("i.idcg", 6)} AS idcg,
+       {R("CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg END", 6)} AS ndcg
+FROM dcg d JOIN ideal i ON i.qid = d.qid
+"""
+
+
+@register("bm25_ndcg_vs_semantic", _ndcg_sql())
+def bm25_ndcg_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of BM25 doc-query rankings against embedding-cosine graded
+    relevance — the lexical-vs-semantic agreement gate for hybrid
+    retrieval."""
+    from ..functions.vectors import cosine, to_double_array
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qterm = (
+        d.filter(F.col("doc_id") < _NDCG_QUERIES)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .distinct()
+    )
+    glob = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    tf = (
+        tok.join(
+            F.broadcast(qterm.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterm), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        dround(F.sum("c"), 6).alias("score")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _NDCG_K)
+        .select("qid", "doc_id", "rank")
+    )
+    cs = dround(cosine(F.col("v"), F.col("qv")), 6)
+    relt = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.when(cs >= 0.9, 3)
+            .when(cs >= 0.7, 2)
+            .when(cs >= 0.5, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    gain = (
+        F.pow(F.lit(2.0), F.coalesce(F.col("rel"), F.lit(0))) - 1
+    ) / (F.log(F.col("rank") + 1) / F.log(F.lit(2.0)))
+    dcg = (
+        ranked.join(
+            relt,
+            (ranked.qid == relt.qid) & (ranked.doc_id == relt.vec_id),
+            "left",
+        )
+        .select(ranked.qid.alias("qid"), "rank", "rel")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum(gain).alias("dcg"),
+        )
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
+        F.log(F.col("ir") + 1) / F.log(F.lit(2.0))
+    )
+    ideal = (
+        relt.withColumn("ir", F.row_number().over(wi))
+        .filter(F.col("ir") <= _NDCG_K)
+        .groupBy("qid")
+        .agg(F.sum(igain).alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_ranked",
+            dround(F.col("dcg"), 6).alias("dcg"),
+            dround(F.col("idcg"), 6).alias("idcg"),
+            dround(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+            ).alias("ndcg"),
+        )
+    )
