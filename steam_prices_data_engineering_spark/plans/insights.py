@@ -1271,3 +1271,215 @@ def forecast_pinball_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("below_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender offline evaluation: leave-LAST-basket-out hit-rate@5 /
+# precision@5 for the item-item cosine recommender (the standard offline
+# protocol: train co-occurrence on every basket but each customer's most
+# recent order, recommend into that held-out basket). Completes the
+# recommendation family: `item_item_cosine` ships the model, this ships
+# the accept gate.
+#
+# Scale shape: the temporal split is a window PARTITIONED by customer;
+# CF training reuses the Apriori-pruned basket self-join discipline
+# (individually-frequent items only); per-item neighbor lists are capped
+# at 10 by a per-item rank window (WindowGroupLimit); scoring joins the
+# (customer, item) train history to the capped neighbor lists — bounded
+# by |history| x 10, never |customers| x |catalog| — and the final top-5
+# is a per-customer rank window. All scores rank on ROUNDED cosine sums
+# with item-id tie-breaks so both engines pick identical rec lists.
+# ---------------------------------------------------------------------------
+
+_CFEVAL_MINSUP = 3
+_CFEVAL_NEIGHBORS = 10
+_CFEVAL_K = 5
+
+_CFEVAL_SQL = f"""
+WITH ords AS (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n_ord
+    FROM orders
+),
+test_b AS (SELECT o_custkey, o_orderkey FROM ords WHERE rn = 1 AND n_ord >= 2),
+train_b AS (SELECT o_custkey, o_orderkey FROM ords WHERE rn > 1),
+bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+train_ui AS (
+    SELECT DISTINCT t.o_custkey AS cust, b.l_partkey AS item
+    FROM train_b t JOIN bi b ON b.l_orderkey = t.o_orderkey
+),
+test_ui AS (
+    SELECT DISTINCT t.o_custkey AS cust, b.l_partkey AS item
+    FROM test_b t JOIN bi b ON b.l_orderkey = t.o_orderkey
+),
+tb AS (SELECT bi.* FROM bi SEMI JOIN train_b t ON t.o_orderkey = bi.l_orderkey),
+freq AS (
+    SELECT l_partkey, count(*) AS c FROM tb GROUP BY 1
+    HAVING count(*) >= {_CFEVAL_MINSUP}
+),
+fbp AS (SELECT tb.* FROM tb SEMI JOIN freq USING (l_partkey)),
+co AS (
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS support
+    FROM fbp a JOIN fbp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_CFEVAL_MINSUP}
+),
+sims0 AS (
+    SELECT co.item_a, co.item_b,
+           {R("co.support / sqrt(CAST(fa.c AS DOUBLE) * fb.c)", 6)} AS cosine
+    FROM co
+    JOIN freq fa ON fa.l_partkey = co.item_a
+    JOIN freq fb ON fb.l_partkey = co.item_b
+),
+sims AS (
+    SELECT item_a, item_b, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_a
+                                     ORDER BY cosine DESC, item_b ASC) AS r
+        FROM sims0
+    ) WHERE r <= {_CFEVAL_NEIGHBORS}
+),
+scores AS (
+    SELECT ui.cust, s.item_b AS cand, {R("sum(s.cosine)", 6)} AS score
+    FROM train_ui ui
+    JOIN sims s ON s.item_a = ui.item
+    LEFT JOIN train_ui own ON own.cust = ui.cust AND own.item = s.item_b
+    WHERE own.item IS NULL
+    GROUP BY 1, 2
+),
+recs AS (
+    SELECT cust, cand FROM (
+        SELECT cust, cand, row_number() OVER (PARTITION BY cust
+                                              ORDER BY score DESC, cand ASC) AS r
+        FROM scores
+    ) WHERE r <= {_CFEVAL_K}
+),
+eval_cust AS (SELECT DISTINCT cust FROM test_ui),
+hits AS (
+    SELECT ec.cust, CAST(count(t.item) AS BIGINT) AS n_hits
+    FROM eval_cust ec
+    LEFT JOIN recs r2 ON r2.cust = ec.cust
+    LEFT JOIN test_ui t ON t.cust = r2.cust AND t.item = r2.cand
+    GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval_customers,
+       {R("avg(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END)", 6)}
+           AS hit_rate_at_5,
+       {R(f"avg(n_hits / {_CFEVAL_K}.0)", 6)} AS precision_at_5
+FROM hits
+"""
+
+
+@register("item_cf_holdout_hitrate", _CFEVAL_SQL)
+def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-basket-out hit@5 / precision@5 of the item-item cosine
+    recommender (train on all but each customer's last order)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ords = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_ord"),
+    )
+    test_b = ords.filter((F.col("rn") == 1) & (F.col("n_ord") >= 2)).select(
+        "o_custkey", "o_orderkey"
+    )
+    train_b = ords.filter(F.col("rn") > 1).select("o_custkey", "o_orderkey")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    train_ui = (
+        train_b.join(bi, train_b.o_orderkey == bi.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    test_ui = (
+        test_b.join(bi, test_b.o_orderkey == bi.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    tb = bi.join(
+        train_b.select("o_orderkey"),
+        bi.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    freq = (
+        tb.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CFEVAL_MINSUP)
+    )
+    fbp = tb.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+    a, b = fbp.alias("a"), fbp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _CFEVAL_MINSUP)
+    )
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("cb"))
+    sims0 = (
+        co.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            dround(
+                F.col("support")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wn = Window.partitionBy("item_a").orderBy(F.desc("cosine"), F.asc("item_b"))
+    sims = (
+        sims0.withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= _CFEVAL_NEIGHBORS)
+        .select("item_a", "item_b", "cosine")
+    )
+    scores = (
+        train_ui.join(sims, train_ui.item == sims.item_a)
+        .select("cust", F.col("item_b").alias("cand"), "cosine")
+        .join(
+            train_ui.select(
+                F.col("cust").alias("cust"), F.col("item").alias("cand")
+            ),
+            ["cust", "cand"],
+            "left_anti",
+        )
+        .groupBy("cust", "cand")
+        .agg(dround(F.sum("cosine"), 6).alias("score"))
+    )
+    wr = Window.partitionBy("cust").orderBy(F.desc("score"), F.asc("cand"))
+    recs = (
+        scores.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= _CFEVAL_K)
+        .select("cust", "cand")
+    )
+    eval_cust = test_ui.select("cust").distinct()
+    # hits: count of recommended items present in the test basket
+    matched = recs.join(
+        test_ui.select("cust", F.col("item").alias("cand")), ["cust", "cand"]
+    ).groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    hits = eval_cust.join(matched, "cust", "left").select(
+        "cust", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_customers"),
+        dround(
+            F.avg(F.when(F.col("n_hits") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("hit_rate_at_5"),
+        dround(F.avg(F.col("n_hits") / float(_CFEVAL_K)), 6).alias(
+            "precision_at_5"
+        ),
+    )
