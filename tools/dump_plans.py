@@ -113,6 +113,27 @@ SHOWCASE: list[tuple[str, str]] = [
         "the customer grain through one task — the r2 verdict's #1 fix.",
     ),
     (
+        "attribution_shapley",
+        "Shapley attribution: the fact-scale work is two user-grain "
+        "aggregates; the 2^K coalition grid, channel dim, and factorial "
+        "weights all enter as BroadcastHashJoin / literal map algebra — "
+        "no CartesianProduct anywhere.",
+    ),
+    (
+        "ab_difference_in_differences",
+        "DiD: ONE events scan; the time cuts ride a broadcast 1-row "
+        "min/max aggregate (BroadcastNestedLoopJoin) and every period/arm "
+        "cell is a conditional mean in the same map-side-combined "
+        "aggregate — two exchanges total, no join between cells.",
+    ),
+    (
+        "item_cf_holdout_hitrate",
+        "Recsys eval: temporal split is a customer-PARTITIONED window; "
+        "CF training self-joins only Apriori-surviving items; neighbor "
+        "lists cap at 10 via a per-item rank window; scoring joins "
+        "history x capped-neighbors, never customers x catalog.",
+    ),
+    (
         "skew_salted_join",
         "Salted shuffle join: both sides hash-partition on (user_id, salt) "
         "— a hot user_id spreads across 8 reducers instead of one; "
