@@ -1555,3 +1555,123 @@ def dedup_shadow_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nt > 0, nb.cast("double") / nt), 6
         ).alias("pair_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators; Ayer et al. 1955,
+# Zadrozny & Elkan 2002 for classifier calibration): the monotone
+# regression of the Gopher keep-rate onto the quality-score order,
+# computed over the SAME 10 score-decile bins as
+# `quality_calibration_bins` — binned isotonic is how production
+# calibrators ship. Instead of the sequential PAV stack (unimplementable
+# as a distributed plan), the fit uses PAV's exact MINIMAX identity:
+#     iso_rate(b) = max_{k<=b} min_{j>=b} mean(keep over bins k..j)
+# Interval means come from integer (n, keep) sums — bit-identical in
+# both engines — so min/max pick the same candidates and the result IS
+# the PAV solution (pinned against a reference Python PAV in
+# tests/test_insights.py). Everything after the per-doc scoring is
+# algebra on a CONSTANT 10-bin grid: the interval table is 10x10x10
+# broadcast joins, no windows anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_sql() -> str:
+    from .registry import _DOC_QUALITY_SQL
+
+    return f"""
+WITH q AS ({_DOC_QUALITY_SQL}),
+g AS ({_GOPHER_SQL}),
+j AS (
+    SELECT least(CAST(floor(q.quality * 10) AS INTEGER), 9) AS bin, g.keep
+    FROM q JOIN g ON g.doc_id = q.doc_id
+),
+bins AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS k
+    FROM j GROUP BY bin
+),
+iv AS (
+    SELECT a.bin AS kb, b.bin AS jb,
+           CAST(sum(c.k) AS DOUBLE) / sum(c.n) AS mn
+    FROM bins a
+    JOIN bins b ON a.bin <= b.bin
+    JOIN bins c ON c.bin BETWEEN a.bin AND b.bin
+    GROUP BY 1, 2
+),
+inner_min AS (
+    SELECT g2.bin, i.kb, min(i.mn) AS lo
+    FROM bins g2 JOIN iv i ON i.kb <= g2.bin AND i.jb >= g2.bin
+    GROUP BY 1, 2
+),
+fit AS (SELECT bin, max(lo) AS iso FROM inner_min GROUP BY bin)
+SELECT b.bin,
+       b.n AS n_docs,
+       {R("CAST(b.k AS DOUBLE) / b.n", 6)} AS raw_keep_rate,
+       {R("f.iso", 6)} AS iso_keep_rate
+FROM bins b JOIN fit f ON f.bin = b.bin
+"""
+
+
+@register("quality_isotonic_calibration", _isotonic_sql())
+def quality_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the Gopher keep-rate over quality
+    score deciles, via PAV's exact minimax identity on the constant
+    10-bin grid."""
+    from ..functions.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", dround(quality_score(F.col("text")), 6).alias("quality")
+    )
+    g = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    bins = (
+        q.join(g, "doc_id")
+        .select(
+            F.least(
+                F.floor(F.col("quality") * 10).cast("int"), F.lit(9)
+            ).alias("bin"),
+            "keep",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("k"),
+        )
+    )
+    a = bins.select(F.col("bin").alias("kb"))
+    b = bins.select(F.col("bin").alias("jb"))
+    c = bins.select(F.col("bin").alias("cb"), "n", "k")
+    iv = (
+        a.join(F.broadcast(b), F.col("kb") <= F.col("jb"))
+        .join(
+            F.broadcast(c),
+            (F.col("cb") >= F.col("kb")) & (F.col("cb") <= F.col("jb")),
+        )
+        .groupBy("kb", "jb")
+        .agg(
+            (F.sum("k").cast("double") / F.sum("n")).alias("mn")
+        )
+    )
+    grid = bins.select("bin")
+    inner_min = (
+        grid.join(
+            F.broadcast(iv),
+            (F.col("kb") <= F.col("bin")) & (F.col("jb") >= F.col("bin")),
+        )
+        .groupBy("bin", "kb")
+        .agg(F.min("mn").alias("lo"))
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("lo").alias("iso"))
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            dround(F.col("k").cast("double") / F.col("n"), 6).alias(
+                "raw_keep_rate"
+            ),
+            dround(F.col("iso"), 6).alias("iso_keep_rate"),
+        )
+    )

@@ -164,3 +164,47 @@ def test_record_linkage_weights_consistent(spark):
         assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
         assert r.lev <= 3
         assert (r.match_class == "strong") == (r.lev <= 1)
+
+
+def test_isotonic_calibration_is_pav_solution(spark):
+    """The minimax-identity fit must equal the sequential
+    pool-adjacent-violators solution on the same binned (n, keeps), and
+    be nondecreasing in the score order."""
+    from steam_prices_data_engineering_spark.plans import registry
+
+    rows = (
+        registry.queries()["quality_isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    assert rows
+    iso = [r.iso_keep_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # reference sequential PAV over the same bins
+    blocks = [
+        [r.n_docs * r.raw_keep_rate, r.n_docs] for r in rows
+    ]  # [sum_keep, n]
+    merged: list[list[float]] = []
+    for blk in blocks:
+        merged.append(list(blk))
+        while len(merged) >= 2 and (
+            merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            s2, n2 = merged.pop()
+            merged[-1][0] += s2
+            merged[-1][1] += n2
+    # expand blocks back to per-bin fitted values
+    ref: list[float] = []
+    idx = 0
+    for s, n in merged:
+        # count how many original bins this block covers by consuming n
+        acc = 0
+        while acc < n - 1e-6:
+            acc += rows[idx].n_docs
+            ref.append(s / n)
+            idx += 1
+    assert len(ref) == len(iso)
+    for a, b in zip(iso, ref):
+        assert abs(a - b) < 1e-6, (iso, ref)
