@@ -426,3 +426,212 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_within_2x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine logistic regression (IRLS / Newton-Raphson, McCullagh &
+# Nelder GLM ch. 4): P(order is finalized) ~ sigmoid(b0 + b1 x1 + b2 x2)
+# with x1 = ln(1 + o_totalprice), x2 = order epoch scaled by 1e-9 (the
+# labels are a balanced three-way status mix, so the MLE is finite —
+# the first draft predicted user conversion, which the fixture
+# SATURATES (every user converts -> complete separation, the intercept
+# walks off with every Newton step); order status is the honest
+# target), trained by TWO unrolled Newton steps from beta = 0. Extends the linalg family past
+# OLS: each step is ONE map-side-combined weighted-moment aggregate
+# (H = X'WX, g = X'(y - mu) — 9 sums) followed by the same Cramer 3x3
+# solve `ols_normal_equations` uses; the 1-row step result broadcasts
+# back onto the user grain for the next step's mu. No driver-side float
+# math — both engines chain the identical expression DAG, so the betas
+# agree to the rounding contract (exp/ln ULP noise dies in dround).
+# Two steps are the documented budget (quadratic Newton convergence gets
+# within rounding of the MLE on well-conditioned 3-parameter problems);
+# the unroll pattern extends mechanically, like the k-means iterations.
+# ---------------------------------------------------------------------------
+
+
+def _cramer3(c, s11, s12, s13, s22, s23, s33, g1, g2, g3):
+    """Solve the symmetric 3x3 system H d = g by Cramer's rule; `c` maps
+    names -> column-like operands (works for Spark Columns)."""
+    a, b_, cc = c[s11], c[s12], c[s13]
+    d, e = c[s22], c[s23]
+    f = c[s33]
+    r1, r2, r3 = c[g1], c[g2], c[g3]
+    det = a * (d * f - e * e) - b_ * (b_ * f - e * cc) + cc * (b_ * e - d * cc)
+    d1 = r1 * (d * f - e * e) - b_ * (r2 * f - e * r3) + cc * (r2 * e - d * r3)
+    d2 = a * (r2 * f - e * r3) - r1 * (b_ * f - e * cc) + cc * (b_ * r3 - r2 * cc)
+    d3 = a * (d * r3 - r2 * e) - b_ * (b_ * r3 - r2 * cc) + r1 * (b_ * e - d * cc)
+    return d1 / det, d2 / det, d3 / det
+
+
+def _cramer3_sql(p, s11, s12, s13, s22, s23, s33, g1, g2, g3):
+    c = {
+        k: f"{p}{k}"
+        for k in (s11, s12, s13, s22, s23, s33, g1, g2, g3)
+    }
+
+    class _S(str):
+        def __mul__(self, o):
+            return _S(f"({self} * {o})")
+
+        def __sub__(self, o):
+            return _S(f"({self} - {o})")
+
+        def __add__(self, o):
+            return _S(f"({self} + {o})")
+
+        def __truediv__(self, o):
+            return _S(f"({self} / {o})")
+
+    return _cramer3(
+        {k: _S(v) for k, v in c.items()},
+        s11, s12, s13, s22, s23, s33, g1, g2, g3,
+    )
+
+
+_LOGREG_SQL_USERS = """
+users AS (
+    SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+           ln(1 + o_totalprice) AS x1,
+           CAST(floor(epoch(o_orderdate)) AS DOUBLE) / 1e9 AS x2
+    FROM orders
+)
+"""
+
+
+def _logreg_sql() -> str:
+    # step 1 (beta = 0): mu = 0.5, w = 0.25
+    b0_1, b1_1, b2_1 = _cramer3_sql(
+        "", "h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3"
+    )
+    # step 2 solves the same system with beta-1 weights
+    d0, d1, d2 = _cramer3_sql(
+        "", "h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3"
+    )
+    return f"""
+WITH {_LOGREG_SQL_USERS},
+m1 AS (
+    SELECT 0.25 * count(*) AS h11, 0.25 * sum(x1) AS h12, 0.25 * sum(x2) AS h13,
+           0.25 * sum(x1 * x1) AS h22, 0.25 * sum(x1 * x2) AS h23,
+           0.25 * sum(x2 * x2) AS h33,
+           sum(y - 0.5) AS g1, sum(x1 * (y - 0.5)) AS g2,
+           sum(x2 * (y - 0.5)) AS g3
+    FROM users
+),
+b1 AS (SELECT {b0_1} AS b0, {b1_1} AS b1, {b2_1} AS b2 FROM m1),
+sc2 AS (
+    SELECT u.y, u.x1, u.x2,
+           1.0 / (1.0 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))) AS mu
+    FROM users u CROSS JOIN b1 b
+),
+m2 AS (
+    SELECT sum(mu * (1 - mu)) AS h11, sum(mu * (1 - mu) * x1) AS h12,
+           sum(mu * (1 - mu) * x2) AS h13,
+           sum(mu * (1 - mu) * x1 * x1) AS h22,
+           sum(mu * (1 - mu) * x1 * x2) AS h23,
+           sum(mu * (1 - mu) * x2 * x2) AS h33,
+           sum(y - mu) AS g1, sum(x1 * (y - mu)) AS g2,
+           sum(x2 * (y - mu)) AS g3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM sc2
+),
+b2 AS (
+    SELECT b1.b0 + ({d0}) AS b0, b1.b1 + ({d1}) AS b1, b1.b2 + ({d2}) AS b2,
+           m2.n
+    FROM m2 CROSS JOIN b1
+),
+fit AS (
+    SELECT b.n, b.b0, b.b1, b.b2,
+           1.0 / (1.0 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))) AS mu,
+           u.y
+    FROM users u CROSS JOIN b2 b
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       {R("b0", 4)} AS beta0, {R("b1", 4)} AS beta1, {R("b2", 4)} AS beta2,
+       {R("avg(-(y * ln(mu) + (1 - y) * ln(1 - mu)))", 6)} AS log_loss
+FROM fit GROUP BY n, b0, b1, b2
+"""
+
+
+@register("logreg_newton_irls", _logreg_sql())
+def logreg_newton_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of order finalization on price + recency
+    features: two unrolled Newton/IRLS steps, Cramer 3x3 solves, train
+    log-loss."""
+    o = read_table(spark, sf_dir, "orders")
+    users = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        F.log(1 + F.col("o_totalprice")).alias("x1"),
+        (
+            F.floor(F.col("o_orderdate").cast("long")).cast("double") / 1e9
+        ).alias("x2"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m1 = users.agg(
+        (0.25 * F.count(F.lit(1))).alias("h11"),
+        (0.25 * F.sum(x1)).alias("h12"),
+        (0.25 * F.sum(x2)).alias("h13"),
+        (0.25 * F.sum(x1 * x1)).alias("h22"),
+        (0.25 * F.sum(x1 * x2)).alias("h23"),
+        (0.25 * F.sum(x2 * x2)).alias("h33"),
+        F.sum(y - 0.5).alias("g1"),
+        F.sum(x1 * (y - 0.5)).alias("g2"),
+        F.sum(x2 * (y - 0.5)).alias("g3"),
+    )
+    cols = {k: F.col(k) for k in
+            ("h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3")}
+    s0, s1, s2 = _cramer3(
+        cols, "h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3"
+    )
+    b1df = m1.select(s0.alias("b0"), s1.alias("b1"), s2.alias("b2"))
+    mu1 = 1.0 / (
+        1.0 + F.exp(-(F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2))
+    )
+    sc2 = users.crossJoin(F.broadcast(b1df)).select(
+        "y", "x1", "x2", mu1.alias("mu"),
+        "b0", "b1", "b2",
+    )
+    w = F.col("mu") * (1 - F.col("mu"))
+    m2 = sc2.agg(
+        F.sum(w).alias("h11"),
+        F.sum(w * x1).alias("h12"),
+        F.sum(w * x2).alias("h13"),
+        F.sum(w * x1 * x1).alias("h22"),
+        F.sum(w * x1 * x2).alias("h23"),
+        F.sum(w * x2 * x2).alias("h33"),
+        F.sum(y - F.col("mu")).alias("g1"),
+        F.sum(x1 * (y - F.col("mu"))).alias("g2"),
+        F.sum(x2 * (y - F.col("mu"))).alias("g3"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("b0").alias("pb0"),
+        F.max("b1").alias("pb1"),
+        F.max("b2").alias("pb2"),
+    )
+    d0, d1, d2 = _cramer3(
+        cols, "h11", "h12", "h13", "h22", "h23", "h33", "g1", "g2", "g3"
+    )
+    b2df = m2.select(
+        (F.col("pb0") + d0).alias("b0"),
+        (F.col("pb1") + d1).alias("b1"),
+        (F.col("pb2") + d2).alias("b2"),
+        "n",
+    )
+    mu2 = 1.0 / (
+        1.0 + F.exp(-(F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2))
+    )
+    fit = users.crossJoin(F.broadcast(b2df)).select(
+        "y", "n", "b0", "b1", "b2", mu2.alias("mu")
+    )
+    loss = F.avg(
+        -(y * F.log(F.col("mu")) + (1 - y) * F.log(1 - F.col("mu")))
+    )
+    return fit.groupBy("n", "b0", "b1", "b2").agg(
+        dround(loss, 6).alias("log_loss")
+    ).select(
+        F.col("n").cast("long").alias("n_orders"),
+        dround(F.col("b0"), 4).alias("beta0"),
+        dround(F.col("b1"), 4).alias("beta1"),
+        dround(F.col("b2"), 4).alias("beta2"),
+        "log_loss",
+    )

@@ -208,3 +208,19 @@ def test_isotonic_calibration_is_pav_solution(spark):
     assert len(ref) == len(iso)
     for a, b in zip(iso, ref):
         assert abs(a - b) < 1e-6, (iso, ref)
+
+
+def test_logreg_beats_trivial_predictor(spark):
+    """Two Newton steps must land a model with train log-loss strictly
+    better than the best constant predictor's entropy bound (and finite,
+    i.e. no saturated mu hit ln(0))."""
+    import math
+
+    from steam_prices_data_engineering_spark.plans import registry
+
+    row = registry.queries()["logreg_newton_irls"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_orders > 0
+    assert row.log_loss is not None and math.isfinite(row.log_loss)
+    assert row.log_loss < math.log(2.0)
