@@ -103,6 +103,14 @@ BENCH_QUERIES = [
     "pareto_frontier_parts",
     "kcore_neardup_graph",
     "textrank_keywords",
+    # round-3 additions: the re-shaped exact ntile, Shapley's coalition
+    # algebra, the PAV minimax fit, two Newton GLM passes, nDCG's dual
+    # BM25+cosine pipelines, and the leave-last-basket recsys eval
+    "attribution_shapley",
+    "quality_isotonic_calibration",
+    "logreg_newton_irls",
+    "bm25_ndcg_vs_semantic",
+    "item_cf_holdout_hitrate",
 ]
 
 
