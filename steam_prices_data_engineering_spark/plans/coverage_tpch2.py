@@ -1051,3 +1051,155 @@ def ab_difference_in_differences(
         dround(did, 6).alias("did"),
         dround(pretrend, 6).alias("pretrend_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uplift decile / Qini report (Radcliffe 2007's Qini curve — the
+# standard offline readout for targeting policies): users scored by
+# PRE-period activity, outcome = POST-period value, treatment = the
+# deterministic parity arm. Each score decile reports per-arm means and
+# uplift; the cumulative (descending-score) Qini statistic
+# cum_y_t - cum_y_c * cum_n_t / cum_n_c estimates incremental outcome
+# among the targeted fraction. Scale shape: one user-grain conditional
+# aggregate (time cut from a broadcast 1-row min/max), decile strata via
+# nine broadcast percentile thresholds (the ntile-free bucketing
+# helper pattern), and the cumulative sums ride a <= 10 x 10 broadcast
+# theta-join over the constant decile grid — no window anywhere.
+# ---------------------------------------------------------------------------
+
+_QINI_SQL = f"""
+WITH bounds AS (
+    SELECT min(floor(epoch(ts)))
+             + CAST(floor((max(floor(epoch(ts))) - min(floor(epoch(ts)))) / 2.0) AS BIGINT) AS cut
+    FROM events
+),
+per_user AS (
+    SELECT user_id, user_id % 2 AS arm,
+           CAST(count(*) FILTER (floor(epoch(ts)) < cut) AS DOUBLE) AS score,
+           coalesce(sum(value) FILTER (floor(epoch(ts)) >= cut), 0.0) AS y
+    FROM events CROSS JOIN bounds
+    GROUP BY user_id
+),
+th AS (
+    SELECT {", ".join(f"{R(f'quantile_cont(score, {q / 10.0})', 6)} AS t{q}" for q in range(1, 10))}
+    FROM per_user
+),
+strat AS (
+    SELECT arm, y,
+           ({" + ".join(f"CASE WHEN score > t{q} THEN 1 ELSE 0 END" for q in range(1, 10))}) AS decile
+    FROM per_user CROSS JOIN th
+),
+cells AS (
+    SELECT decile,
+           CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_t,
+           CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_c,
+           coalesce(sum(y) FILTER (arm = 1), 0.0) AS y_t,
+           coalesce(sum(y) FILTER (arm = 0), 0.0) AS y_c
+    FROM strat GROUP BY decile
+),
+cum AS (
+    SELECT a.decile, a.n_t, a.n_c, a.y_t, a.y_c,
+           sum(b.n_t) AS cn_t, sum(b.n_c) AS cn_c,
+           sum(b.y_t) AS cy_t, sum(b.y_c) AS cy_c
+    FROM cells a JOIN cells b ON b.decile >= a.decile
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT decile, n_t, n_c,
+       {R("CASE WHEN n_t > 0 THEN y_t / n_t END", 6)} AS mean_t,
+       {R("CASE WHEN n_c > 0 THEN y_c / n_c END", 6)} AS mean_c,
+       {R("CASE WHEN n_t > 0 AND n_c > 0 THEN y_t / n_t - y_c / n_c END", 6)} AS uplift,
+       {R("CASE WHEN cn_c > 0 THEN cy_t - cy_c * cn_t / cn_c END", 6)} AS qini
+FROM cum
+"""
+
+
+@register("ab_uplift_qini", _QINI_SQL)
+def ab_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile uplift and cumulative Qini statistic for the parity
+    arm, scored by pre-period activity, measured on post-period value."""
+    e = read_table(spark, sf_dir, "events")
+    ep = F.floor(F.col("ts").cast("long")).cast("long")
+    bounds = e.agg(
+        (
+            F.min(ep) + F.floor((F.max(ep) - F.min(ep)) / 2.0).cast("long")
+        ).alias("cut")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep < F.col("cut"), 1).otherwise(0))
+            .cast("double")
+            .alias("score"),
+            F.coalesce(
+                F.sum(F.when(ep >= F.col("cut"), F.col("value"))), F.lit(0.0)
+            ).alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    th = per_user.agg(
+        *[
+            dround(F.percentile(F.col("score"), F.lit(q / 10.0)), 6).alias(
+                f"t{q}"
+            )
+            for q in range(1, 10)
+        ]
+    )
+    decile = sum(
+        F.when(F.col("score") > F.col(f"t{q}"), 1).otherwise(0)
+        for q in range(1, 10)
+    )
+    strat = per_user.crossJoin(F.broadcast(th)).select(
+        "arm", "y", decile.alias("decile")
+    )
+    is_t = F.col("arm") == 1
+    cells = strat.groupBy("decile").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.when(is_t, F.col("y"))), F.lit(0.0)).alias("y_t"),
+        F.coalesce(F.sum(F.when(~is_t, F.col("y"))), F.lit(0.0)).alias("y_c"),
+    )
+    a = cells.alias("a")
+    b = cells.select(
+        F.col("decile").alias("bd"),
+        F.col("n_t").alias("bn_t"),
+        F.col("n_c").alias("bn_c"),
+        F.col("y_t").alias("by_t"),
+        F.col("y_c").alias("by_c"),
+    )
+    cum = (
+        a.join(F.broadcast(b), F.col("bd") >= F.col("a.decile"))
+        .groupBy("a.decile", "a.n_t", "a.n_c", "a.y_t", "a.y_c")
+        .agg(
+            F.sum("bn_t").alias("cn_t"),
+            F.sum("bn_c").alias("cn_c"),
+            F.sum("by_t").alias("cy_t"),
+            F.sum("by_c").alias("cy_c"),
+        )
+    )
+    return cum.select(
+        F.col("a.decile").alias("decile"),
+        F.col("a.n_t").alias("n_t"),
+        F.col("a.n_c").alias("n_c"),
+        dround(
+            F.when(F.col("a.n_t") > 0, F.col("a.y_t") / F.col("a.n_t")), 6
+        ).alias("mean_t"),
+        dround(
+            F.when(F.col("a.n_c") > 0, F.col("a.y_c") / F.col("a.n_c")), 6
+        ).alias("mean_c"),
+        dround(
+            F.when(
+                (F.col("a.n_t") > 0) & (F.col("a.n_c") > 0),
+                F.col("a.y_t") / F.col("a.n_t")
+                - F.col("a.y_c") / F.col("a.n_c"),
+            ),
+            6,
+        ).alias("uplift"),
+        dround(
+            F.when(
+                F.col("cn_c") > 0,
+                F.col("cy_t") - F.col("cy_c") * F.col("cn_t") / F.col("cn_c"),
+            ),
+            6,
+        ).alias("qini"),
+    )

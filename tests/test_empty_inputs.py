@@ -144,6 +144,7 @@ REPRESENTATIVES = [
     "forecast_pinball_quantiles",
     "bm25_ndcg_vs_semantic",
     "quality_isotonic_calibration",
+    "ab_uplift_qini",
     # jl_projection_distortion is an always-1-row global aggregate
     # (n_pairs=0 on empty input in BOTH engines) — excluded like OLS and
     # the skew audits, per the datasheet precedent above.
