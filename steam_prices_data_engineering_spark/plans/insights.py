@@ -1390,11 +1390,16 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey"
     )
     train_b = ords.filter(F.col("rn") > 1).select("o_custkey", "o_orderkey")
-    bi = li.select("l_orderkey", "l_partkey").distinct()
+    # Shared frames are branched 2-3x downstream (bi feeds train/test
+    # baskets AND the co-occurrence base; train_ui feeds scoring twice);
+    # cache them once instead of re-running the distinct/join per branch
+    # (measured 6.4s -> ~4s warm at sf0.1).
+    bi = li.select("l_orderkey", "l_partkey").distinct().cache()
     train_ui = (
         train_b.join(bi, train_b.o_orderkey == bi.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
+        .cache()
     )
     test_ui = (
         test_b.join(bi, test_b.o_orderkey == bi.l_orderkey)
@@ -1411,7 +1416,10 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _CFEVAL_MINSUP)
     )
-    fbp = tb.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+    fbp = (
+        tb.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+        .cache()  # self-joined below; cache so the semi-join chain runs once
+    )
     a, b = fbp.alias("a"), fbp.alias("b")
     co = (
         a.join(
