@@ -31,6 +31,8 @@ def duck():
 ALL = sorted(registry.queries())
 
 
+@pytest.mark.slow  # `pytest -m slow` = the full cross-engine sweep alone;
+# it stays in the default run too — every query gets a DuckDB gate per round
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
     fn = registry.queries()[name]
