@@ -12,7 +12,7 @@ before choosing an aggressive vs conservative dedup policy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
@@ -314,4 +314,101 @@ def linkpred_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard_score").desc(), "doc_id_a", "doc_id_b")
         .limit(_LP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (Raghavan et al. 2007, "Near
+# linear time algorithm to detect community structures in large-scale
+# networks") over the near-dup candidate graph: each node repeatedly
+# adopts its neighbourhood's most frequent label. The async/random form
+# is non-deterministic, so this is the SYNCHRONOUS variant with a fixed
+# round count and a (count DESC, label ASC) tie-break — fully
+# deterministic, hence oracle-comparable. Communities complement
+# dedup_connected_components: CC says "reachable", LPA says "densely
+# attached", which is what a template-family dedup policy wants.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+cnt{r} AS (
+    SELECT bd.node, lb.lbl, count(*) AS c
+    FROM bidir bd JOIN lab{r - 1} lb ON lb.node = bd.nbr
+    GROUP BY bd.node, lb.lbl
+),
+lab{r} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rk
+        FROM cnt{r}
+    ) WHERE rk = 1
+)""")
+    return f"""
+WITH {_SQL_EDGE_CTES},
+bidir AS (
+    SELECT u AS node, v AS nbr FROM edges
+    UNION ALL
+    SELECT v AS node, u AS nbr FROM edges
+),
+lab0 AS (SELECT DISTINCT node, node AS lbl FROM bidir),
+{",".join(rounds)}
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_doc,
+       CAST(max(node) AS BIGINT) AS max_doc
+FROM lab{_LPA_ROUNDS}
+GROUP BY lbl
+"""
+
+
+@register("label_propagation_communities", _lpa_sql())
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community sizes after 3 synchronous label-propagation rounds on
+    the shared-shingle near-dup graph (deterministic min-label
+    majority). Each round is one equi join on the node key + one
+    map-side-combined (node, label) count + a node-PARTITIONED window
+    whose partition is degree-bounded — no global window, no driver
+    loop (the round count is a constant, so the plan is just unrolled
+    3x; edges/bidir are cached since every round re-reads them)."""
+    docs = read_table(spark, sf_dir, "documents")
+    edges = neardup_edges(docs).cache()
+    bidir = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .cache()
+    )
+    lab = bidir.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wn = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            bidir.join(
+                lab.select(
+                    F.col("node").alias("nbr"), F.col("lbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            cnt.withColumn("rk", F.row_number().over(wn))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return lab.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_doc"),
+        F.max("node").cast("long").alias("max_doc"),
     )

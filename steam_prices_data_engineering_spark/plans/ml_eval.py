@@ -1,0 +1,444 @@
+"""In-engine ML training/evaluation, round 3: supervised classification
+trained and scored entirely as relational plans.
+
+Extends the in-engine ML family (`plans/linalg.py` OLS/PCA,
+`plans/insights.py` logreg/isotonic/uplift) with the three classic
+evaluation workloads a corpus pipeline runs before shipping a filter
+model:
+
+- multinomial Naive Bayes language classifier, trained on the
+  hash-split train partition and scored on held-out docs (confusion
+  matrix) — the standard cheap lang-ID / quality-gate baseline;
+- decision-stump induction (best single information-gain split), the
+  1R baseline every feature-importance audit starts from;
+- Murphy decomposition of the Brier score (reliability - resolution +
+  uncertainty) for the quality-score -> Gopher-keep forecast, the
+  calibration companion to `auc_quality_gate` / `quality_calibration_bins`.
+
+No counterpart in the reference (its pandas scripts stop at grouped
+means — e.g. /root/reference/Scripts/transformers/steam_prices_transformer.py);
+these are the standard published techniques a production corpus platform
+layers on the same facts.
+
+Scale design (100 TB):
+- NB train is explode+groupBy (codegen, map-side combine) to the
+  (lang, token) grain; the smoothed log-prob table is vocab x |langs|
+  (vocab-scale, relational — never collected); scoring joins exploded
+  eval tokens on the token key (shuffle equi join) and the per-doc
+  argmax window is PARTITIONED by doc with |langs|-bounded rows.
+- the stump crossJoins a BROADCAST 1-row percentile frame and computes
+  all candidate-split counts in ONE fact pass of conditional aggregates
+  (no row blowup); the argmax runs over 9 candidate rows.
+- Brier bins are constant-count (10); everything after the one fact
+  aggregation is arithmetic on a 10-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import quality_score, tokens
+from ..sources.tables import read_table
+from .registry import register
+
+# The canonical deterministic doc split (plans/trainset.py) — composed,
+# never re-derived, per the shared-hash-arithmetic rule.
+from .trainset import _SPLIT_EXPR
+
+
+def _split_bucket_spark() -> F.Column:
+    """Spark twin of trainset._SPLIT_EXPR (Knuth multiplicative hash)."""
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (McCallum & Nigam 1998,
+# "A comparison of event models for Naive Bayes text classification").
+# Train on split buckets 0-7, evaluate on 8-9. Laplace (+1) smoothing
+# over the TRAIN vocabulary; eval tokens outside the train vocabulary
+# are dropped (the standard closed-vocabulary protocol — both engines
+# drop identically via the inner join). Argmax per doc is taken on the
+# dround(6) posterior with a lexicographic class tie-break so both
+# engines pick identical predictions.
+# ---------------------------------------------------------------------------
+
+_NB_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN {_SPLIT_EXPR} < 8 THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+),
+tr_tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok
+    FROM base WHERE split = 'train'
+),
+tok_cnt AS (SELECT lang, tok, count(*) AS c FROM tr_tok GROUP BY lang, tok),
+vocab AS (SELECT DISTINCT tok FROM tr_tok),
+vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+cls AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+    FROM base WHERE split = 'train' GROUP BY lang
+),
+ntot AS (SELECT sum(n_docs) AS nd FROM cls),
+ctot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS tot FROM tok_cnt GROUP BY lang),
+dense AS (
+    SELECT vb.tok, cl.lang,
+           ln((coalesce(tc.c, 0) + 1.0) / (ct.tot + vs.v)) AS lp
+    FROM vocab vb
+    CROSS JOIN cls cl
+    JOIN ctot ct ON ct.lang = cl.lang
+    CROSS JOIN vsize vs
+    LEFT JOIN tok_cnt tc ON tc.tok = vb.tok AND tc.lang = cl.lang
+),
+ev_tok AS (
+    SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS tok
+    FROM base WHERE split = 'eval'
+),
+sums AS (
+    SELECT ev.doc_id, ev.true_lang, de.lang AS cand, sum(de.lp) AS s
+    FROM ev_tok ev JOIN dense de ON de.tok = ev.tok
+    GROUP BY ev.doc_id, ev.true_lang, de.lang
+),
+post AS (
+    SELECT su.doc_id, su.true_lang, su.cand,
+           {R('su.s + ln(cl.n_docs / nt.nd)', 6)} AS score
+    FROM sums su JOIN cls cl ON cl.lang = su.cand CROSS JOIN ntot nt
+),
+pred AS (
+    SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT post.*, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, cand ASC) AS rk
+        FROM post
+    ) WHERE rk = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("naive_bayes_lang_eval", _NB_SQL)
+def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (true_lang, pred_lang, n_docs) of a multinomial
+    Naive Bayes language classifier trained on the 80% hash-split and
+    scored on the 20% holdout. Train = explode+groupBy token counts;
+    the Laplace-smoothed log-prob table stays a vocab x |langs|
+    relation; scoring is a token equi join + per-doc sum + a
+    doc-partitioned |langs|-row argmax window."""
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(_split_bucket_spark() < 8, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    tr = base.filter(F.col("split") == "train")
+    tr_tok = tr.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok_cnt = tr_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tr_tok.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    cls = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    ntot = cls.agg(F.sum("n_docs").alias("nd"))
+    ctot = tok_cnt.groupBy("lang").agg(F.sum("c").cast("double").alias("tot"))
+    cls_tot = cls.join(ctot, "lang")  # |langs| rows
+    dense = (
+        vocab.crossJoin(F.broadcast(cls_tot))
+        .crossJoin(F.broadcast(vsize))
+        .join(tok_cnt, ["tok", "lang"], "left")
+        .select(
+            "tok",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    ev_tok = base.filter(F.col("split") == "eval").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    sums = (
+        ev_tok.join(dense.withColumnRenamed("lang", "cand"), "tok")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("lp").alias("s"))
+    )
+    post = (
+        sums.join(
+            F.broadcast(cls.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            dround(
+                F.col("s") + F.log(F.col("n_docs") / F.col("nd")), 6
+            ).alias("score"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    pred = (
+        post.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (1R) induction: the single best information-gain split
+# of o_totalprice predicting urgency (Holte 1993, "Very simple
+# classification rules perform well on most commonly used datasets").
+# Candidate thresholds are the integer-floored exact deciles — integers
+# so the <= comparisons are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_STUMP_PS = tuple((k + 1) / 10.0 for k in range(9))
+
+
+def _sql_entropy(p: str) -> str:
+    """Binary entropy (nats) with the 0*ln(0) = 0 convention."""
+    return (
+        f"(CASE WHEN ({p}) <= 0.0 OR ({p}) >= 1.0 THEN 0.0 "
+        f"ELSE -({p}) * ln({p}) - (1.0 - ({p})) * ln(1.0 - ({p})) END)"
+    )
+
+
+def _stump_sql() -> str:
+    qcols = ", ".join(
+        f"CAST(floor(quantile_cont(o_totalprice, {p})) AS BIGINT) AS t{k}"
+        for k, p in enumerate(_STUMP_PS)
+    )
+    tlist = ", ".join(f"t{k}" for k in range(len(_STUMP_PS)))
+    h_parent = _sql_entropy("pos / n")
+    h_left = _sql_entropy("pos_l / n_l")
+    h_right = _sql_entropy("(pos - pos_l) / (n - n_l)")
+    gain = (
+        f"({h_parent} "
+        f"- (CASE WHEN n_l = 0 THEN 0.0 ELSE (n_l / n) * {h_left} END) "
+        f"- (CASE WHEN n - n_l = 0 THEN 0.0 "
+        f"   ELSE ((n - n_l) / n) * {h_right} END))"
+    )
+    return f"""
+WITH qrow AS (SELECT {qcols} FROM orders),
+cand AS (SELECT DISTINCT unnest([{tlist}]) AS thr FROM qrow),
+counts AS (
+    SELECT cd.thr,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(count(*) FILTER (o.o_orderpriority = '1-URGENT') AS DOUBLE)
+               AS pos,
+           CAST(count(*) FILTER (o.o_totalprice <= cd.thr) AS DOUBLE) AS n_l,
+           CAST(count(*) FILTER (o.o_totalprice <= cd.thr
+                AND o.o_orderpriority = '1-URGENT') AS DOUBLE) AS pos_l
+    FROM orders o CROSS JOIN cand cd
+    GROUP BY cd.thr
+)
+SELECT CAST(thr AS BIGINT) AS split_threshold,
+       {R(gain, 6)} AS info_gain,
+       CAST(n_l AS BIGINT) AS n_left,
+       CAST(n - n_l AS BIGINT) AS n_right,
+       {R('CASE WHEN n_l = 0 THEN 0.0 ELSE pos_l / n_l END', 6)}
+           AS pos_rate_left,
+       {R('CASE WHEN n - n_l = 0 THEN 0.0 ELSE (pos - pos_l) / (n - n_l) END', 6)}
+           AS pos_rate_right
+FROM counts
+ORDER BY {R(gain, 6)} DESC, thr ASC
+LIMIT 1
+"""
+
+
+@register("decision_stump_infogain", _stump_sql())
+def decision_stump_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single split of o_totalprice predicting 1-URGENT priority by
+    information gain, over the 9 integer-floored exact-decile candidate
+    thresholds. ONE fact pass: the 1-row decile frame is broadcast-
+    crossJoined and all per-candidate left-side counts are conditional
+    aggregates of the same scan (no 9x row blowup; the SQL oracle keeps
+    the simpler exploded form). The argmax ranks 9 candidate rows."""
+    o = read_table(spark, sf_dir, "orders")
+    nq = len(_STUMP_PS)
+    qrow = o.agg(
+        *[
+            F.floor(F.percentile("o_totalprice", F.lit(p)))
+            .cast("long")
+            .alias(f"t{k}")
+            for k, p in enumerate(_STUMP_PS)
+        ]
+    )
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("double").alias("pos"),
+    ]
+    for k in range(nq):
+        left = F.col("o_totalprice") <= F.col(f"t{k}")
+        aggs.append(
+            F.sum(F.when(left, 1).otherwise(0))
+            .cast("double")
+            .alias(f"nl{k}")
+        )
+        aggs.append(
+            F.sum(F.when(left & urgent, 1).otherwise(0))
+            .cast("double")
+            .alias(f"posl{k}")
+        )
+    one = o.crossJoin(F.broadcast(qrow)).agg(*aggs).crossJoin(
+        F.broadcast(qrow)
+    )
+    cand = one.select(
+        "n",
+        "pos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"t{k}").alias("thr"),
+                        F.col(f"nl{k}").alias("n_l"),
+                        F.col(f"posl{k}").alias("pos_l"),
+                    )
+                    for k in range(nq)
+                ]
+            )
+        ).alias("sp"),
+    ).select("n", "pos", "sp.*").distinct()
+
+    def entropy(p: F.Column) -> F.Column:
+        return (
+            F.when((p <= 0.0) | (p >= 1.0), F.lit(0.0))
+            .otherwise(-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+        )
+
+    n, pos = F.col("n"), F.col("pos")
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    n_r, pos_r = n - n_l, pos - pos_l
+    gain = (
+        entropy(pos / n)
+        - F.when(n_l == 0, 0.0).otherwise((n_l / n) * entropy(pos_l / n_l))
+        - F.when(n_r == 0, 0.0).otherwise((n_r / n) * entropy(pos_r / n_r))
+    )
+    scored = cand.select(
+        F.col("thr").cast("long").alias("split_threshold"),
+        dround(gain, 6).alias("info_gain"),
+        n_l.cast("long").alias("n_left"),
+        n_r.cast("long").alias("n_right"),
+        dround(F.when(n_l == 0, 0.0).otherwise(pos_l / n_l), 6).alias(
+            "pos_rate_left"
+        ),
+        dround(F.when(n_r == 0, 0.0).otherwise(pos_r / n_r), 6).alias(
+            "pos_rate_right"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("info_gain"), F.asc("split_threshold")
+    ).limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Murphy (1973) decomposition of the Brier score: brier = reliability -
+# resolution + uncertainty, exact when forecasts are the 10 quantized
+# bin midpoints. Forecast = quality score binned to deciles; outcome =
+# the Gopher keep gate. Complements quality_calibration_bins (per-bin
+# table) with the single-number calibration/sharpness split.
+# ---------------------------------------------------------------------------
+
+
+def _brier_sql() -> str:
+    from .corpus_eval import _GOPHER_SQL
+    from .registry import _DOC_QUALITY_SQL
+
+    return f"""
+WITH q AS ({_DOC_QUALITY_SQL}),
+g AS ({_GOPHER_SQL}),
+j AS (
+    SELECT (least(CAST(floor(q.quality * 10) AS BIGINT), 9) + 0.5) / 10.0
+               AS fc,
+           CAST(g.keep AS DOUBLE) AS y
+    FROM q JOIN g ON g.doc_id = q.doc_id
+),
+per AS (
+    SELECT fc, CAST(count(*) AS DOUBLE) AS nk, avg(y) AS ybar_k
+    FROM j GROUP BY fc
+),
+tot AS (SELECT sum(nk) AS n, sum(nk * ybar_k) / sum(nk) AS ybar FROM per)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       {R('sum(p.nk * ((p.fc - p.ybar_k) * (p.fc - p.ybar_k) '
+          '+ p.ybar_k * (1.0 - p.ybar_k))) / t.n', 6)} AS brier,
+       {R('sum(p.nk * (p.fc - p.ybar_k) * (p.fc - p.ybar_k)) / t.n', 6)}
+           AS reliability,
+       {R('sum(p.nk * (p.ybar_k - t.ybar) * (p.ybar_k - t.ybar)) / t.n', 6)}
+           AS resolution,
+       {R('t.ybar * (1.0 - t.ybar)', 6)} AS uncertainty,
+       abs(sum(p.nk * ((p.fc - p.ybar_k) * (p.fc - p.ybar_k)
+               + p.ybar_k * (1.0 - p.ybar_k))) / t.n
+           - (sum(p.nk * (p.fc - p.ybar_k) * (p.fc - p.ybar_k)) / t.n
+              - sum(p.nk * (p.ybar_k - t.ybar) * (p.ybar_k - t.ybar)) / t.n
+              + t.ybar * (1.0 - t.ybar))) < 1e-9 AS identity_ok
+FROM per p CROSS JOIN tot t
+GROUP BY t.n, t.ybar
+"""
+
+
+@register("brier_score_decomposition", _brier_sql())
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Murphy decomposition (brier, reliability, resolution,
+    uncertainty, identity_ok) of the decile-quantized quality score as a
+    probability forecast of the Gopher keep gate. One fact aggregation
+    to the 10 constant bins; everything after is 10-row arithmetic."""
+    from .corpus_eval import gopher_quality_rules
+
+    d = read_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", dround(quality_score(F.col("text")), 6).alias("quality")
+    )
+    g = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    j = q.join(g, "doc_id").select(
+        (
+            (
+                F.least(
+                    F.floor(F.col("quality") * 10).cast("long"), F.lit(9)
+                )
+                + 0.5
+            )
+            / 10.0
+        ).alias("fc"),
+        F.col("keep").cast("double").alias("y"),
+    )
+    per = j.groupBy("fc").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("y").alias("ybar_k"),
+    )
+    tot = per.agg(
+        F.sum("nk").alias("n"),
+        (F.sum(F.col("nk") * F.col("ybar_k")) / F.sum("nk")).alias("ybar"),
+    )
+    fc, nk, ybar_k = F.col("fc"), F.col("nk"), F.col("ybar_k")
+    n, ybar = F.col("n"), F.col("ybar")
+    brier = (
+        F.sum(nk * ((fc - ybar_k) * (fc - ybar_k) + ybar_k * (1.0 - ybar_k)))
+        / F.first(n)
+    )
+    rel = F.sum(nk * (fc - ybar_k) * (fc - ybar_k)) / F.first(n)
+    res = F.sum(nk * (ybar_k - ybar) * (ybar_k - ybar)) / F.first(n)
+    unc = F.first(ybar) * (1.0 - F.first(ybar))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first(n).cast("long").alias("n_docs"),
+            dround(brier, 6).alias("brier"),
+            dround(rel, 6).alias("reliability"),
+            dround(res, 6).alias("resolution"),
+            dround(unc, 6).alias("uncertainty"),
+            (F.abs(brier - (rel - res + unc)) < 1e-9).alias("identity_ok"),
+        )
+    )

@@ -736,3 +736,154 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median_price"),
         F.min("tw").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch set operations: the mergeable-sketch answer to
+# "how many customers are in BOTH segments" — the set-INTERSECTION
+# estimate HLL cannot give (hll_sketch_rollup covers union/rollup).
+# Beyer et al. 2007 ("On synopses for distinct-value estimation under
+# multiset operations"): keep the K minimum hash values per set;
+# distinct ~ (K-1)/theta with theta = the Kth minimum; intersect by
+# counting matching hashes below the combined theta. Hashing uses the
+# canonical md5-hex6 primitive so both engines build bit-identical
+# sketches, making the ESTIMATES (not just bound booleans)
+# hash-comparable.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 16777216.0  # 16^6, the md5-hex6 hash space
+
+
+def _kmv_sql() -> str:
+    ck = "concat_ws('', ck)"
+    h = sql_md5_hex6_to_int(ck)
+    return f"""
+WITH seta AS (
+    SELECT DISTINCT o_custkey AS ck FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+setb AS (
+    SELECT DISTINCT o.o_custkey AS ck
+    FROM orders o
+    SEMI JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+),
+ha AS (SELECT ck, ({h} + 1.0) / {_KMV_SPACE} AS hu FROM seta),
+hb AS (SELECT ck, ({h} + 1.0) / {_KMV_SPACE} AS hu FROM setb),
+ska AS (SELECT hu FROM ha ORDER BY hu ASC LIMIT {_KMV_K}),
+skb AS (SELECT hu FROM hb ORDER BY hu ASC LIMIT {_KMV_K}),
+sta AS (
+    SELECT CAST(count(*) AS DOUBLE) AS ka,
+           CASE WHEN count(*) < {_KMV_K} THEN 1.0 ELSE max(hu) END AS tha
+    FROM ska
+),
+stb AS (
+    SELECT CAST(count(*) AS DOUBLE) AS kb,
+           CASE WHEN count(*) < {_KMV_K} THEN 1.0 ELSE max(hu) END AS thb
+    FROM skb
+),
+inter_sk AS (
+    SELECT CAST(count(*) AS DOUBLE) AS ni
+    FROM ska a JOIN skb b ON b.hu = a.hu
+    CROSS JOIN sta CROSS JOIN stb
+    WHERE a.hu < least(sta.tha, stb.thb)
+),
+exacts AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM seta) AS exact_urgent,
+           (SELECT CAST(count(*) AS BIGINT) FROM setb) AS exact_returned,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM seta a JOIN setb b ON b.ck = a.ck) AS exact_overlap
+)
+SELECT e.exact_urgent,
+       {R(f'CASE WHEN s1.ka < {_KMV_K} THEN s1.ka '
+          f'ELSE ({_KMV_K} - 1) / s1.tha END', 4)} AS est_urgent,
+       e.exact_returned,
+       {R(f'CASE WHEN s2.kb < {_KMV_K} THEN s2.kb '
+          f'ELSE ({_KMV_K} - 1) / s2.thb END', 4)} AS est_returned,
+       e.exact_overlap,
+       {R('i.ni / least(s1.tha, s2.thb)', 4)} AS est_overlap
+FROM exacts e CROSS JOIN sta s1 CROSS JOIN stb s2 CROSS JOIN inter_sk i
+"""
+
+
+@register("kmv_theta_intersection", _kmv_sql())
+def kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch distinct + INTERSECTION estimates for two
+    customer segments (urgent-order customers x returned-item
+    customers), alongside the exact counts. Each sketch is an
+    `orderBy(hash).limit(K)` — TakeOrderedAndProject, K-bounded state,
+    never a per-segment global window; the intersect joins two K-row
+    frames. Exact companions run once for verification. At 100 TB the
+    sketches are what ships across stages — the exact branch is the
+    audit, not the product."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    seta = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    setb = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+
+    def hashed(s: DataFrame) -> DataFrame:
+        hu = (
+            md5_hex6_to_int(F.concat_ws("", F.col("ck").cast("string")))
+            + 1.0
+        ) / _KMV_SPACE
+        return s.select("ck", hu.alias("hu"))
+
+    ska = hashed(seta).select("hu").orderBy("hu").limit(_KMV_K)
+    skb = hashed(setb).select("hu").orderBy("hu").limit(_KMV_K)
+
+    def stats(sk: DataFrame, kn: str, tn: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).cast("double").alias(kn),
+            F.when(F.count(F.lit(1)) < _KMV_K, 1.0)
+            .otherwise(F.max("hu"))
+            .alias(tn),
+        )
+
+    sta = stats(ska, "ka", "tha")
+    stb = stats(skb, "kb", "thb")
+    inter_sk = (
+        ska.join(skb.withColumnRenamed("hu", "hub"), F.col("hu") == F.col("hub"))
+        .crossJoin(F.broadcast(sta))
+        .crossJoin(F.broadcast(stb))
+        .filter(F.col("hu") < F.least(F.col("tha"), F.col("thb")))
+        .agg(F.count(F.lit(1)).cast("double").alias("ni"))
+    )
+    exact_a = seta.agg(F.count(F.lit(1)).cast("long").alias("exact_urgent"))
+    exact_b = setb.agg(F.count(F.lit(1)).cast("long").alias("exact_returned"))
+    exact_i = (
+        seta.join(setb, "ck")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    est = lambda k, th: F.when(  # noqa: E731
+        F.col(k) < _KMV_K, F.col(k)
+    ).otherwise((_KMV_K - 1) / F.col(th))
+    return (
+        exact_a.crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(sta))
+        .crossJoin(F.broadcast(stb))
+        .crossJoin(F.broadcast(inter_sk))
+        .select(
+            "exact_urgent",
+            dround(est("ka", "tha"), 4).alias("est_urgent"),
+            "exact_returned",
+            dround(est("kb", "thb"), 4).alias("est_returned"),
+            "exact_overlap",
+            dround(
+                F.col("ni") / F.least(F.col("tha"), F.col("thb")), 4
+            ).alias("est_overlap"),
+        )
+    )

@@ -179,6 +179,11 @@ def test_projection_prunes_scan_columns(spark):
         "ab_difference_in_differences",
         "forecast_pinball_quantiles",
         "dedup_shadow_agreement",
+        "naive_bayes_lang_eval",
+        "decision_stump_infogain",
+        "brier_score_decomposition",
+        "kmv_theta_intersection",
+        "label_propagation_communities",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
