@@ -148,6 +148,10 @@ REPRESENTATIVES = [
     # jl_projection_distortion is an always-1-row global aggregate
     # (n_pairs=0 on empty input in BOTH engines) — excluded like OLS and
     # the skew audits, per the datasheet precedent above.
+    # round-3c ML-eval tier (the stump/Brier/KMV queries are
+    # always-1-row global aggregates — excluded per the same precedent)
+    "naive_bayes_lang_eval",
+    "label_propagation_communities",
 ]
 
 
