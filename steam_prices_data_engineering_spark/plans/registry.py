@@ -71,96 +71,90 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-3 ROTATION (per VERDICT.md r2 task 2): rounds 1-2 drove 97
-# distinct queries green (CORRECTNESS_r01 + _r02); this round's first 50
-# are drawn ENTIRELY from the never-driver-sampled set — with ONE
-# exception, `spatial_cell_join`, the geospatial family's only member,
-# kept as its anchor — while still spanning every operator family
+# ROUND-4 ROTATION (per VERDICT.md r3 task 1): rounds 1-3 drove 146
+# distinct queries green (CORRECTNESS_r01/r02/r03). This round's first
+# 50 are drawn ENTIRELY from the 135 still-never-driver-sampled
+# queries, LEADING with the 14 round-3 families that have no driver row
+# yet, then spanning the remaining never-sampled tail one-per-family
 # (pinned by tests/test_queries.py::test_driver_sample_spans_families).
-# Families whose every member is already driver-green (reference
-# pipelines, exact-dedup, windows/watermarks, Arrow grouped UDFs, skew
-# joins, k-means/PageRank, SCD2/merge, BM25, SemDeDup, governance
-# cascade, DP release, IVM, CEP-batch, PSI drift, item-item CF,
-# containment) hand their slots to never-sampled siblings or tiers;
-# every displaced query stays under the full local gate
-# (tools/check_oracle.py, 267/267) and the slow-marked full-oracle
-# pytest.
+# Families whose every member is already driver-green — including the
+# single-member geospatial family (spatial_cell_join, green in r02 AND
+# r03) — hand their slots to never-sampled siblings; every displaced
+# query stays under the full local gate (tools/check_oracle.py) and the
+# slow-marked full-oracle pytest sweep.
 _PRIORITY: tuple[str, ...] = (
-    # reference-parity sources: custom Python DataSource, pruned CSV,
-    # JSONL round-trip, file-layout audit
-    "steam_pysource_extract",
-    "csv_source_pruned",
-    "jsonl_source_roundtrip",
-    "source_file_audit",
-    # relational core: semi join, unpivot, theta fuzzy match
-    "semi_join_active_customers",
-    "unpivot_lineitem_measures",
-    "fuzzy_match_levenshtein",
-    # SQL surface: recursive CTE, lateral top-n
-    "sql_recursive_cte_paths",
-    "sql_lateral_topn",
-    # TPC-H tail (never-sampled tier; q1/q3/q5/q18 were r1/r2-green)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_bilateral_volume",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_dormant_rich_customers",
-    # window / time-series analytics
-    "window_distribution_funcs",
-    "lead_lag_order_gaps",
-    "cdc_latest_event_per_user",
-    # dedup tiers: SimHash bands, embedding cosine, canonical pick,
-    # incremental ingest, k-core graph
-    "neardup_simhash_banded",
-    "neardup_embedding_cosine",
-    "dedup_canonical_by_quality",
-    "incremental_dedup_ingest",
-    "kcore_neardup_graph",
-    # similarity search + retrieval: PQ-ADC, composed IVF-PQ, RRF
-    # hybrid fusion, df-capped inverted index
-    "simsearch_pq_adc_topk",
-    "simsearch_ivf_pq_topk",
-    "hybrid_rrf_fusion",
-    "inverted_index_postings",
-    # geospatial anchor (single-member family, r2-green)
-    "spatial_cell_join",
-    # text analysis / quality
-    "tokenizer_vocab_coverage",
-    "gopher_quality_rules",
-    "tfidf_top_terms",
-    "textrank_keywords",
-    # trainset ops + data selection
-    "trainset_hash_split",
-    "corpus_mixture_resample",
-    "weighted_sample_expkeys",
-    # decontamination (semantic tier; lexical was r2-green via Bloom)
-    "decontaminate_embedding_cosine",
-    # iterative algorithms
-    "bpe_train_merges",
-    "pca_power_iteration",
-    # streaming: full-outer + semi interval joins, session window,
-    # streaming CEP
-    "streaming_fullouter_interval_join",
-    "streaming_semi_interval_join",
-    "streaming_session_window",
-    "streaming_event_pattern",
-    # UDF surface + multimodal
-    "udtf_token_positions",
-    "multimodal_phash_neardup",
-    # time-series smoothing + segmentation (freshly re-shaped ntile)
-    "holt_trend_smoothing",
-    "rfm_segments",
-    # governance + sketches
-    "k_anonymity_report",
-    "hll_sketch_rollup",
+    # -- the 14 round-3 families: zero driver rows before this round --
+    "attribution_shapley",          # Shapley channel attribution
+    "dedup_shadow_agreement",       # dedup migration shadow gate
+    "ab_difference_in_differences", # DiD causal estimate
+    "forecast_pinball_quantiles",   # quantile forecast eval
+    "bm25_ndcg_vs_semantic",        # lexical-vs-semantic ranking eval
+    "item_cf_holdout_hitrate",      # recommender offline eval
+    "quality_isotonic_calibration", # isotonic PAV calibration
+    "logreg_newton_irls",           # in-engine logistic regression
+    "ab_uplift_qini",               # uplift modeling / Qini
+    "naive_bayes_lang_eval",        # NB text classifier
+    "decision_stump_infogain",      # decision-stump induction
+    "brier_score_decomposition",    # probabilistic-score decomposition
+    "kmv_theta_intersection",       # KMV/theta sketch set ops
+    "label_propagation_communities",  # LPA community detection
+    # -- never-sampled tail, one per family --
+    # sources / formats
+    "orc_source_roundtrip",
+    "text_source_line_stats",
+    "binaryfile_source_metadata",
+    "xml_source_roundtrip",
+    # SQL surface
+    "sql_scalar_subquery",
+    "sql_grouping_sets",
+    "sql_parameterized_query",
+    # TPC-H tail (q2/q4/q7/q9/q13/q19/q21/q22 went green in r03)
+    "tpch_q6_revenue_forecast",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    # Arrow UDF surface
+    "pandas_udf_scalar_bytes",
+    "cogroup_doc_embedding_stats",
+    # ANN tiers
+    "simsearch_multiprobe_lsh",
+    "simsearch_int8_rerank",
+    # streaming
+    "streaming_steam_source_extract",
+    "streaming_foreachbatch_sink",
+    # skew / shuffle strategy
+    "skew_salted_agg",
+    "join_shuffle_hash_dim",
+    # dedup / decontamination tiers
+    "decontaminate_ngram_overlap",
+    "chunk_dedup_ratio",
+    # text quality
+    "doc_repetition_ratio",
+    "text_redact_patterns",
+    # time series
+    "timeseries_hourly_gapfill",
+    "ewma_user_value",
+    # behavioral
+    "funnel_view_click_purchase",
+    "survival_km_curve",
+    # statistics
+    "bootstrap_mean_ci",
+    "ab_test_welch",
+    # data quality / governance audits
+    "dq_validation_report",
+    "benford_digit_audit",
+    # record linkage
+    "record_linkage_blocking",
+    # trainset ops
+    "seqpack_token_budget",
+    "trainset_group_holdout",
 )
-# Deliberately under the FULL LOCAL GATE only this round: every r1/r2
-# driver-green query (97 minus the spatial anchor) plus micro-families
-# whose parent family holds a round-3 slot. Every one is hash-checked by
-# tools/check_oracle.py and tests/test_queries.py each run.
+# Deliberately under the FULL LOCAL GATE only this round: every r1-r3
+# driver-green query plus micro-families whose parent family holds a
+# round-4 slot. Every one is hash-checked by tools/check_oracle.py and
+# tests/test_queries.py each run.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -55,62 +55,67 @@ def test_driver_sample_spans_families():
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
     must_have = {
-        # ROUND-3 rotation: every rep below is never-driver-sampled
-        # (absent from CORRECTNESS_r01/r02) except the explicitly-noted
-        # single-member-family anchor. One representative per family.
-        "steam_pysource_extract",        # custom Python DataSource
-        "csv_source_pruned",             # pruned CSV source
-        "source_file_audit",             # file-layout / sink audit
-        "semi_join_active_customers",    # relational core
-        "sql_recursive_cte_paths",       # SQL surface (recursive CTE)
-        "tpch_q2_min_cost_supplier",     # TPC-H tail
-        "tpch_q21_sole_late_supplier",   # TPC-H tail (multi-fact)
-        "window_distribution_funcs",     # window-function surface
-        "cdc_latest_event_per_user",     # CDC latest-per-key
-        "neardup_simhash_banded",        # fingerprint dedup tier
-        "neardup_embedding_cosine",      # embedding near-dup tier
-        "incremental_dedup_ingest",      # incremental dedup/merge
-        "kcore_neardup_graph",           # iterative graph analytics
-        "simsearch_pq_adc_topk",         # ANN: PQ-ADC
-        "simsearch_ivf_pq_topk",         # ANN: composed IVF-PQ
-        "hybrid_rrf_fusion",             # hybrid retrieval fusion
-        "inverted_index_postings",       # lexical index
-        "spatial_cell_join",             # geospatial ANCHOR (only member;
-                                         # r2-green, kept per verdict rule)
-        "tokenizer_vocab_coverage",      # text analysis / vocab
-        "gopher_quality_rules",          # quality filtering
-        "textrank_keywords",             # keyword extraction
-        "trainset_hash_split",           # trainset ops
-        "corpus_mixture_resample",       # data selection
-        "weighted_sample_expkeys",       # weighted sampling
-        "decontaminate_embedding_cosine",  # decontamination
-        "bpe_train_merges",              # iterative tokenizer training
-        "pca_power_iteration",           # in-engine linalg
-        "streaming_fullouter_interval_join",  # stream-stream outer join
-        "streaming_semi_interval_join",  # stream-stream semi join
-        "streaming_session_window",      # stateful session window
-        "streaming_event_pattern",       # streaming CEP
-        "udtf_token_positions",          # UDTF surface
-        "multimodal_phash_neardup",      # multimodal plumbing
-        "holt_trend_smoothing",          # time-series smoothing
-        "rfm_segments",                  # segmentation (re-shaped ntile)
-        "k_anonymity_report",            # governance audit
-        "hll_sketch_rollup",             # mergeable sketches
+        # ROUND-4 rotation (VERDICT.md r3 task 1): the 14 round-3
+        # families — never driver-sampled before this round — MUST lead.
+        "attribution_shapley",           # Shapley channel attribution
+        "dedup_shadow_agreement",        # dedup migration shadow gate
+        "ab_difference_in_differences",  # DiD causal estimate
+        "forecast_pinball_quantiles",    # quantile forecast eval
+        "bm25_ndcg_vs_semantic",         # ranking eval (nDCG)
+        "item_cf_holdout_hitrate",       # recommender offline eval
+        "quality_isotonic_calibration",  # isotonic PAV calibration
+        "logreg_newton_irls",            # in-engine logistic regression
+        "ab_uplift_qini",                # uplift / Qini
+        "naive_bayes_lang_eval",         # NB text classifier
+        "decision_stump_infogain",       # decision-stump induction
+        "brier_score_decomposition",     # Brier decomposition
+        "kmv_theta_intersection",        # KMV/theta sketch set ops
+        "label_propagation_communities",  # LPA communities
+        # one representative per remaining family, all never-sampled
+        "orc_source_roundtrip",          # columnar source round-trip
+        "xml_source_roundtrip",          # semi-structured source
+        "sql_grouping_sets",             # SQL surface
+        "tpch_q8_market_share",          # TPC-H tail (8-table join)
+        "pandas_udf_scalar_bytes",       # Arrow UDF surface
+        "cogroup_doc_embedding_stats",   # cogrouped Arrow UDF
+        "simsearch_multiprobe_lsh",      # ANN tier
+        "streaming_steam_source_extract",  # streaming source
+        "streaming_foreachbatch_sink",   # streaming sink
+        "skew_salted_agg",               # skew handling
+        "join_shuffle_hash_dim",         # join-strategy hint surface
+        "decontaminate_ngram_overlap",   # lexical decontamination
+        "chunk_dedup_ratio",             # span-level dedup signal
+        "doc_repetition_ratio",          # text quality
+        "timeseries_hourly_gapfill",     # time-series densification
+        "funnel_view_click_purchase",    # behavioral funnel
+        "survival_km_curve",             # survival analysis
+        "bootstrap_mean_ci",             # resampling statistics
+        "ab_test_welch",                 # experiment analysis
+        "dq_validation_report",          # data-quality audit
+        "benford_digit_audit",           # forensics
+        "record_linkage_blocking",       # record linkage
+        "seqpack_token_budget",          # trainset packing
+        "trainset_group_holdout",        # leakage-safe split
     }
     missing = must_have - set(first50)
     assert not missing, missing
-    # the rotation's point: at most the named anchors overlap rounds 1-2
+    # the rotation's point: ZERO overlap with rounds 1-3 (the r2/r3
+    # geospatial anchor spatial_cell_join is now double-driver-green, so
+    # its single-member family is excused rather than re-sampled).
     import json
     import os
 
     sampled_before: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         p = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(p):
             sampled_before |= set(json.load(open(p)))
-    anchors = {"spatial_cell_join"}
-    stale = (set(first50) & sampled_before) - anchors
-    assert not stale, f"re-sampled non-anchor queries: {sorted(stale)}"
+    stale = set(first50) & sampled_before
+    assert not stale, f"re-sampled queries: {sorted(stale)}"
     # every exported query still present exactly once overall
     assert len(registry.queries()) == len(set(registry.queries()))
 
