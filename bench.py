@@ -3,6 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Stdout-size contract (VERDICT.md r3 task 2): the driver records only the
+TAIL of stdout (~2000 chars), and the full per-query map outgrew that in
+round 3 (BENCH_r03 recorded `parsed: null`). The full result — including
+the complete "queries" map — is therefore ALWAYS written to
+`BENCH_DETAIL_r{N}.json` in the repo (N = newest BENCH_r*.json round + 1,
+i.e. the round the driver is about to record); the stdout line carries
+the full map only while it fits the tail window, and otherwise compacts
+to totals + regressions + a "detail" pointer at that file.
+
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect cost). Timings include plan + execution, excluding
 session startup.
@@ -117,6 +126,10 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Ambient load BEFORE any Spark work: the end-of-run sample below is
+    # polluted by the bench's own 32 threads, so this is the number that
+    # says whether the machine was quiet when the run started.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -159,6 +172,7 @@ def main() -> None:
         # uniform shift as a code regression (idle round-1 baseline ran
         # near load 0).
         "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_start": load_start,
     }
     # The differ is an auxiliary diagnostic: it must never be able to
     # destroy the run's one contractual stdout JSON line.
@@ -171,8 +185,49 @@ def main() -> None:
         regressions = {}
     if regressions:
         result["regressions"] = regressions
-    print(json.dumps(result))
+    detail_path = _write_detail(result)
+    line = json.dumps(result)
+    if len(line) > STDOUT_BUDGET:
+        compact = {k: v for k, v in result.items() if k != "queries"}
+        compact["n_queries"] = len(timings)
+        compact["slowest"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        )
+        if detail_path:
+            compact["detail"] = os.path.basename(detail_path)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
+
+
+# The driver captures only the tail of stdout; keep the contractual JSON
+# line comfortably inside that window (observed capture: ~2000 chars).
+STDOUT_BUDGET = 1500
+
+
+def _write_detail(result: dict) -> str | None:
+    """Persist the FULL result (per-query map included) to
+    BENCH_DETAIL_r{N}.json, N = the round the driver is about to record
+    (newest BENCH_r*.json + 1; r01 if none). Best-effort — the bench must
+    still report on a read-only checkout."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    path = os.path.join(REPO, f"BENCH_DETAIL_r{n:02d}.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: cannot write {path}: {e}", file=sys.stderr)
+        return None
+    return path
 
 
 REGRESSION_RATIO = 1.5
@@ -195,9 +250,18 @@ def _diff_against_previous_round(
         m = re.search(r"r(\d+)", os.path.basename(p))
         return int(m.group(1)) if m else -1
 
+    # Prefer the in-repo BENCH_DETAIL_r*.json records (full per-query maps,
+    # written by this harness since round 4) over the driver's BENCH_r*.json
+    # stdout captures (tail-truncated in r3, compact from r4 on). Ties on
+    # round number resolve to the detail file.
     candidates = sorted(
-        (p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")) if round_no(p) >= 0),
-        key=round_no,
+        (
+            p
+            for pat in ("BENCH_r*.json", "BENCH_DETAIL_r*.json")
+            for p in glob.glob(os.path.join(REPO, pat))
+            if round_no(p) >= 0
+        ),
+        key=lambda p: (round_no(p), "DETAIL" in os.path.basename(p)),
     )
     if not candidates:
         return {}
