@@ -44,13 +44,9 @@ from ..sources.tables import read_table
 from .registry import register
 
 # The canonical deterministic doc split (plans/trainset.py) — composed,
-# never re-derived, per the shared-hash-arithmetic rule.
-from .trainset import _SPLIT_EXPR
-
-
-def _split_bucket_spark() -> F.Column:
-    """Spark twin of trainset._SPLIT_EXPR (Knuth multiplicative hash)."""
-    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+# never re-derived, per the shared-hash-arithmetic rule. Both twins come
+# from trainset so the engines cannot drift.
+from .trainset import _SPLIT_EXPR, split_bucket as _split_bucket_spark
 
 
 # ---------------------------------------------------------------------------
@@ -293,9 +289,11 @@ def decision_stump_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias(f"posl{k}")
         )
-    one = o.crossJoin(F.broadcast(qrow)).agg(*aggs).crossJoin(
-        F.broadcast(qrow)
-    )
+        # Carry the threshold through the aggregate (constant within the
+        # crossJoin) instead of re-crossJoining qrow afterwards — a second
+        # crossJoin re-executes the full percentile scan over orders.
+        aggs.append(F.first(F.col(f"t{k}")).alias(f"t{k}"))
+    one = o.crossJoin(F.broadcast(qrow)).agg(*aggs)
     cand = one.select(
         "n",
         "pos",

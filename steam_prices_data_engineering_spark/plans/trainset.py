@@ -153,7 +153,35 @@ def trainset_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assigns buckets 0-9: 8 train / 1 val / 1 test.
 # ---------------------------------------------------------------------------
 
-_SPLIT_EXPR = "((doc_id * 2654435761) % 4294967296) % 10"
+# Shared Knuth multiplicative hash of doc_id — the ONE definition both
+# engines and every consumer (split, sample, order, shard, ml_eval)
+# compose from. The input is masked to 31 bits BEFORE the multiply so the
+# product stays < 2^63: Spark (non-ANSI) would silently wrap an int64
+# overflow while DuckDB raises, so an unmasked doc_id > ~3.47e9 would
+# diverge the engines. (Docs 2^31 apart alias to the same bucket — fine
+# for a split function.)
+
+
+def knuth_sql(col: str = "doc_id") -> str:
+    """DuckDB-side Knuth multiplicative hash of an integer id column."""
+    return f"((({col} % 2147483648) * 2654435761) % 4294967296)"
+
+
+def knuth_hash(col: str = "doc_id") -> F.Column:
+    """Spark twin of knuth_sql() — exact 64-bit integer arithmetic."""
+    return (
+        (F.col(col) % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+
+
+_KNUTH_SQL = knuth_sql()
+
+_SPLIT_EXPR = f"{_KNUTH_SQL} % 10"
+
+
+def split_bucket() -> F.Column:
+    """Spark twin of _SPLIT_EXPR (train/val/test bucket 0-9)."""
+    return knuth_hash() % 10
 
 _SPLIT_SQL = f"""
 SELECT split, lang,
@@ -178,7 +206,7 @@ def trainset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents never reshuffle old assignments — the split is stable
     under corpus growth."""
     d = read_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    bucket = split_bucket()
     split = (
         F.when(bucket < 8, F.lit("train"))
         .when(bucket == 8, F.lit("val"))
@@ -288,7 +316,7 @@ scaled AS (
 SELECT d.lang,
        CAST(count(*) AS BIGINT) AS n_kept
 FROM documents d JOIN scaled s ON d.lang = s.lang
-WHERE ((d.doc_id * 2654435761) % 4294967296) % 100 < floor(s.keep_rate * 100 + 0.5)
+WHERE {knuth_sql('d.doc_id')} % 100 < floor(s.keep_rate * 100 + 0.5)
 GROUP BY d.lang
 """
 
@@ -310,7 +338,7 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.least(F.lit(1.0), F.col("wpn") / F.col("max_wpn")).alias("keep_rate"),
     )
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    bucket = knuth_hash() % 100
     return (
         d.join(F.broadcast(scaled), "lang")
         .filter(bucket < F.floor(F.col("keep_rate") * 100 + F.lit(0.5)))
@@ -331,7 +359,7 @@ FROM (
     SELECT lang, doc_id,
            row_number() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ORDER BY {_KNUTH_SQL}, doc_id
            ) AS rn
     FROM documents
 )
@@ -349,7 +377,7 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full sort completes. This is the "inspect K examples per slice" /
     "cap per-source contribution" primitive in corpus curation."""
     d = read_table(spark, sf_dir, "documents")
-    hash_order = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    hash_order = knuth_hash()
     w = Window.partitionBy("lang").orderBy(hash_order.asc(), F.col("doc_id").asc())
     return (
         d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
@@ -395,7 +423,7 @@ assigned AS (
            CASE WHEN s.quality >= t.q66 THEN 0
                 WHEN s.quality >= t.q33 THEN 1
                 ELSE 2 END AS phase,
-           ((s.doc_id * 2654435761) % 4294967296) % {_N_SHARDS} AS shard
+           {knuth_sql('s.doc_id')} % {_N_SHARDS} AS shard
     FROM scored s CROSS JOIN thresholds t
 )
 SELECT CAST(phase AS INTEGER) AS phase,
@@ -439,7 +467,7 @@ def trainset_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("quality") >= F.col("q33"), 1)
         .otherwise(2)
     )
-    shard = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % _N_SHARDS
+    shard = knuth_hash() % _N_SHARDS
     return (
         scored.crossJoin(F.broadcast(thresholds))
         .select(
