@@ -210,7 +210,7 @@ def hashed_shingle_table(docs: DataFrame, spread_input: bool = False) -> DataFra
     return tokenized.select(
         "doc_id",
         F.array_distinct(shingle_hash_array(F.col("th"), 3)).alias("hs"),
-    ).cache()
+    ).cache()  # session-per-query
 
 
 def minhash_sig_table(hashed: DataFrame) -> DataFrame:

@@ -254,7 +254,7 @@ def simsearch_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= _IVFPQ_NPROBE)
         .select("vec_id", "seed_id", "rn")
-    ).cache()
+    ).cache()  # session-per-query
     cells = assign.filter(F.col("rn") == 1).select(
         "vec_id", F.col("seed_id").alias("cell")
     )

@@ -324,7 +324,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs (operators/dedup.py) — never re-implemented, so this evaluator
     # measures the production sketch, not a twin that can drift.
     hashed = hashed_shingle_table(d)
-    sig = minhash_sig_table(hashed).join(hashed, "doc_id").cache()
+    sig = minhash_sig_table(hashed).join(hashed, "doc_id").cache()  # session-per-query
     cand = minhash_candidates(minhash_banded(sig))
 
     n_sig = len(MINHASH_PARAMS)
@@ -430,7 +430,7 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("v"),
         _bucket_spark(F.col("embedding")).alias("bucket"),
-    ).cache()
+    ).cache()  # session-per-query
     q = bkt.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -577,7 +577,7 @@ def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("bga"),
         )
-        .cache()
+        .cache()  # session-per-query
     )
     tok = arr.select("doc_id", F.explode("t").alias("tok"))
     c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -756,7 +756,7 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("bga"),
         )
-        .cache()
+        .cache()  # session-per-query
     )
     c1 = (
         arr.select(F.explode("t").alias("tok"))
@@ -1303,7 +1303,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. Final top-k is orderBy().limit() — TakeOrderedAndProject,
     never a global ranked window."""
     docs = read_table(spark, sf_dir, "documents")
-    arr = docs.select("doc_id", tokens(F.col("text")).alias("t")).cache()
+    arr = docs.select("doc_id", tokens(F.col("text")).alias("t")).cache()  # session-per-query
     tok = arr.select("doc_id", F.explode("t").alias("tok"))
     ndocs = docs.count()
     kept = (
@@ -1344,12 +1344,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bidir = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").persist()
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").persist()  # session-per-query
     outw = bidir.groupBy("src").agg(F.sum("w").alias("outw"))
     weighted = bidir.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("wn")
-    ).persist()
-    nodes = bidir.select(F.col("src").alias("node")).distinct().persist()
+    ).persist()  # session-per-query
+    nodes = bidir.select(F.col("src").alias("node")).distinct().persist()  # session-per-query
     n = nodes.count()
     if n == 0:  # empty landing: no co-occurrence graph, no keywords
         return spark.createDataFrame([], "token string, tr_rank double")

@@ -418,7 +418,7 @@ def simsearch_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     e = read_table(spark, sf_dir, "embeddings")
-    quant = _int8_quant_table(e).select("vec_id", "v", "sc", "q").cache()
+    quant = _int8_quant_table(e).select("vec_id", "v", "sc", "q").cache()  # session-per-query
     qry = quant.filter(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("q_id"),
         F.col("q").alias("qq"),

@@ -116,7 +116,7 @@ def neardup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist-the-sketch stage of an LSH pipeline.
     sims = simhash_table(
         d, token_hash_array(F.col("text")), bits=_SIMHASH_BITS
-    ).cache()
+    ).cache()  # session-per-query
     bands = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band_idx"))
     banded = sims.crossJoin(F.broadcast(bands)).select(
         "doc_id",

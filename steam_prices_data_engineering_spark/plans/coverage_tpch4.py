@@ -148,7 +148,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_value"
             )
         )
-        .cache()
+        .cache()  # session-per-query
     )
     threshold = per_part.agg(
         (F.lit(0.001) * F.sum("part_value")).alias("threshold")

@@ -116,7 +116,7 @@ def graph_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u<v<w) double join — each edge shuffles by its endpoint keys, the
     textbook distributed triangle count. Per-doc totals are two
     map-side-combined aggregations."""
-    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()
+    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()  # session-per-query
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -277,7 +277,7 @@ def linkpred_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-overlap Jaccard: wedge self-join for common neighbors, anti
     join to exclude existing edges, degree join for the union size,
     TakeOrderedAndProject for the top-k."""
-    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()
+    edges = neardup_edges(read_table(spark, sf_dir, "documents")).cache()  # session-per-query
     bidir = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -379,13 +379,13 @@ def label_propagation_communities(
     loop (the round count is a constant, so the plan is just unrolled
     3x; edges/bidir are cached since every round re-reads them)."""
     docs = read_table(spark, sf_dir, "documents")
-    edges = neardup_edges(docs).cache()
+    edges = neardup_edges(docs).cache()  # session-per-query
     bidir = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(
             edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
-        .cache()
+        .cache()  # session-per-query
     )
     lab = bidir.select("node").distinct().select(
         "node", F.col("node").alias("lbl")

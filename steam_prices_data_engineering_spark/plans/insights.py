@@ -628,7 +628,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Customer-grain aggregate (dimension-scale, bounded): cached because
     # the melted scorer's min/max + histogram branches re-derive it —
     # without the cache each branch re-runs the orders scan.
-    cust = cust.cache()
+    cust = cust.cache()  # session-per-query
     scored = ntile_scores(
         cust,
         "o_custkey",
@@ -1394,12 +1394,12 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baskets AND the co-occurrence base; train_ui feeds scoring twice);
     # cache them once instead of re-running the distinct/join per branch
     # (measured 6.4s -> ~4s warm at sf0.1).
-    bi = li.select("l_orderkey", "l_partkey").distinct().cache()
+    bi = li.select("l_orderkey", "l_partkey").distinct().cache()  # session-per-query
     train_ui = (
         train_b.join(bi, train_b.o_orderkey == bi.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
-        .cache()
+        .cache()  # session-per-query
     )
     test_ui = (
         test_b.join(bi, test_b.o_orderkey == bi.l_orderkey)
@@ -1418,7 +1418,7 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fbp = (
         tb.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
-        .cache()  # self-joined below; cache so the semi-join chain runs once
+        .cache()  # self-joined below; cache so the semi-join chain runs once  # session-per-query
     )
     a, b = fbp.alias("a"), fbp.alias("b")
     co = (

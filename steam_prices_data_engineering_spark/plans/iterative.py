@@ -339,8 +339,8 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))).alias("w"),
-    ).persist()
-    nodes = e.select(F.col("event_type").alias("node")).distinct().persist()
+    ).persist()  # session-per-query
+    nodes = e.select(F.col("event_type").alias("node")).distinct().persist()  # session-per-query
     n = nodes.count()  # driver sees one scalar: the node count
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
@@ -461,7 +461,7 @@ def dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         token_count(F.col("text")).cast("long").alias("n_toks"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_keeper"),
-    ).persist()
+    ).persist()  # session-per-query
     survivors = keepers.filter(F.col("is_exact_keeper")).select(
         "doc_id", "text"
     )

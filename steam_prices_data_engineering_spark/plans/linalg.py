@@ -96,7 +96,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
     ).select("vec_id", F.col("pos").alias("i"), F.col("col").alias("x"))
-    ev = ev.cache()
+    ev = ev.cache()  # session-per-query
     mu = ev.groupBy("i").agg(F.avg("x").alias("m"))
     n_rows = ev.select("vec_id").distinct().count()
     head = emb.select(F.size("embedding").alias("d")).first()
@@ -119,7 +119,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         prod.join(F.broadcast(mua), "i")
         .join(F.broadcast(mub), "j")
         .select("i", "j", (F.col("exx") - F.col("ma") * F.col("mb")).alias("c"))
-        .cache()
+        .cache()  # session-per-query
     )
     v = mu.select("i", F.lit(1.0 / float(d) ** 0.5).alias("x"))
     for _ in range(_PCA_ITERS):

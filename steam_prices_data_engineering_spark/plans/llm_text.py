@@ -302,7 +302,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         norm(F.col("embedding")).alias("nrm"),
         _bucket_spark(F.col("embedding")).alias("bucket"),
-    ).cache()
+    ).cache()  # session-per-query
     a = bkt.alias("a")
     b = bkt.alias("b")
     pairs = a.join(
@@ -523,7 +523,7 @@ def simsearch_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         to_double_array(F.col("embedding")).alias("v"),
         _bucket_spark(F.col("embedding")).alias("bucket"),
-    ).cache()
+    ).cache()  # session-per-query
     q = bkt.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )

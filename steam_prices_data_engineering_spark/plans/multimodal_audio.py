@@ -252,7 +252,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    bands = media.mapInPandas(decode_bands, schema=band_schema).cache()
+    bands = media.mapInPandas(decode_bands, schema=band_schema).cache()  # session-per-query
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

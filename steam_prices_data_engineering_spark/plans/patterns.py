@@ -334,7 +334,7 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = cells.crossJoin(F.broadcast(thresh)).filter(
         F.col("n") >= F.col("minpts")
-    ).select("cid", "n").persist()
+    ).select("cid", "n").persist()  # session-per-query
     a = core.select(F.col("cid").alias("doc_id_a"), (F.col("cid") / _DB_CID).cast("long").alias("ay"), (F.col("cid") % _DB_CID).alias("ax"))
     b = core.select(F.col("cid").alias("doc_id_b"), (F.col("cid") / _DB_CID).cast("long").alias("by"), (F.col("cid") % _DB_CID).alias("bx"))
     edges = a.join(

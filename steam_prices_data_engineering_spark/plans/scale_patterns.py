@@ -510,7 +510,7 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         spark.read.parquet(out_dir)
         .select("event_type", "n_events", "sum_value")
-        .cache()
+        .cache()  # session-per-query
     )
     result.count()  # materialize before the scratch dir is removed
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -106,7 +106,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
         norm(F.col("embedding")).alias("nrm"),
-    ).cache()
+    ).cache()  # session-per-query
     seeds = vl.filter(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("sv")
     )
@@ -129,7 +129,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster")
         .join(vl, "vec_id")
-    ).cache()
+    ).cache()  # session-per-query
     asg = asgv.select("vec_id", "cluster")
     a = asgv.alias("a")
     b = asgv.alias("b")
@@ -221,7 +221,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _SPAN_W))).alias(
             "wh"
         ),
-    ).cache()
+    ).cache()  # session-per-query
     dup = (
         h.groupBy("wh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -312,7 +312,7 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _CONT_DF_CAP)
         .select("h")
     )
-    posting = posting0.join(keep, "h", "left_semi").cache()
+    posting = posting0.join(keep, "h", "left_semi").cache()  # session-per-query
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = posting.select(F.col("doc_id").alias("inner_doc"), "h")
     b = posting.select(F.col("doc_id").alias("outer_doc"), "h")

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-size the partitioning of plans materialized INTO the
+        # cache (off by default): a dimension-grain .cache() otherwise
+        # freezes at spark.sql.shuffle.partitions, so every downstream
+        # stage over a tiny cached frame schedules 32 tasks; at cluster
+        # scale the same flag lets AQE size cache partitions by bytes.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -77,6 +83,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.ansi.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # AQE may re-size cached-plan output partitioning (see get_spark).
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.shuffle.partitions": os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
         ),

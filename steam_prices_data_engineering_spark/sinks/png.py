@@ -239,6 +239,10 @@ def render_choropleth_png(
                 for lon0, lon1 in _row_spans(rings, lat):
                     x0 = max(0, int((lon0 + 180.0) / 360.0 * width))
                     x1 = min(width, int((lon1 + 180.0) / 360.0 * width) + 1)
+                    # Sub-pixel span at small render sizes: keep the
+                    # country visible with at least one pixel.
+                    if x1 <= x0 and x0 < width:
+                        x1 = x0 + 1
                     for x in range(x0, x1):
                         c = border if x in (x0, x1 - 1) else color
                         off = (base + x) * 3
@@ -252,6 +256,9 @@ def render_choropleth_png(
         x1 = int((lon_max + 180.0) / 360.0 * width)
         y0 = int((90.0 - lat_max) / 180.0 * height)
         y1 = int((90.0 - lat_min) / 180.0 * height)
+        # Sub-pixel box at small render sizes: paint at least one pixel.
+        x1 = max(x1, min(x0 + 1, width))
+        y1 = max(y1, min(y0 + 1, height))
         for y in range(max(0, y0), min(height, y1)):
             on_edge_y = y in (y0, y1 - 1)
             base = y * width
