@@ -43,7 +43,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_shinglehash_ctes
 from ..functions.text import tokens
 from ..functions.vectors import dot, norm, to_double_array
-from ..sources.tables import read_table
+from ..sources.tables import read_table, spread
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -131,7 +131,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vl, "vec_id")
     ).cache()  # session-per-query
     asg = asgv.select("vec_id", "cluster")
-    a = asgv.alias("a")
+    # spread() the PROBE side of the pair join: under AQE-resized caching
+    # the cached asgv can land in one byte-sized partition, which would
+    # serialize the O(cluster^2) interpreted-HOF cosine stage on one core
+    # (measured 2x at sf0.1). The b side broadcasts, so the probe's
+    # partitioning alone sets the pair stage's parallelism; at scale the
+    # O(N) row exchange is minor next to the quadratic compare it feeds.
+    a = spread(asgv).alias("a")
     b = asgv.alias("b")
     pairs = a.join(
         b,
