@@ -15,7 +15,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import token_hash_array
 from ..functions.vectors import cosine
 from ..operators.dedup import simhash_table
-from ..sources.tables import read_table
+from ..sources.tables import read_table, spread
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -125,7 +125,19 @@ def neardup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftright(sim, band_idx * {_BAND_WIDTH}) & {(1 << _BAND_WIDTH) - 1}")
         .alias("band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # spread() the PROBE side: the cached sketch (groupBy output) can land
+    # in one byte-sized partition under AQE-resized caching, and the b
+    # side broadcasts — probe partitioning alone then drives the ~9M-pair
+    # band compare (measured 4.2s -> 1.7s at sf0.1). One O(N) row
+    # exchange of (doc_id, sim) longs buys the parallelism back.
+    banded_probe = spread(sims).crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "sim",
+        "band_idx",
+        F.expr(f"shiftright(sim, band_idx * {_BAND_WIDTH}) & {(1 << _BAND_WIDTH) - 1}")
+        .alias("band_val"),
+    )
+    a, b = banded_probe.alias("a"), banded.alias("b")
     # The hamming test rides IN the join condition: the equi join still
     # shuffles on (band_idx, band_val), but each matched pair is verified
     # before it is EMITTED, so the distinct() downstream deduplicates only
