@@ -1675,3 +1675,142 @@ def quality_isotonic_calibration(
             dround(F.col("iso"), 6).alias("iso_keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity (round 4): before committing a Jaccard
+# cutoff, sweep the verified near-dup pairs across candidate thresholds
+# and report, per threshold, how many pairs survive and how many
+# documents the lowest-id-survives rule would remove. The operational
+# tuning table every dedup rollout reads before picking tau.
+#
+# Scale design: the candidate pairs come from the SAME staged LSH
+# pipeline as neardup_minhash_lsh (band-blocked, never all-pairs); the
+# sweep itself is a broadcast crossJoin of a CONSTANT 5-row threshold
+# frame onto the verified pairs, so the whole sensitivity table costs
+# one extra pass over LSH-bounded survivors regardless of how many
+# thresholds are swept.
+# ---------------------------------------------------------------------------
+
+_SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _dedup_sweep_sql() -> str:
+    from ..functions.sqlfrag import (
+        sql_exact_jaccard,
+        sql_minhash_sig_band_ctes,
+    )
+
+    taus = ", ".join(f"({t})" for t in _SWEEP_TAUS)
+    return f"""
+WITH {sql_minhash_sig_band_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT doc_id_a, doc_id_b,
+           {R(sql_exact_jaccard("sa.hs", "sb.hs"), 6)} AS jaccard
+    FROM cand
+    JOIN shinglehash sa ON sa.doc_id = cand.doc_id_a
+    JOIN shinglehash sb ON sb.doc_id = cand.doc_id_b
+),
+taus(tau) AS (VALUES {taus})
+SELECT {R('t.tau', 2)} AS tau,
+       CAST(count(*) FILTER (WHERE s.jaccard >= t.tau) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN s.jaccard >= t.tau THEN s.doc_id_b END)
+            AS BIGINT) AS n_docs_removed
+FROM scored s CROSS JOIN taus t
+GROUP BY t.tau
+"""
+
+
+@register("dedup_threshold_sweep", _dedup_sweep_sql())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving near-dup pairs and docs-removed (lowest-id survives, so
+    the higher-id side of each pair is the casualty) at 5 candidate
+    Jaccard cutoffs, from the production MinHash-LSH candidate set."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    # threshold=0.0 returns ALL verified candidates; the sweep filters.
+    scored = minhash_lsh_pairs(d, threshold=0.0)
+    taus = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TAUS], "tau double"
+    )
+    hit = F.col("jaccard") >= F.col("tau")
+    return (
+        scored.crossJoin(F.broadcast(taus))
+        .groupBy(dround(F.col("tau"), 2).alias("tau"))
+        .agg(
+            F.sum(hit.cast("long")).alias("n_pairs"),
+            F.count_distinct(
+                F.when(hit, F.col("doc_id_b"))
+            ).cast("long").alias("n_docs_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (round 4): subword tokens per whitespace word, per
+# language — the standard "is this tokenizer efficient for this
+# language" metric (fertility ~1 is ideal; high-fertility languages pay
+# more context budget per word). Composes the SAME BPE-ish pre-tokenizer
+# regex as token_count_bpe (plans/llm_text.py) so the two read as one
+# tokenizer report. One narrow map + one tiny aggregate; no shuffle
+# beyond the |langs|-group combine.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql() -> str:
+    from .llm_text import _BPE_PATTERN
+
+    return f"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+               AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_ws,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R('sum(n_bpe) / sum(n_ws)', 6)} AS fertility,
+       {R('sum(n_chars) / sum(n_bpe)', 6)} AS chars_per_token,
+       CAST(count(*) FILTER (WHERE n_bpe / n_ws > 2.0) AS BIGINT)
+           AS n_high_fertility_docs
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", _fertility_sql())
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (BPE-ish subword tokens per whitespace
+    word), compression (chars per subword token) and the count of
+    docs whose fertility exceeds 2.0 — the tokenizer-efficiency review
+    table of a multilingual corpus."""
+    from .llm_text import _BPE_PATTERN
+
+    d = read_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("double")
+        .alias("n_bpe"),
+        F.size(tokens(F.col("text"))).cast("double").alias("n_ws"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double")
+        .alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        dround(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("fertility"),
+        dround(F.sum("n_chars") / F.sum("n_bpe"), 6).alias("chars_per_token"),
+        F.sum(
+            (F.col("n_bpe") / F.col("n_ws") > 2.0).cast("long")
+        ).alias("n_high_fertility_docs"),
+    )

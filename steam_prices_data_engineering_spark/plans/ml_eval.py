@@ -440,3 +440,188 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(brier - (rel - res + unc)) < 1e-9).alias("identity_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation (Stone 1974): leave-one-fold-out evaluation of
+# the per-priority group-mean predictor over orders. Folds are the
+# canonical deterministic hash split (trainset.knuth_sql over o_orderkey,
+# mod K) — reproducible under any partitioning, like every sampler here.
+#
+# Scale design: training statistics for ALL K held-out models come from
+# ONE map-side-combined pass — per-(fold, priority) sums, then
+# leave-one-out means as (total - own fold) over the K x |priorities|
+# grid (a bounded broadcast, never a window over facts). The scoring
+# pass joins those 25 rows back by (fold, priority). Two fact scans
+# total, independent of K.
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+
+def _cv_sql() -> str:
+    from .trainset import knuth_sql
+
+    fold = f"{knuth_sql('o_orderkey')} % {_CV_K}"
+    return f"""
+WITH base AS (
+    SELECT {fold} AS fold, o_orderpriority AS pri, o_totalprice AS y
+    FROM orders
+),
+fp AS (
+    SELECT fold, pri, sum(y) AS s, CAST(count(*) AS DOUBLE) AS n
+    FROM base GROUP BY fold, pri
+),
+tot AS (SELECT pri, sum(s) AS st, sum(n) AS nt FROM fp GROUP BY pri),
+loo AS (
+    SELECT fp.fold, fp.pri, (tot.st - fp.s) / (tot.nt - fp.n) AS pred
+    FROM fp JOIN tot ON tot.pri = fp.pri
+)
+SELECT CAST(b.fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R('sqrt(sum((b.y - l.pred) * (b.y - l.pred)) / count(*))', 4)} AS rmse,
+       {R('avg(abs(b.y - l.pred))', 4)} AS mae
+FROM base b JOIN loo l ON l.fold = b.fold AND l.pri = b.pri
+GROUP BY b.fold
+"""
+
+
+@register("cv_fold_rmse", _cv_sql())
+def cv_fold_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold RMSE/MAE of the leave-one-fold-out per-priority mean
+    predictor of o_totalprice, K=5 hash folds. One training pass for all
+    K models (grid leave-one-out arithmetic on a bounded broadcast), one
+    scoring pass."""
+    from .trainset import knuth_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        (knuth_hash("o_orderkey") % _CV_K).alias("fold"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("y"),
+    )
+    fp = base.groupBy("fold", "pri").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = fp.groupBy("pri").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    loo = fp.join(tot, "pri").select(
+        "fold",
+        "pri",
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias("pred"),
+    )
+    err = F.col("y") - F.col("pred")
+    return (
+        base.join(F.broadcast(loo), ["fold", "pri"])
+        .groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4).alias("rmse"),
+            dround(F.avg(F.abs(err)), 4).alias("mae"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Learning-curve scaling: how does held-out error move as the training
+# set grows? Nested training subsets are prefixes of the hash-bucket
+# order (buckets 0..1, 0..3, 0..5, 0..7 of the canonical knuth split);
+# eval is the fixed 8-9 bucket holdout. Same group-mean model family as
+# cv_fold_rmse so the two read together as one eval suite.
+#
+# Scale design: ONE training pass builds the (bucket, priority) sum
+# grid; nested-subset sums are a cumulative window over the BUCKET grain
+# (constant-size grid partitioned by priority — never a fact window);
+# the eval pass joins the 4 x |priorities| prediction table broadcast.
+# ---------------------------------------------------------------------------
+
+_LC_SUBSETS = (2, 4, 6, 8)  # train buckets 0..s-1 of the 10-bucket split
+
+
+def _lc_sql() -> str:
+    from .trainset import knuth_sql
+
+    bucket = f"{knuth_sql('o_orderkey')} % 10"
+    sizes = ", ".join(str(s) for s in _LC_SUBSETS)
+    return f"""
+WITH base AS (
+    SELECT {bucket} AS bucket, o_orderpriority AS pri, o_totalprice AS y
+    FROM orders
+),
+grid AS (
+    SELECT bucket, pri, sum(y) AS s, CAST(count(*) AS DOUBLE) AS n
+    FROM base WHERE bucket < 8 GROUP BY bucket, pri
+),
+cum AS (
+    SELECT bucket, pri,
+           sum(s) OVER (PARTITION BY pri ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cs,
+           sum(n) OVER (PARTITION BY pri ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cn
+    FROM grid
+),
+pred AS (
+    SELECT bucket + 1 AS train_buckets, pri, cs / cn AS pred, cn
+    FROM cum WHERE bucket + 1 IN ({sizes})
+),
+ev AS (SELECT pri, y FROM base WHERE bucket >= 8)
+SELECT CAST(p.train_buckets AS BIGINT) AS train_buckets,
+       CAST(sum(DISTINCT p.cn) AS BIGINT) AS n_train_grid,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R('sqrt(sum((e.y - p.pred) * (e.y - p.pred)) / count(*))', 4)} AS rmse
+FROM ev e JOIN pred p ON p.pri = e.pri
+GROUP BY p.train_buckets
+"""
+
+
+@register("learning_curve_scaling", _lc_sql())
+def learning_curve_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out RMSE of the per-priority mean predictor at nested
+    training-set sizes (2/4/6/8 of 10 hash buckets; eval = buckets 8-9).
+    The canonical "is more data still buying accuracy" curve, computed
+    with one training scan + one eval scan regardless of how many
+    subset sizes are on the curve."""
+    from .trainset import knuth_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        (knuth_hash("o_orderkey") % 10).alias("bucket"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("y"),
+    )
+    grid = (
+        base.filter(F.col("bucket") < 8)
+        .groupBy("bucket", "pri")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "bucket",
+        "pri",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    pred = cum.filter(
+        (F.col("bucket") + 1).isin(list(_LC_SUBSETS))
+    ).select(
+        (F.col("bucket") + 1).alias("train_buckets"),
+        "pri",
+        (F.col("cs") / F.col("cn")).alias("pred"),
+        "cn",
+    )
+    ev = base.filter(F.col("bucket") >= 8).select("pri", "y")
+    err = F.col("y") - F.col("pred")
+    return (
+        ev.join(F.broadcast(pred), "pri")
+        .groupBy(F.col("train_buckets").cast("long").alias("train_buckets"))
+        .agg(
+            F.sum_distinct(F.col("cn")).cast("long").alias("n_train_grid"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4).alias("rmse"),
+        )
+    )

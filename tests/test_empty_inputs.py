@@ -152,6 +152,11 @@ REPRESENTATIVES = [
     # always-1-row global aggregates — excluded per the same precedent)
     "naive_bayes_lang_eval",
     "label_propagation_communities",
+    # round-4 eval tier (group-keyed outputs; all must vanish on empty)
+    "cv_fold_rmse",
+    "learning_curve_scaling",
+    "dedup_threshold_sweep",
+    "tokenizer_fertility",
 ]
 
 

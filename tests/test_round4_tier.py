@@ -1,0 +1,146 @@
+"""Semantic contracts of the round-4 eval tier (plans/ml_eval.py
+cv_fold_rmse / learning_curve_scaling, plans/corpus_eval.py
+dedup_threshold_sweep / tokenizer_fertility): the CV and learning-curve
+errors are reproduced by an independent pure-Python recomputation, the
+threshold sweep is monotone and consistent with the production dedup
+query at its own cutoff, and fertility aggregates partition the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from steam_prices_data_engineering_spark.plans import registry
+from steam_prices_data_engineering_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+KNUTH = lambda k: ((k % 2147483648) * 2654435761) % 4294967296  # noqa: E731
+
+
+def _orders(spark):
+    return [
+        (r.o_orderkey, r.o_orderpriority, r.o_totalprice)
+        for r in read_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    ]
+
+
+def test_cv_folds_partition_orders_and_match_python(spark):
+    """Every order lands in exactly one fold's eval set, and each fold's
+    RMSE/MAE matches a sequential Python leave-one-fold-out run."""
+    rows = {
+        r.fold: r
+        for r in registry.queries()["cv_fold_rmse"](spark, SF).collect()
+    }
+    data = _orders(spark)
+    assert sum(r.n_eval for r in rows.values()) == len(data)
+    sums = defaultdict(lambda: [0.0, 0])  # (fold, pri) -> [sum, n]
+    tot = defaultdict(lambda: [0.0, 0])  # pri -> [sum, n]
+    for k, pri, y in data:
+        f = KNUTH(k) % 5
+        sums[(f, pri)][0] += y
+        sums[(f, pri)][1] += 1
+        tot[pri][0] += y
+        tot[pri][1] += 1
+    for f in range(5):
+        se = ae = n = 0.0
+        for k, pri, y in data:
+            if KNUTH(k) % 5 != f:
+                continue
+            s, c = sums[(f, pri)]
+            pred = (tot[pri][0] - s) / (tot[pri][1] - c)
+            se += (y - pred) ** 2
+            ae += abs(y - pred)
+            n += 1
+        assert rows[f].n_eval == n
+        assert abs(rows[f].rmse - math.sqrt(se / n)) < 1e-2
+        assert abs(rows[f].mae - ae / n) < 1e-2
+
+
+def test_learning_curve_nested_and_matches_python(spark):
+    """n_train grows with the subset size, n_eval is the fixed holdout,
+    and the full-prefix (8-bucket) RMSE matches a Python recomputation."""
+    rows = sorted(
+        registry.queries()["learning_curve_scaling"](spark, SF).collect(),
+        key=lambda r: r.train_buckets,
+    )
+    assert [r.train_buckets for r in rows] == [2, 4, 6, 8]
+    assert all(
+        a.n_train_grid < b.n_train_grid for a, b in zip(rows, rows[1:])
+    )
+    assert len({r.n_eval for r in rows}) == 1
+    data = _orders(spark)
+    tr = defaultdict(lambda: [0.0, 0])
+    ev = []
+    for k, pri, y in data:
+        b = KNUTH(k) % 10
+        if b < 8:
+            tr[pri][0] += y
+            tr[pri][1] += 1
+        else:
+            ev.append((pri, y))
+    # priorities present in eval but absent from train drop via the join
+    se = [
+        (y - tr[pri][0] / tr[pri][1]) ** 2
+        for pri, y in ev
+        if tr[pri][1]
+    ]
+    full = next(r for r in rows if r.train_buckets == 8)
+    assert full.n_eval == len(se)
+    assert abs(full.rmse - math.sqrt(sum(se) / len(se))) < 1e-2
+
+
+def test_dedup_sweep_monotone_and_consistent_with_production_cutoff(spark):
+    """Pairs and docs-removed shrink as tau rises; the tau=0.5 row counts
+    exactly the pairs the production neardup_minhash_lsh query emits at
+    its own 0.5 cutoff."""
+    rows = sorted(
+        registry.queries()["dedup_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r.tau,
+    )
+    assert [round(r.tau, 2) for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_removed >= b.n_docs_removed
+    for r in rows:
+        assert r.n_docs_removed <= r.n_pairs
+    prod = registry.queries()["neardup_minhash_lsh"](spark, SF).count()
+    assert rows[0].n_pairs == prod
+
+
+def test_fertility_partitions_corpus_and_matches_python(spark):
+    """Language rows partition the corpus; one language's fertility is
+    reproduced from per-doc regex/whitespace counts in Python."""
+    import re
+
+    from steam_prices_data_engineering_spark.plans.llm_text import (
+        _BPE_PATTERN,
+    )
+
+    rows = {
+        r.lang: r
+        for r in registry.queries()["tokenizer_fertility"](spark, SF).collect()
+    }
+    docs = (
+        read_table(spark, SF, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    pat = re.compile(_BPE_PATTERN)
+    lang = next(iter(rows))
+    n_bpe = n_ws = 0
+    for r in docs:
+        if r.lang != lang:
+            continue
+        n_bpe += len(pat.findall(r.text))
+        n_ws += len(r.text.split(" "))
+    assert abs(rows[lang].fertility - n_bpe / n_ws) < 1e-5
+    for r in rows.values():
+        assert r.chars_per_token > 0
+        assert 0 <= r.n_high_fertility_docs <= r.n_docs
