@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "logreg_newton_irls",
     "bm25_ndcg_vs_semantic",
     "item_cf_holdout_hitrate",
+    # round-4 eval tier: the full-LSH threshold sweep (candidate gen +
+    # verify + 5-cutoff rollup) and the two-scan K-fold CV
+    "dedup_threshold_sweep",
+    "cv_fold_rmse",
 ]
 
 

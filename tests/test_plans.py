@@ -184,6 +184,10 @@ def test_projection_prunes_scan_columns(spark):
         "brier_score_decomposition",
         "kmv_theta_intersection",
         "label_propagation_communities",
+        "cv_fold_rmse",
+        "learning_curve_scaling",
+        "dedup_threshold_sweep",
+        "tokenizer_fertility",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
