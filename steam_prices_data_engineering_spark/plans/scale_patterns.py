@@ -1186,3 +1186,131 @@ def streaming_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(joined, "stream_semijoin", "append")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup index maintenance (round 4): the nightly-ingest form
+# of MinHash-LSH. The corpus splits into BASE (already-indexed history,
+# knuth buckets 0-7) and DELTA (tonight's batch, buckets 8-9); only
+# pairs TOUCHING the delta need checking, so the candidate join probes
+# the full band index with the delta's bands — cost proportional to
+# |delta| x band-bucket occupancy, never |corpus|^2 and never a rescan
+# of history pairs. Composes the SAME staged pipeline as
+# neardup_minhash_lsh (hashed_shingle_table -> sig -> bands -> verify),
+# and incremental_agg_merge's delta discipline.
+# ---------------------------------------------------------------------------
+
+
+def _incr_dedup_sql() -> str:
+    from ..functions.sqlfrag import (
+        sql_exact_jaccard,
+        sql_minhash_sig_band_ctes,
+    )
+    from .trainset import knuth_sql
+
+    delta_pred = f"{knuth_sql()} % 10 >= 8"
+    return f"""
+WITH {sql_minhash_sig_band_ctes()},
+sides AS (
+    SELECT doc_id, ({delta_pred}) AS is_delta FROM documents
+),
+delta_bands AS (
+    SELECT b.doc_id, b.band_idx, b.band_key
+    FROM banded b JOIN sides s ON s.doc_id = b.doc_id
+    WHERE s.is_delta
+),
+cand AS (
+    SELECT DISTINCT least(a.doc_id, d.doc_id) AS doc_id_a,
+                    greatest(a.doc_id, d.doc_id) AS doc_id_b
+    FROM banded a
+    JOIN delta_bands d
+      ON a.band_idx = d.band_idx AND a.band_key = d.band_key
+     AND a.doc_id <> d.doc_id
+),
+scored AS (
+    SELECT c.doc_id_a, c.doc_id_b,
+           {R(sql_exact_jaccard("sa.hs", "sb.hs"), 6)} AS jaccard
+    FROM cand c
+    JOIN shinglehash sa ON sa.doc_id = c.doc_id_a
+    JOIN shinglehash sb ON sb.doc_id = c.doc_id_b
+)
+SELECT s.doc_id_a, s.doc_id_b, s.jaccard,
+       CASE WHEN sa.is_delta AND sb.is_delta THEN 'delta-delta'
+            ELSE 'delta-base' END AS pair_type
+FROM scored s
+JOIN sides sa ON sa.doc_id = s.doc_id_a
+JOIN sides sb ON sb.doc_id = s.doc_id_b
+WHERE s.jaccard >= 0.5
+"""
+
+
+@register("dedup_incremental_delta", _incr_dedup_sql())
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs introduced by tonight's ingest batch: verified
+    MinHash-LSH pairs with at least one delta-side doc, labeled
+    delta-base vs delta-delta. History-history pairs are never
+    re-examined — the incremental property that keeps nightly dedup
+    O(|delta| x bucket occupancy) at 100 TB."""
+    from ..operators.dedup import (
+        hashed_shingle_table,
+        minhash_banded,
+        minhash_sig_table,
+    )
+    from ..functions.rounding import dround as _dr
+    from ..operators.dedup import _jaccard
+    from .trainset import knuth_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    sides = d.select(
+        "doc_id", (knuth_hash() % 10 >= 8).alias("is_delta")
+    )
+    hashed = hashed_shingle_table(d)
+    banded = minhash_banded(minhash_sig_table(hashed))
+    delta_bands = banded.join(
+        sides.filter(F.col("is_delta")).select("doc_id"), "doc_id"
+    )
+    a = banded.alias("a")
+    dd = delta_bands.alias("d")
+    cand = (
+        a.join(
+            dd,
+            (F.col("a.band_idx") == F.col("d.band_idx"))
+            & (F.col("a.band_key") == F.col("d.band_key"))
+            & (F.col("a.doc_id") != F.col("d.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("d.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("d.doc_id")).alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sh_a = hashed.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("sh_a"))
+    sh_b = hashed.select(F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("sh_b"))
+    scored = (
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            _dr(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    side_a = sides.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("is_delta").alias("da")
+    )
+    side_b = sides.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("is_delta").alias("db")
+    )
+    return (
+        scored.join(side_a, "doc_id_a")
+        .join(side_b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            F.when(F.col("da") & F.col("db"), F.lit("delta-delta"))
+            .otherwise(F.lit("delta-base"))
+            .alias("pair_type"),
+        )
+    )

@@ -157,6 +157,7 @@ REPRESENTATIVES = [
     "learning_curve_scaling",
     "dedup_threshold_sweep",
     "tokenizer_fertility",
+    "dedup_incremental_delta",
 ]
 
 

@@ -188,6 +188,7 @@ def test_projection_prunes_scan_columns(spark):
         "learning_curve_scaling",
         "dedup_threshold_sweep",
         "tokenizer_fertility",
+        "dedup_incremental_delta",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -144,3 +144,28 @@ def test_fertility_partitions_corpus_and_matches_python(spark):
     for r in rows.values():
         assert r.chars_per_token > 0
         assert 0 <= r.n_high_fertility_docs <= r.n_docs
+
+
+def test_incremental_dedup_is_complete_for_delta_touching_pairs(spark):
+    """The incremental result must equal the FULL dedup run restricted to
+    pairs with >= 1 delta-side doc — no pair lost, none invented, and
+    pair_type labels match direct side membership."""
+    inc = {
+        (r.doc_id_a, r.doc_id_b): (round(r.jaccard, 6), r.pair_type)
+        for r in registry.queries()["dedup_incremental_delta"](
+            spark, SF
+        ).collect()
+    }
+    full = {
+        (r.doc_id_a, r.doc_id_b): round(r.jaccard, 6)
+        for r in registry.queries()["neardup_minhash_lsh"](spark, SF).collect()
+    }
+    is_delta = lambda doc: KNUTH(doc) % 10 >= 8  # noqa: E731
+    expected = {
+        p: j for p, j in full.items() if is_delta(p[0]) or is_delta(p[1])
+    }
+    assert set(inc) == set(expected)
+    for p, (j, ptype) in inc.items():
+        assert j == expected[p]
+        both = is_delta(p[0]) and is_delta(p[1])
+        assert ptype == ("delta-delta" if both else "delta-base")
