@@ -635,3 +635,154 @@ def logreg_newton_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("b2"), 4).alias("beta2"),
         "log_loss",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression lambda sweep with holdout selection (round 4): the
+# model-selection companion of cv_fold_rmse / learning_curve_scaling.
+# Same two-feature problem as ols_normal_equations; the intercept is NOT
+# penalized (the standard convention), so the normal matrix is X'X with
+# lambda added to the two feature diagonals only.
+#
+# Scale design: ONE training-split scan produces the 10 moment sums; the
+# per-lambda solves are Cramer determinant algebra on that single row
+# crossJoined with a CONSTANT 5-row lambda frame (lambda enters the
+# determinants as a column — no per-lambda unrolling, no extra scans);
+# ONE holdout scan crossJoins the broadcast 5-row beta table and scores
+# every lambda at once. Two fact passes total, independent of |lambdas|.
+#
+# Cross-engine exactness: every determinant is ONE shared SQL string
+# (_det3) evaluated by DuckDB directly and by Spark via F.expr — the
+# arithmetic tree is literally identical, so dround(4) outputs match.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = (0.0, 0.1, 1.0, 10.0, 100.0)
+
+
+def _det3(
+    a1: str, a2: str, a3: str,
+    b1: str, b2: str, b3: str,
+    c1: str, c2: str, c3: str,
+) -> str:
+    """Shared 3x3 determinant expansion (first-row cofactors) — the ONE
+    arithmetic tree both engines evaluate."""
+    return (
+        f"({a1}) * (({b2}) * ({c3}) - ({b3}) * ({c2})) "
+        f"- ({a2}) * (({b1}) * ({c3}) - ({b3}) * ({c1})) "
+        f"+ ({a3}) * (({b1}) * ({c2}) - ({b2}) * ({c1}))"
+    )
+
+
+# Normal matrix with the unpenalized intercept: row1 = (n, s1, s2),
+# row2 = (s1, s11+lam, s12), row3 = (s2, s12, s22+lam); RHS = (sy, sy1, sy2).
+_RIDGE_DD = _det3("n", "s1", "s2",
+                  "s1", "s11 + lam", "s12",
+                  "s2", "s12", "s22 + lam")
+_RIDGE_B0 = _det3("sy", "s1", "s2",
+                  "sy1", "s11 + lam", "s12",
+                  "sy2", "s12", "s22 + lam")
+_RIDGE_B1 = _det3("n", "sy", "s2",
+                  "s1", "sy1", "s12",
+                  "s2", "sy2", "s22 + lam")
+_RIDGE_B2 = _det3("n", "s1", "sy",
+                  "s1", "s11 + lam", "sy1",
+                  "s2", "s12", "sy2")
+
+
+def _ridge_sql() -> str:
+    from .trainset import knuth_sql
+
+    split = f"{knuth_sql('l_orderkey')} % 10"
+    lams = ", ".join(f"({v})" for v in _RIDGE_LAMBDAS)
+    return f"""
+WITH base AS (
+    SELECT {split} AS bucket, l_quantity AS x1, l_discount AS x2,
+           l_extendedprice AS y
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(x1) AS s1, sum(x2) AS s2,
+           sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+           sum(y) AS sy, sum(x1 * y) AS sy1, sum(x2 * y) AS sy2
+    FROM base WHERE bucket < 8
+),
+lams(lam) AS (VALUES {lams}),
+betas AS (
+    SELECT lam,
+           ({_RIDGE_B0}) / ({_RIDGE_DD}) AS b0,
+           ({_RIDGE_B1}) / ({_RIDGE_DD}) AS b1,
+           ({_RIDGE_B2}) / ({_RIDGE_DD}) AS b2
+    FROM m CROSS JOIN lams
+)
+SELECT {R('b.lam', 2)} AS lam,
+       {R('b.b0', 4)} AS beta0,
+       {R('b.b1', 4)} AS beta1,
+       {R('b.b2', 4)} AS beta2,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R('sqrt(sum((e.y - (b.b0 + b.b1 * e.x1 + b.b2 * e.x2)) '
+          '* (e.y - (b.b0 + b.b1 * e.x1 + b.b2 * e.x2))) / count(*))', 4)}
+           AS rmse_holdout
+FROM (SELECT * FROM base WHERE bucket >= 8) e
+CROSS JOIN betas b
+GROUP BY b.lam, b.b0, b.b1, b.b2
+"""
+
+
+@register("ridge_lambda_sweep", _ridge_sql())
+def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge fits of (quantity, discount -> extendedprice) at 5 lambdas
+    with holdout RMSE per lambda: one training scan (10 moment sums),
+    Cramer solves with lambda as a COLUMN over the 5-row sweep frame,
+    one holdout scan scoring all lambdas via a broadcast crossJoin."""
+    from .trainset import knuth_hash
+
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (knuth_hash("l_orderkey") % 10).alias("bucket"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = base.filter(F.col("bucket") < 8).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sy1"),
+        F.sum(x2 * y).alias("sy2"),
+    )
+    lams = spark.createDataFrame(
+        [(v,) for v in _RIDGE_LAMBDAS], "lam double"
+    )
+    # F.expr over the SAME strings the oracle runs — one arithmetic tree.
+    betas = m.crossJoin(F.broadcast(lams)).select(
+        "lam",
+        (F.expr(_RIDGE_B0) / F.expr(_RIDGE_DD)).alias("b0"),
+        (F.expr(_RIDGE_B1) / F.expr(_RIDGE_DD)).alias("b1"),
+        (F.expr(_RIDGE_B2) / F.expr(_RIDGE_DD)).alias("b2"),
+    )
+    ev = base.filter(F.col("bucket") >= 8)
+    err = y - (F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2)
+    return (
+        ev.crossJoin(F.broadcast(betas))
+        .groupBy("lam", "b0", "b1", "b2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(
+                F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4
+            ).alias("rmse_holdout"),
+        )
+        .select(
+            dround(F.col("lam"), 2).alias("lam"),
+            dround(F.col("b0"), 4).alias("beta0"),
+            dround(F.col("b1"), 4).alias("beta1"),
+            dround(F.col("b2"), 4).alias("beta2"),
+            "n_eval",
+            "rmse_holdout",
+        )
+    )

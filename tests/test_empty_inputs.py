@@ -158,6 +158,7 @@ REPRESENTATIVES = [
     "dedup_threshold_sweep",
     "tokenizer_fertility",
     "dedup_incremental_delta",
+    "ridge_lambda_sweep",
 ]
 
 

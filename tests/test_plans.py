@@ -189,6 +189,7 @@ def test_projection_prunes_scan_columns(spark):
         "dedup_threshold_sweep",
         "tokenizer_fertility",
         "dedup_incremental_delta",
+        "ridge_lambda_sweep",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -169,3 +169,43 @@ def test_incremental_dedup_is_complete_for_delta_touching_pairs(spark):
         assert j == expected[p]
         both = is_delta(p[0]) and is_delta(p[1])
         assert ptype == ("delta-delta" if both else "delta-base")
+
+
+def test_ridge_lambda_zero_matches_python_and_shrinks(spark):
+    """The lambda=0 fit must reproduce a pure-Python normal-equations
+    solve on the same train split, and the penalized-coefficient norm
+    must be non-increasing in lambda (the ridge shrinkage property)."""
+    rows = sorted(
+        registry.queries()["ridge_lambda_sweep"](spark, SF).collect(),
+        key=lambda r: r.lam,
+    )
+    assert [round(r.lam, 2) for r in rows] == [0.0, 0.1, 1.0, 10.0, 100.0]
+    li = [
+        (r.l_orderkey, r.l_quantity, r.l_discount, r.l_extendedprice)
+        for r in read_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    ]
+    tr = [(x1, x2, y) for k, x1, x2, y in li if KNUTH(k) % 10 < 8]
+    n = float(len(tr))
+    s1 = sum(t[0] for t in tr); s2 = sum(t[1] for t in tr)
+    s11 = sum(t[0] * t[0] for t in tr); s12 = sum(t[0] * t[1] for t in tr)
+    s22 = sum(t[1] * t[1] for t in tr)
+    sy = sum(t[2] for t in tr); sy1 = sum(t[0] * t[2] for t in tr)
+    sy2 = sum(t[1] * t[2] for t in tr)
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (a1 * (b2 * c3 - b3 * c2)
+                - a2 * (b1 * c3 - b3 * c1)
+                + a3 * (b1 * c2 - b2 * c1))
+
+    dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    b0 = det3(sy, s1, s2, sy1, s11, s12, sy2, s12, s22) / dd
+    b1 = det3(n, sy, s2, s1, sy1, s12, s2, sy2, s22) / dd
+    b2 = det3(n, s1, sy, s1, s11, sy1, s2, s12, sy2) / dd
+    r0 = rows[0]
+    assert abs(r0.beta0 - b0) < 1e-2
+    assert abs(r0.beta1 - b1) < 1e-2
+    assert abs(r0.beta2 - b2) < 1e-2
+    norms = [r.beta1 ** 2 + r.beta2 ** 2 for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(norms, norms[1:]))
