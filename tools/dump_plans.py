@@ -289,6 +289,21 @@ SHOWCASE: list[tuple[str, str]] = [
         "query-partitioned window), and ONLY the 50 survivors get exact "
         "float cosine — the rerank never rescans the corpus.",
     ),
+    (
+        "dedup_incremental_delta",
+        "Nightly-ingest incremental dedup: the delta batch's LSH bands "
+        "probe the full band index through one equi join — candidate "
+        "volume scales with |delta| x bucket occupancy, and history-"
+        "history pairs never re-enter the plan; verification joins are "
+        "candidate-bounded.",
+    ),
+    (
+        "cv_fold_rmse",
+        "K-fold CV in two fact scans regardless of K: one map-side-"
+        "combined (fold, priority) grid aggregate, leave-one-out model "
+        "arithmetic on the bounded grid, and a broadcast join scores "
+        "every fold's holdout in the second scan.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
