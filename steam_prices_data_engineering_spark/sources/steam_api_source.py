@@ -64,6 +64,63 @@ def _fetch(app_id: int) -> str:
     return dict(API_PAYLOADS)[app_id]
 
 
+class RateLimiter:
+    """Minimum-interval throttle — the reference's polite 3 s sleep
+    between requests (`steam_prices_transformer.py:138` /
+    `external_resources.py:116-137`, O34), PER PARTITION: on a cluster
+    each fetch task throttles itself, so aggregate politeness scales as
+    interval / parallelism and the cap is set via `throttle_seconds` x
+    expected task concurrency. Clock and sleeper are injectable so the
+    semantics are unit-testable without wall-clock waits."""
+
+    def __init__(self, min_interval: float, clock=None, sleeper=None):
+        import time
+
+        self._interval = float(min_interval)
+        self._clock = clock or time.monotonic
+        self._sleep = sleeper or time.sleep
+        self._last: float | None = None
+
+    def wait(self) -> float:
+        """Block until the interval has elapsed since the previous call;
+        returns the seconds actually slept (0.0 on the first call)."""
+        slept = 0.0
+        if self._interval > 0 and self._last is not None:
+            due = self._last + self._interval
+            now = self._clock()
+            if now < due:
+                slept = due - now
+                self._sleep(slept)
+        self._last = self._clock()
+        return slept
+
+
+def fetch_with_retry(
+    app_id: int,
+    fetch=_fetch,
+    max_retries: int = 3,
+    backoff_seconds: float = 1.0,
+    sleeper=None,
+) -> str:
+    """The reference's assert-and-retry fetch contract
+    (`steam_prices_transformer.py:166`): re-issue a failed request up to
+    `max_retries` times with exponential backoff (backoff * 2^attempt),
+    then re-raise the last error so the task (and Spark's own task-retry
+    layer above it) sees the failure."""
+    import time
+
+    sleep = sleeper or time.sleep
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            return fetch(app_id)
+        except Exception as e:  # noqa: BLE001 — transport errors are retryable
+            last = e
+            if attempt < max_retries:
+                sleep(backoff_seconds * (2**attempt))
+    raise last  # type: ignore[misc]
+
+
 class SteamAppDetailsReader(DataSourceReader):
     def __init__(self, options):
         ids = options.get("app_ids")
@@ -72,6 +129,12 @@ class SteamAppDetailsReader(DataSourceReader):
             if ids
             else [app for app, _ in API_PAYLOADS]
         )
+        # Connector-edge knobs (reference O34). Fixture fetches are local
+        # so both default to "off"/instant; a live deployment sets
+        # throttle_seconds=3 to reproduce the reference's pacing.
+        self._throttle = float(options.get("throttle_seconds", 0.0))
+        self._max_retries = int(options.get("max_retries", 3))
+        self._backoff = float(options.get("backoff_seconds", 1.0))
 
     def partitions(self):
         # One fetch unit per app: the parallelism contract. Executors each
@@ -80,7 +143,13 @@ class SteamAppDetailsReader(DataSourceReader):
 
     def read(self, partition):
         app = partition.value
-        yield app, _fetch(app)
+        limiter = RateLimiter(self._throttle)
+        limiter.wait()
+        yield app, fetch_with_retry(
+            app,
+            max_retries=self._max_retries,
+            backoff_seconds=self._backoff,
+        )
 
 
 class SteamAppDetailsStreamReader(SimpleDataSourceStreamReader):

@@ -99,3 +99,88 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         spark.read.schema("doc_id LONG, text STRING").parquet(out).collect()
     )
     assert sorted(r.doc_id for r in subset) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Connector-edge semantics (reference O34): throttle + retry/backoff.
+# Clock and sleeper are injected, so these are pure unit tests.
+# ---------------------------------------------------------------------------
+
+
+def test_rate_limiter_enforces_min_interval():
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        RateLimiter,
+    )
+
+    now = [0.0]
+    slept = []
+
+    def clock():
+        return now[0]
+
+    def sleeper(s):
+        slept.append(s)
+        now[0] += s
+
+    rl = RateLimiter(3.0, clock=clock, sleeper=sleeper)
+    assert rl.wait() == 0.0  # first call never sleeps
+    now[0] += 1.0  # 1s of work elapsed
+    assert rl.wait() == 2.0  # pad to the 3s interval
+    now[0] += 5.0  # slow fetch: already past the interval
+    assert rl.wait() == 0.0
+    assert slept == [2.0]
+
+
+def test_rate_limiter_zero_interval_never_sleeps():
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        RateLimiter,
+    )
+
+    slept = []
+    rl = RateLimiter(0.0, clock=lambda: 0.0, sleeper=slept.append)
+    for _ in range(3):
+        assert rl.wait() == 0.0
+    assert slept == []
+
+
+def test_fetch_retry_backs_off_then_succeeds():
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        fetch_with_retry,
+    )
+
+    calls = []
+    slept = []
+
+    def flaky(app):
+        calls.append(app)
+        if len(calls) <= 2:
+            raise ConnectionError("transient")
+        return "ok"
+
+    out = fetch_with_retry(
+        10, fetch=flaky, max_retries=3, backoff_seconds=1.0,
+        sleeper=slept.append,
+    )
+    assert out == "ok"
+    assert calls == [10, 10, 10]
+    assert slept == [1.0, 2.0]  # exponential: 1, then 2
+
+
+def test_fetch_retry_exhausts_and_reraises():
+    import pytest
+
+    from steam_prices_data_engineering_spark.sources.steam_api_source import (
+        fetch_with_retry,
+    )
+
+    slept = []
+
+    def dead(app):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        fetch_with_retry(
+            10, fetch=dead, max_retries=2, backoff_seconds=0.5,
+            sleeper=slept.append,
+        )
+    assert slept == [0.5, 1.0]  # max_retries sleeps, then re-raise
