@@ -499,6 +499,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) multiplicities from one md5 + per-resample affine rehash),
     percentile reduction over the B means."""
     from ..functions.text import md5_hex6_to_int
+    from ..sources.tables import spread
 
     li = read_table(spark, sf_dir, "lineitem")
     def pois(u):
@@ -511,7 +512,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "", F.col("l_orderkey").cast("string"), F.lit("-"),
         F.col("l_linenumber").cast("string"),
     )
-    hashed = li.select(
+    # spread() a NARROW 3-column projection before the per-row md5 + 16
+    # affine rehashes: the single-file landing splits into ~3 tasks, which
+    # starves the one CPU-heavy stage of this plan (measured 4.9s -> 2.8s
+    # at sf0.1; shipping only (price, orderkey, linenumber) keeps the
+    # exchange cheap).
+    narrow = spread(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    )
+    hashed = narrow.select(
         F.col("l_extendedprice").alias("x"),
         md5_hex6_to_int(rowkey).alias("h"),
     )
