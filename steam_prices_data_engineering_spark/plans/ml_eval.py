@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..functions.text import quality_score, tokens
 from ..sources.tables import read_table
 from .registry import register
@@ -624,4 +625,149 @@ def learning_curve_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_eval"),
             dround(F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4).alias("rmse"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (round 4; Micci-Barreca 2001, the
+# standard mean-encoding recipe): encode a categorical against the
+# target with the row's OWN label excluded — (sum_g - y) / (n_g - 1) —
+# plus the m-smoothed variant that shrinks rare categories toward the
+# global prior. The LOO exclusion is what prevents target leakage; the
+# in-query identity avg(loo) == raw category mean (algebraic: the sum
+# of (S - y_i)/(n-1) over a category telescopes back to S) is asserted
+# by the test layer.
+#
+# Scale design: category statistics are one map-side-combined aggregate
+# broadcast back (|categories| rows); the per-row encoding is pure
+# arithmetic — no window, no self-join. The emitted verification grain
+# is a hash-bounded row sample, so the output stays small at any SF.
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH_M = 10.0
+
+
+def _target_enc_sql() -> str:
+    from .trainset import knuth_sql
+
+    sample = f"{knuth_sql('o_orderkey')} % 997 < 5"
+    return f"""
+WITH g AS (
+    SELECT o_orderpriority AS pri, sum(o_totalprice) AS s,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM orders GROUP BY o_orderpriority
+),
+prior AS (SELECT sum(s) / sum(n) AS mu FROM g)
+SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS pri,
+       {R('o.o_totalprice', 2)} AS y,
+       {R('(g.s - o.o_totalprice) / (g.n - 1)', 6)} AS loo_enc,
+       {R('(g.s - o.o_totalprice + ' + str(_TE_SMOOTH_M) + ' * p.mu) '
+          '/ (g.n - 1 + ' + str(_TE_SMOOTH_M) + ')', 6)} AS loo_enc_smoothed
+FROM orders o
+JOIN g ON g.pri = o.o_orderpriority
+CROSS JOIN prior p
+WHERE {sample}
+"""
+
+
+@register("target_encoding_loo", _target_enc_sql())
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out (and m=10-smoothed) target encoding of order
+    priority against o_totalprice, emitted for a hash-bounded row sample
+    (~0.5% of orders) so the row-level arithmetic is value-verified at
+    any scale. Category stats are one broadcast aggregate; the encoding
+    itself is windowless per-row arithmetic."""
+    from .trainset import knuth_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.sum("o_totalprice").alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    prior = g.agg((F.sum("s") / F.sum("n")).alias("mu"))
+    y = F.col("o_totalprice")
+    m = F.lit(_TE_SMOOTH_M)
+    return (
+        o.filter(knuth_hash("o_orderkey") % 997 < 5)
+        .join(
+            F.broadcast(g), o["o_orderpriority"] == g["pri"]
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "pri",
+            dround(y, 2).alias("y"),
+            dround((F.col("s") - y) / (F.col("n") - 1), 6).alias("loo_enc"),
+            dround(
+                (F.col("s") - y + m * F.col("mu"))
+                / (F.col("n") - 1 + m),
+                6,
+            ).alias("loo_enc_smoothed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing / the hashing trick (round 4; Weinberger et al. 2009,
+# "Feature Hashing for Large Scale Multitask Learning"): project
+# arbitrary-cardinality categoricals into a FIXED K-dim signed vector —
+# bucket = hash(feature=value) % K, sign = another hash bit — so the
+# model's parameter space is bounded no matter how many distinct values
+# arrive at 100 TB. Emits the dataset-level hashed aggregate per bucket
+# (hit count + signed sum), i.e. the column the trainer would consume.
+# Hash arithmetic composes the shared md5-hex6 fragment; feature keys
+# are concat_ws-built (CLAUDE.md rule) in both engines.
+# ---------------------------------------------------------------------------
+
+_FH_K = 16
+
+
+def _feature_hash_sql() -> str:
+    key = "concat_ws('=', feat, val)"
+    return f"""
+WITH pairs AS (
+    SELECT 'mktsegment' AS feat, c_mktsegment AS val FROM customer
+    UNION ALL
+    SELECT 'nation' AS feat, CAST(c_nationkey AS VARCHAR) AS val FROM customer
+),
+hashed AS (
+    SELECT ({sql_md5_hex6_to_int(key)}) % {_FH_K} AS bucket,
+           CASE WHEN ({sql_md5_hex6_to_int("concat_ws('=', 'sgn', feat, val)")})
+                     % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM pairs
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(sgn) AS BIGINT) AS signed_sum
+FROM hashed GROUP BY bucket
+"""
+
+
+@register("feature_hashing_trick", _feature_hash_sql())
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=16 signed feature-hash aggregate over two customer categoricals
+    (segment, nation): per bucket, occurrence count and signed sum — the
+    bounded-width feature vector the hashing-trick trainer consumes.
+    One fact pass (union of two narrow projections), md5-bucket + sign
+    as pure expressions, one K-group aggregate."""
+    from ..functions.text import md5_hex6_to_int
+
+    c = read_table(spark, sf_dir, "customer")
+    pairs = c.select(
+        F.lit("mktsegment").alias("feat"), F.col("c_mktsegment").alias("val")
+    ).unionAll(
+        c.select(
+            F.lit("nation").alias("feat"),
+            F.col("c_nationkey").cast("string").alias("val"),
+        )
+    )
+    key = F.concat_ws("=", F.col("feat"), F.col("val"))
+    sgn_key = F.concat_ws("=", F.lit("sgn"), F.col("feat"), F.col("val"))
+    hashed = pairs.select(
+        (md5_hex6_to_int(key) % _FH_K).alias("bucket"),
+        F.when(md5_hex6_to_int(sgn_key) % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return hashed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum("sgn").cast("long").alias("signed_sum"),
     )

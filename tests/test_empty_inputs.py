@@ -159,6 +159,8 @@ REPRESENTATIVES = [
     "tokenizer_fertility",
     "dedup_incremental_delta",
     "ridge_lambda_sweep",
+    "target_encoding_loo",
+    "feature_hashing_trick",
 ]
 
 

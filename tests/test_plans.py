@@ -190,6 +190,8 @@ def test_projection_prunes_scan_columns(spark):
         "tokenizer_fertility",
         "dedup_incremental_delta",
         "ridge_lambda_sweep",
+        "target_encoding_loo",
+        "feature_hashing_trick",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

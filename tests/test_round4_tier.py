@@ -209,3 +209,68 @@ def test_ridge_lambda_zero_matches_python_and_shrinks(spark):
     assert abs(r0.beta2 - b2) < 1e-2
     norms = [r.beta1 ** 2 + r.beta2 ** 2 for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(norms, norms[1:]))
+
+
+def test_target_encoding_loo_matches_python_and_telescopes(spark):
+    """Every sampled row's LOO and smoothed encodings match a sequential
+    Python recomputation from the FULL orders table, and the telescoping
+    identity holds: the mean of ALL LOO encodings within a category is
+    the category's raw mean."""
+    rows = registry.queries()["target_encoding_loo"](spark, SF).collect()
+    assert rows
+    data = _orders(spark)
+    g = defaultdict(lambda: [0.0, 0])
+    for _, pri, y in data:
+        g[pri][0] += y
+        g[pri][1] += 1
+    mu = sum(s for s, _ in g.values()) / sum(n for _, n in g.values())
+    m = 10.0
+    by_key = {k: (pri, y) for k, pri, y in data}
+    for r in rows:
+        assert KNUTH(r.orderkey) % 997 < 5  # the sample predicate
+        pri, y = by_key[r.orderkey]
+        assert pri == r.pri and abs(r.y - y) < 1e-6
+        s, n = g[pri]
+        assert abs(r.loo_enc - (s - y) / (n - 1)) < 1e-4
+        assert abs(r.loo_enc_smoothed - (s - y + m * mu) / (n - 1 + m)) < 1e-4
+    # telescoping: mean over a category of (S - y_i)/(n-1) == S/n exactly
+    pri0 = rows[0].pri
+    s, n = g[pri0]
+    loos = [(s - y) / (n - 1) for k, p, y in data if p == pri0]
+    assert abs(sum(loos) / len(loos) - s / n) < 1e-9
+
+
+def test_feature_hashing_covers_all_rows_and_matches_python(spark):
+    """Bucket hits sum to 2x|customer| (two features per row), buckets
+    stay inside [0, K), and one bucket's (count, signed sum) is
+    reproduced by hashing every feature pair in Python."""
+    import hashlib
+
+    rows = {
+        r.bucket: r
+        for r in registry.queries()["feature_hashing_trick"](spark, SF).collect()
+    }
+    cust = (
+        read_table(spark, SF, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .collect()
+    )
+    assert sum(r.n_hits for r in rows.values()) == 2 * len(cust)
+    assert all(0 <= b < 16 for b in rows)
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    py = defaultdict(lambda: [0, 0])
+    for r in cust:
+        for feat, val in (
+            ("mktsegment", r.c_mktsegment),
+            ("nation", str(r.c_nationkey)),
+        ):
+            b = md5i(f"{feat}={val}") % 16
+            sgn = 1 if md5i(f"sgn={feat}={val}") % 2 == 0 else -1
+            py[b][0] += 1
+            py[b][1] += sgn
+    assert set(py) == set(rows)
+    for b, (n, ss) in py.items():
+        assert rows[b].n_hits == n and rows[b].signed_sum == ss
