@@ -530,3 +530,100 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_cnt",
         (F.col("cms_cnt") - F.col("exact_cnt")).cast("long").alias("over_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture reweighting (round 4; the DoReMi recipe of Xie et al.
+# 2023, arXiv:2305.10429, reduced to its measurable core): upweight the
+# domains where the reference LM is WORST. Per-language excess loss =
+# per-lang mean token surprisal under the corpus-global unigram LM minus
+# the corpus mean; mixture weight = exponentiated-gradient update from
+# uniform, w_d ∝ (1/D) * exp(eta * T * excess_d) with the T=3 steps of
+# constant-gradient EG folded closed-form, then normalized. Emits the
+# per-domain audit row (tokens, loss, excess, weight) a mixture rebuild
+# consumes — corpus_mixture_resample applies such weights downstream.
+#
+# Scale design: one explode+groupBy builds the vocab LM (map-side
+# combined, vocab-grain shuffle); the LM + scalar total broadcast back
+# onto the token stream; everything after the |langs|-grain aggregate is
+# arithmetic on a bounded frame. Two token-stream passes total.
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA = 0.5
+_DOREMI_STEPS = 3
+
+
+def _doremi_sql() -> str:
+    return f"""
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM lm),
+dom AS (
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(-ln(lm.cnt / tot.n)) AS loss
+    FROM tok t JOIN lm ON lm.tok = t.tok CROSS JOIN tot
+    GROUP BY t.lang
+),
+ref AS (
+    SELECT sum(n_tokens * loss) / sum(n_tokens) AS ref_loss FROM dom
+),
+ex AS (
+    SELECT d.lang, d.n_tokens, d.loss,
+           greatest(d.loss - r.ref_loss, 0.0) AS excess,
+           exp({_DOREMI_ETA} * {_DOREMI_STEPS}
+               * greatest(d.loss - r.ref_loss, 0.0)) AS raw_w
+    FROM dom d CROSS JOIN ref r
+),
+z AS (SELECT sum(raw_w) AS z FROM ex)
+SELECT e.lang, e.n_tokens,
+       {R('e.loss', 6)} AS avg_token_nll,
+       {R('e.excess', 6)} AS excess_loss,
+       {R('e.raw_w / z.z', 6)} AS mixture_weight
+FROM ex e CROSS JOIN z
+"""
+
+
+@register("doremi_mixture_weights", _doremi_sql())
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture weights from unigram-LM excess loss: the
+    domains the reference model finds hardest (above-average surprisal)
+    get exponentially upweighted; at-or-below-average domains share the
+    uniform floor. Weights sum to 1 by construction."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lm.agg(F.sum("cnt").cast("double").alias("n"))
+    surprisal = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    dom = (
+        tok.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(surprisal).alias("loss"),
+        )
+    )
+    ref = dom.agg(
+        (
+            F.sum(F.col("n_tokens") * F.col("loss")) / F.sum("n_tokens")
+        ).alias("ref_loss")
+    )
+    excess = F.greatest(F.col("loss") - F.col("ref_loss"), F.lit(0.0))
+    ex = dom.crossJoin(F.broadcast(ref)).select(
+        "lang",
+        "n_tokens",
+        "loss",
+        excess.alias("excess"),
+        F.exp(F.lit(_DOREMI_ETA * _DOREMI_STEPS) * excess).alias("raw_w"),
+    )
+    z = ex.agg(F.sum("raw_w").alias("z"))
+    return ex.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        dround(F.col("loss"), 6).alias("avg_token_nll"),
+        dround(F.col("excess"), 6).alias("excess_loss"),
+        dround(F.col("raw_w") / F.col("z"), 6).alias("mixture_weight"),
+    )

@@ -161,6 +161,7 @@ REPRESENTATIVES = [
     "ridge_lambda_sweep",
     "target_encoding_loo",
     "feature_hashing_trick",
+    "doremi_mixture_weights",
 ]
 
 

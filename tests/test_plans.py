@@ -192,6 +192,7 @@ def test_projection_prunes_scan_columns(spark):
         "ridge_lambda_sweep",
         "target_encoding_loo",
         "feature_hashing_trick",
+        "doremi_mixture_weights",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -274,3 +274,45 @@ def test_feature_hashing_covers_all_rows_and_matches_python(spark):
     assert set(py) == set(rows)
     for b, (n, ss) in py.items():
         assert rows[b].n_hits == n and rows[b].signed_sum == ss
+
+
+def test_doremi_weights_match_python_and_normalize(spark):
+    """Mixture weights reproduce a sequential Python run of the
+    unigram-LM excess-loss EG update, sum to 1, and rank with excess."""
+    import math
+
+    rows = {
+        r.lang: r
+        for r in registry.queries()["doremi_mixture_weights"](
+            spark, SF
+        ).collect()
+    }
+    docs = read_table(spark, SF, "documents").select("lang", "text").collect()
+    from collections import Counter
+
+    cnt = Counter()
+    per_lang = defaultdict(list)
+    for r in docs:
+        toks = r.text.split(" ")
+        cnt.update(toks)
+        per_lang[r.lang].extend(toks)
+    n = float(sum(cnt.values()))
+    loss = {
+        lang: sum(-math.log(cnt[t] / n) for t in toks) / len(toks)
+        for lang, toks in per_lang.items()
+    }
+    ntok = {lang: len(t) for lang, t in per_lang.items()}
+    ref = sum(ntok[g] * loss[g] for g in loss) / sum(ntok.values())
+    raw = {g: math.exp(0.5 * 3 * max(loss[g] - ref, 0.0)) for g in loss}
+    z = sum(raw.values())
+    assert set(rows) == set(loss)
+    for g, r in rows.items():
+        assert r.n_tokens == ntok[g]
+        assert abs(r.avg_token_nll - loss[g]) < 1e-4
+        assert abs(r.mixture_weight - raw[g] / z) < 1e-4
+    assert abs(sum(r.mixture_weight for r in rows.values()) - 1.0) < 1e-4
+    # above-average domains outweigh the uniform floor; floor domains tie
+    floor = min(r.mixture_weight for r in rows.values())
+    for g, r in rows.items():
+        if r.excess_loss == 0.0:
+            assert abs(r.mixture_weight - floor) < 1e-6
