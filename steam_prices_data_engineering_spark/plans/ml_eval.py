@@ -771,3 +771,79 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.sum("sgn").cast("long").alias("signed_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group K-fold cross-validation (round 4): like cv_fold_rmse but folds
+# are assigned per CUSTOMER (the group), not per row — every order of a
+# customer lands wholly in one fold, so repeat-customer structure cannot
+# leak across the train/eval boundary (the GroupKFold discipline;
+# trainset_group_holdout is the 2-way special case). Identical two-scan
+# shape: one (fold, priority) grid pass, leave-one-fold-out grid
+# arithmetic, one broadcast-joined scoring pass. The comparison of
+# cv_fold_rmse vs this query IS the leakage audit: a large gap means
+# row-level folds were overfitting to group structure.
+# ---------------------------------------------------------------------------
+
+
+def _group_cv_sql() -> str:
+    from .trainset import knuth_sql
+
+    fold = f"{knuth_sql('o_custkey')} % {_CV_K}"
+    return f"""
+WITH base AS (
+    SELECT {fold} AS fold, o_orderpriority AS pri, o_totalprice AS y
+    FROM orders
+),
+fp AS (
+    SELECT fold, pri, sum(y) AS s, CAST(count(*) AS DOUBLE) AS n
+    FROM base GROUP BY fold, pri
+),
+tot AS (SELECT pri, sum(s) AS st, sum(n) AS nt FROM fp GROUP BY pri),
+loo AS (
+    SELECT fp.fold, fp.pri, (tot.st - fp.s) / (tot.nt - fp.n) AS pred
+    FROM fp JOIN tot ON tot.pri = fp.pri
+)
+SELECT CAST(b.fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {R('sqrt(sum((b.y - l.pred) * (b.y - l.pred)) / count(*))', 4)} AS rmse,
+       {R('avg(abs(b.y - l.pred))', 4)} AS mae
+FROM base b JOIN loo l ON l.fold = b.fold AND l.pri = b.pri
+GROUP BY b.fold
+"""
+
+
+@register("cv_groupkfold_rmse", _group_cv_sql())
+def cv_groupkfold_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group K-fold CV of the leave-one-fold-out per-priority mean
+    predictor: fold = hash of o_custkey, so a customer's orders never
+    straddle train and eval. Same two-fact-scan plan as cv_fold_rmse."""
+    from .trainset import knuth_hash
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        (knuth_hash("o_custkey") % _CV_K).alias("fold"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("y"),
+    )
+    fp = base.groupBy("fold", "pri").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = fp.groupBy("pri").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    loo = fp.join(tot, "pri").select(
+        "fold",
+        "pri",
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias("pred"),
+    )
+    err = F.col("y") - F.col("pred")
+    return (
+        base.join(F.broadcast(loo), ["fold", "pri"])
+        .groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4).alias("rmse"),
+            dround(F.avg(F.abs(err)), 4).alias("mae"),
+        )
+    )

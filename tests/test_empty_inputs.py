@@ -162,6 +162,7 @@ REPRESENTATIVES = [
     "target_encoding_loo",
     "feature_hashing_trick",
     "doremi_mixture_weights",
+    "cv_groupkfold_rmse",
 ]
 
 

@@ -193,6 +193,7 @@ def test_projection_prunes_scan_columns(spark):
         "target_encoding_loo",
         "feature_hashing_trick",
         "doremi_mixture_weights",
+        "cv_groupkfold_rmse",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

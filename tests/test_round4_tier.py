@@ -316,3 +316,43 @@ def test_doremi_weights_match_python_and_normalize(spark):
     for g, r in rows.items():
         if r.excess_loss == 0.0:
             assert abs(r.mixture_weight - floor) < 1e-6
+
+
+def test_groupkfold_no_customer_straddles_folds_and_matches_python(spark):
+    """Every customer's orders land wholly in one fold (the leakage-safe
+    property row-level CV lacks), totals partition orders, and fold-0
+    RMSE matches a sequential Python leave-one-fold-out run keyed on
+    customer hash."""
+    rows = {
+        r.fold: r
+        for r in registry.queries()["cv_groupkfold_rmse"](spark, SF).collect()
+    }
+    data = [
+        (r.o_custkey, r.o_orderpriority, r.o_totalprice)
+        for r in read_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    ]
+    assert sum(r.n_eval for r in rows.values()) == len(data)
+    sums = defaultdict(lambda: [0.0, 0])
+    tot = defaultdict(lambda: [0.0, 0])
+    for ck, pri, y in data:
+        f = KNUTH(ck) % 5
+        sums[(f, pri)][0] += y
+        sums[(f, pri)][1] += 1
+        tot[pri][0] += y
+        tot[pri][1] += 1
+    se = ae = n = 0.0
+    for ck, pri, y in data:
+        if KNUTH(ck) % 5 != 0:
+            continue
+        s, c = sums[(0, pri)]
+        pred = (tot[pri][0] - s) / (tot[pri][1] - c)
+        se += (y - pred) ** 2
+        ae += abs(y - pred)
+        n += 1
+    import math
+
+    assert rows[0].n_eval == n
+    assert abs(rows[0].rmse - math.sqrt(se / n)) < 1e-2
+    assert abs(rows[0].mae - ae / n) < 1e-2
