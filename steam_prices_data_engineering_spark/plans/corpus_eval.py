@@ -72,17 +72,21 @@ def doc_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean token surprisal per document under the corpus unigram LM.
 
     Plan: explode(tokens) -> groupBy(tok) count (map-side combined; the
-    shuffle carries vocab-sized rows) -> broadcast the LM + scalar total
-    back onto the token stream -> groupBy(doc_id) avg. Two shuffles total,
-    both on compact keys; the LM join is a broadcast at any corpus size
-    with a bounded vocab."""
+    shuffle carries vocab-sized rows) -> join the LM back onto the token
+    stream + broadcast the scalar total -> groupBy(doc_id) avg. The LM
+    join carries NO broadcast hint on purpose: a whitespace-token vocab
+    grows with Heaps' law (10^8-10^9 distinct tokens at 100 TB), so the
+    strategy must stay size-based — AQE broadcasts while the vocab is
+    small and falls back to a shuffle join when it is not, instead of
+    OOMing on a forced build (pinned by
+    tests/test_plans.py::test_no_broadcast_hint_on_unbounded_frames)."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = lm.agg(F.sum("cnt").alias("n"))
     surprisal = -F.log(F.col("cnt").cast("double") / F.col("n"))
     return (
-        tok.join(F.broadcast(lm), "tok")
+        tok.join(lm, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1436,7 +1440,9 @@ def holdout_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split perplexity under the train-split add-1-smoothed unigram
     LM — the held-out evaluation of trainset_group_holdout's split,
     composed from the same md5 split rule (functions/text.py twin of the
-    sqlfrag fragment)."""
+    sqlfrag fragment). The train-vocab LM join is hint-free (unbounded
+    grain; AQE picks broadcast vs shuffle by measured size) — only the
+    1-row ntrain/vocab scalars are force-broadcast."""
     d = read_table(spark, sf_dir, "documents")
     bucket = _md5i(F.concat_ws("", F.lit("gh_"), F.col("source"))) % _HOLDOUT_BUCKETS
     tagged = d.select(
@@ -1455,7 +1461,7 @@ def holdout_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ntrain = lm.agg(F.sum("cnt").alias("n"))
     scored = (
-        tok.join(F.broadcast(lm), "tok", "left")
+        tok.join(lm, "tok", "left")
         .crossJoin(F.broadcast(ntrain))
         .crossJoin(F.broadcast(vocab))
         .select(

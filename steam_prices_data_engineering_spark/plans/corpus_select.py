@@ -591,14 +591,17 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixture weights from unigram-LM excess loss: the
     domains the reference model finds hardest (above-average surprisal)
     get exponentially upweighted; at-or-below-average domains share the
-    uniform floor. Weights sum to 1 by construction."""
+    uniform floor. Weights sum to 1 by construction. The unigram-LM join
+    is hint-free: the vocab frame is unbounded (Heaps' law), so the join
+    strategy stays size-based (AQE) rather than a forced broadcast that
+    would OOM at 100 TB."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
     lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = lm.agg(F.sum("cnt").cast("double").alias("n"))
     surprisal = -F.log(F.col("cnt").cast("double") / F.col("n"))
     dom = (
-        tok.join(F.broadcast(lm), "tok")
+        tok.join(lm, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("lang")
         .agg(

@@ -824,3 +824,90 @@ def test_did_single_scan_conditional_means(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     shuffles = tree.count("+- Exchange") + tree.count(":- Exchange")
     assert shuffles <= 2, tree
+
+
+# ---------------------------------------------------------------------------
+# Census: no F.broadcast hint on unbounded-grain frames (VERDICT r4).
+#
+# A forced broadcast hint overrides spark.sql.autoBroadcastJoinThreshold, so
+# a frame whose row count grows with the data (a token/term/word vocabulary
+# under Heaps' law, a shingle index, a doc-grain aggregate) OOMs the build
+# side at 100 TB instead of falling back to a shuffle join. Size-unknown
+# frames must stay HINT-FREE and let AQE pick the strategy from measured
+# size. This test AST-scans every `F.broadcast(<name>)` call site in the
+# package, resolves <name>'s most recent assignment in the enclosing
+# function, and fails if that assignment builds a token-grain groupBy
+# without a bounding `.limit(` / `.agg(`-to-one-row stage.
+# ---------------------------------------------------------------------------
+
+
+def test_no_broadcast_hint_on_unbounded_frames():
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "steam_prices_data_engineering_spark"
+    )
+    # groupBy keys whose cardinality grows with corpus size (Heaps' law /
+    # doc-grain). A frame grouped on one of these may only be broadcast if
+    # the same assignment chain bounds it (limit / 1-row agg).
+    unbounded_keys = ("tok", "word", "term", "shingle", "doc_id", "h", "tg")
+    bounded_markers = (".limit(", "createDataFrame", "spark.range(")
+    # Justified hints: (file, variable) pairs whose grain IS bounded, with
+    # the reason recorded here. Additions need the same scrutiny.
+    allow = {
+        # bm25_ndcg_vs_semantic: dfreq groups `tf`, which is left-semi
+        # pre-filtered to the FIXED query panel's vocabulary (doc_id <
+        # _NDCG_QUERIES) — panel-vocab grain, not corpus-vocab grain.
+        ("retrieval.py", "dfreq"),
+    }
+
+    offenders: list[str] = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            src = open(path).read()
+            tree = ast.parse(src)
+            for func in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+                assigns: dict[str, str] = {}
+                for node in ast.walk(func):
+                    if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                        t = node.targets[0]
+                        if isinstance(t, ast.Name):
+                            assigns[t.id] = ast.get_source_segment(src, node.value) or ""
+                for node in ast.walk(func):
+                    if not (
+                        isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "broadcast"
+                        and isinstance(node.func.value, ast.Name)
+                        and node.func.value.id == "F"
+                        and node.args
+                    ):
+                        continue
+                    arg = node.args[0]
+                    if not isinstance(arg, ast.Name):
+                        continue  # inline expressions are visible at the call site
+                    rhs = assigns.get(arg.id, "")
+                    grouped = any(
+                        f'groupBy("{k}"' in rhs or f"groupBy('{k}'" in rhs
+                        for k in unbounded_keys
+                    )
+                    if not grouped:
+                        continue
+                    if any(m in rhs for m in bounded_markers):
+                        continue
+                    if (fname, arg.id) in allow:
+                        continue
+                    # a global agg with no groupBy output (1 row) is bounded;
+                    # groupBy(...).agg(...) is NOT — check agg follows groupBy
+                    offenders.append(
+                        f"{fname}:{node.lineno} F.broadcast({arg.id}) <- {rhs[:120]}"
+                    )
+    assert not offenders, (
+        "forced broadcast hint on an unbounded-grain frame (drop the hint and "
+        "let AQE pick the strategy, or bound the frame with limit/top-K):\n"
+        + "\n".join(offenders)
+    )
