@@ -124,6 +124,15 @@ BENCH_QUERIES = [
     # verify + 5-cutoff rollup) and the two-scan K-fold CV
     "dedup_threshold_sweep",
     "cv_fold_rmse",
+    # round-5 (VERDICT r4 task 4): the rest of the round-4 tier, so its
+    # regressions are visible to the self-diff — the delta-vs-index probe
+    # join, the lambda-column sweep, the corpus-scan DoReMi reweighting,
+    # the group-hashed K-fold, and the LOO encoding arithmetic
+    "dedup_incremental_delta",
+    "ridge_lambda_sweep",
+    "doremi_mixture_weights",
+    "cv_groupkfold_rmse",
+    "target_encoding_loo",
 ]
 
 
@@ -254,21 +263,29 @@ def _diff_against_previous_round(
         m = re.search(r"r(\d+)", os.path.basename(p))
         return int(m.group(1)) if m else -1
 
-    # Prefer the in-repo BENCH_DETAIL_r*.json records (full per-query maps,
-    # written by this harness since round 4) over the driver's BENCH_r*.json
-    # stdout captures (tail-truncated in r3, compact from r4 on). Ties on
-    # round number resolve to the detail file.
+    # The baseline is pinned to the newest DRIVER-recorded round
+    # (max BENCH_r*.json): a BENCH_DETAIL file for a LATER round is this
+    # round's own earlier run, and diffing against it would make a
+    # regression flagged on the first invocation vanish from the second
+    # (ADVICE r4). At the pinned round, prefer the DETAIL file (full
+    # per-query map) over the driver's stdout capture.
+    driver_rounds = [
+        round_no(p)
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if round_no(p) >= 0
+    ]
+    if not driver_rounds:
+        return {}
+    base_round = max(driver_rounds)
     candidates = sorted(
         (
             p
             for pat in ("BENCH_r*.json", "BENCH_DETAIL_r*.json")
             for p in glob.glob(os.path.join(REPO, pat))
-            if round_no(p) >= 0
+            if round_no(p) == base_round
         ),
-        key=lambda p: (round_no(p), "DETAIL" in os.path.basename(p)),
+        key=lambda p: "DETAIL" in os.path.basename(p),
     )
-    if not candidates:
-        return {}
     prev_path = candidates[-1]
     try:
         with open(prev_path) as f:

@@ -566,13 +566,18 @@ pred AS (
     SELECT bucket + 1 AS train_buckets, pri, cs / cn AS pred, cn
     FROM cum WHERE bucket + 1 IN ({sizes})
 ),
+ntr AS (
+    SELECT train_buckets, CAST(sum(cn) AS BIGINT) AS n_train_grid
+    FROM pred GROUP BY train_buckets
+),
 ev AS (SELECT pri, y FROM base WHERE bucket >= 8)
 SELECT CAST(p.train_buckets AS BIGINT) AS train_buckets,
-       CAST(sum(DISTINCT p.cn) AS BIGINT) AS n_train_grid,
+       t.n_train_grid,
        CAST(count(*) AS BIGINT) AS n_eval,
        {R('sqrt(sum((e.y - p.pred) * (e.y - p.pred)) / count(*))', 4)} AS rmse
 FROM ev e JOIN pred p ON p.pri = e.pri
-GROUP BY p.train_buckets
+JOIN ntr t ON t.train_buckets = p.train_buckets
+GROUP BY p.train_buckets, t.n_train_grid
 """
 
 
@@ -582,7 +587,12 @@ def learning_curve_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-set sizes (2/4/6/8 of 10 hash buckets; eval = buckets 8-9).
     The canonical "is more data still buying accuracy" curve, computed
     with one training scan + one eval scan regardless of how many
-    subset sizes are on the curve."""
+    subset sizes are on the curve.
+
+    n_train_grid is aggregated from the BOUNDED pred grid (subset sizes
+    x priorities, <=20 rows) before the eval join — summing DISTINCT cn
+    through the replicated eval rows would silently collapse two
+    priorities whose cumulative counts happen to tie (ADVICE r4)."""
     from .trainset import knuth_hash
 
     o = read_table(spark, sf_dir, "orders")
@@ -615,16 +625,19 @@ def learning_curve_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cs") / F.col("cn")).alias("pred"),
         "cn",
     )
+    ntr = pred.groupBy(
+        F.col("train_buckets").cast("long").alias("train_buckets")
+    ).agg(F.sum("cn").cast("long").alias("n_train_grid"))
     ev = base.filter(F.col("bucket") >= 8).select("pri", "y")
     err = F.col("y") - F.col("pred")
     return (
         ev.join(F.broadcast(pred), "pri")
         .groupBy(F.col("train_buckets").cast("long").alias("train_buckets"))
         .agg(
-            F.sum_distinct(F.col("cn")).cast("long").alias("n_train_grid"),
             F.count(F.lit(1)).cast("long").alias("n_eval"),
             dround(F.sqrt(F.sum(err * err) / F.count(F.lit(1))), 4).alias("rmse"),
         )
+        .join(F.broadcast(ntr), "train_buckets")
     )
 
 

@@ -71,90 +71,86 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-4 ROTATION (per VERDICT.md r3 task 1): rounds 1-3 drove 146
-# distinct queries green (CORRECTNESS_r01/r02/r03). This round's first
-# 50 are drawn ENTIRELY from the 135 still-never-driver-sampled
-# queries, LEADING with the 14 round-3 families that have no driver row
-# yet, then spanning the remaining never-sampled tail one-per-family
-# (pinned by tests/test_queries.py::test_driver_sample_spans_families).
-# Families whose every member is already driver-green — including the
-# single-member geospatial family (spatial_cell_join, green in r02 AND
-# r03) — hand their slots to never-sampled siblings; every displaced
-# query stays under the full local gate (tools/check_oracle.py) and the
-# slow-marked full-oracle pytest sweep.
+# ROUND-5 ROTATION (per VERDICT.md r4 task 1): rounds 1-4 drove 196
+# distinct queries green (CORRECTNESS_r01..r04), leaving 95 registered
+# queries never driver-sampled. This round's first 50 are drawn
+# ENTIRELY from that tail, LEADING with the 10 round-4 additions (none
+# has a driver row), then spanning the remaining never-sampled set
+# one-per-family (pinned by
+# tests/test_queries.py::test_driver_sample_spans_families). Every
+# displaced query stays under the full local gate
+# (tools/check_oracle.py) and the slow-marked full-oracle pytest sweep.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 14 round-3 families: zero driver rows before this round --
-    "attribution_shapley",          # Shapley channel attribution
-    "dedup_shadow_agreement",       # dedup migration shadow gate
-    "ab_difference_in_differences", # DiD causal estimate
-    "forecast_pinball_quantiles",   # quantile forecast eval
-    "bm25_ndcg_vs_semantic",        # lexical-vs-semantic ranking eval
-    "item_cf_holdout_hitrate",      # recommender offline eval
-    "quality_isotonic_calibration", # isotonic PAV calibration
-    "logreg_newton_irls",           # in-engine logistic regression
-    "ab_uplift_qini",               # uplift modeling / Qini
-    "naive_bayes_lang_eval",        # NB text classifier
-    "decision_stump_infogain",      # decision-stump induction
-    "brier_score_decomposition",    # probabilistic-score decomposition
-    "kmv_theta_intersection",       # KMV/theta sketch set ops
-    "label_propagation_communities",  # LPA community detection
+    # -- the 10 round-4 additions: zero driver rows before this round --
+    "cv_fold_rmse",                 # k-fold CV (one-pass grid)
+    "cv_groupkfold_rmse",           # leakage-safe GroupKFold
+    "learning_curve_scaling",       # learning-curve power fit
+    "target_encoding_loo",          # leave-one-out target encoding
+    "feature_hashing_trick",        # bounded-width feature hashing
+    "ridge_lambda_sweep",           # hyperparameter sweep (lambda column)
+    "doremi_mixture_weights",       # DoReMi mixture reweighting
+    "dedup_incremental_delta",      # incremental dedup index maintenance
+    "dedup_threshold_sweep",        # dedup threshold sensitivity
+    "tokenizer_fertility",          # tokenizer fertility eval
     # -- never-sampled tail, one per family --
-    # sources / formats
-    "orc_source_roundtrip",
-    "text_source_line_stats",
-    "binaryfile_source_metadata",
-    "xml_source_roundtrip",
-    # SQL surface
-    "sql_scalar_subquery",
-    "sql_grouping_sets",
-    "sql_parameterized_query",
-    # TPC-H tail (q2/q4/q7/q9/q13/q19/q21/q22 went green in r03)
-    "tpch_q6_revenue_forecast",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    # Arrow UDF surface
-    "pandas_udf_scalar_bytes",
-    "cogroup_doc_embedding_stats",
-    # ANN tiers
-    "simsearch_multiprobe_lsh",
-    "simsearch_int8_rerank",
-    # streaming
-    "streaming_steam_source_extract",
-    "streaming_foreachbatch_sink",
-    # skew / shuffle strategy
-    "skew_salted_agg",
-    "join_shuffle_hash_dim",
-    # dedup / decontamination tiers
-    "decontaminate_ngram_overlap",
-    "chunk_dedup_ratio",
-    # text quality
-    "doc_repetition_ratio",
-    "text_redact_patterns",
-    # time series
-    "timeseries_hourly_gapfill",
-    "ewma_user_value",
-    # behavioral
-    "funnel_view_click_purchase",
-    "survival_km_curve",
-    # statistics
-    "bootstrap_mean_ci",
-    "ab_test_welch",
-    # data quality / governance audits
-    "dq_validation_report",
-    "benford_digit_audit",
-    # record linkage
-    "record_linkage_blocking",
+    # LM gates (incl. the two de-hinted unbounded-vocab joins)
+    "holdout_lm_perplexity",
+    "doc_bigram_lm_quality",
+    # dedup tiers
+    "boilerplate_strip_rebuild",
+    "dedup_cluster_sizes",
+    "minhash_estimate_error",
+    # ANN / multimodal / Arrow UDF
+    "simsearch_ivf_cells",
+    "multimodal_frame_sample",
+    "map_in_arrow_byte_stats",
+    # tokenization / text statistics
+    "token_count_bpe",
+    "bpe_apply_compression",
+    "doc_char_entropy",
+    "collocations_pmi",
+    "zipf_fit_by_source",
+    # corpus / embedding profiling
+    "corpus_datasheet",
+    "embedding_dim_stats",
     # trainset ops
-    "seqpack_token_budget",
-    "trainset_group_holdout",
+    "contrastive_negatives",
+    "trainset_curriculum_shards",
+    "stratified_sample_per_lang",
+    # rollups / streaming / joins
+    "events_multires_rollup",
+    "streaming_static_enrichment",
+    "interval_overlap_bin_join",
+    "scd2_point_in_time_join",
+    "skew_profile_report",
+    # SQL surface
+    "sql_in_subquery",
+    # TPC-H tail (q6/q8/q10/q11/q14/q17 went green in r04)
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q20_volume_suppliers",
+    # relational surface
+    "pivot_status_priority_counts",
+    "percentile_exact_by_flag",
+    "array_higher_order_stats",
+    # statistics / experimentation
+    "stats_corr_regr_by_flag",
+    "chisq_segment_region",
+    "ab_cuped_adjusted",
+    "equidepth_histogram",
+    "ks_two_sample_drift",
+    # time series / ML tail
+    "stl_decomposition_lite",
+    "ols_normal_equations",
+    "markov_next_event_eval",
+    "frequent_itempairs",
 )
-# Deliberately under the FULL LOCAL GATE only this round: every r1-r3
+# Deliberately under the FULL LOCAL GATE only this round: every r1-r4
 # driver-green query plus micro-families whose parent family holds a
-# round-4 slot. Every one is hash-checked by tools/check_oracle.py and
-# tests/test_queries.py each run.
+# round-5 slot. Every one is hash-checked by tools/check_oracle.py and
+# tests/test_queries.py each run. After this round at most 45 registered
+# queries remain never-driver-sampled.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

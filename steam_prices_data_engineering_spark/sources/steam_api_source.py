@@ -7,11 +7,14 @@ shape for such a connector is a FIRST-CLASS SOURCE: Spark 4's Python
 DataSource API (`pyspark.sql.datasource`) lets the REST client live
 behind `spark.read.format("steam_appdetails")`, with
 
-- `partitions()` -> one `InputPartition` per app id: the unit of
-  parallel fetching. On a cluster each partition is an independent task,
-  so 10k apps fan out across executors instead of serializing through
-  the driver loop; a per-partition rate limiter reproduces the
-  reference's polite-throttle semantics where the real endpoint is used.
+- `partitions()` -> one `InputPartition` per BATCH of app ids: the unit
+  of parallel fetching AND of pacing. Unthrottled, each app is its own
+  partition and 10k apps fan out across executors instead of
+  serializing through the driver loop. With `throttle_seconds` set, all
+  apps default into ONE partition so a single `RateLimiter` instance
+  paces every request after the first — the reference's serial polite
+  fetch; `apps_per_partition` dials the politeness/parallelism trade
+  explicitly (aggregate rate = partitions / interval).
 - `read(partition)` -> (app, body) rows: the RAW payload enters the
   engine; JSON-path extraction/parsing stays in the declarative layer
   (see plans/pipelines.py `steam_api_json_extract`) where Catalyst can
@@ -135,21 +138,38 @@ class SteamAppDetailsReader(DataSourceReader):
         self._throttle = float(options.get("throttle_seconds", 0.0))
         self._max_retries = int(options.get("max_retries", 3))
         self._backoff = float(options.get("backoff_seconds", 1.0))
+        app = options.get("apps_per_partition")
+        self._apps_per_partition = int(app) if app is not None else None
 
     def partitions(self):
-        # One fetch unit per app: the parallelism contract. Executors each
-        # fetch their partition's payload(s) independently.
-        return [InputPartition(app) for app in self._app_ids]
+        # A partition is a BATCH of app ids — the unit both of parallelism
+        # and of pacing (one RateLimiter instance lives across a
+        # partition's fetch loop; a limiter cannot pace across tasks).
+        # Default sizing follows the throttle: with throttle_seconds > 0
+        # the reference's O34 semantics are SERIAL polite fetching, so all
+        # apps land in one partition and every request after the first
+        # waits the full interval; with no throttle each app gets its own
+        # partition for maximum fan-out. `apps_per_partition` overrides —
+        # B apps per partition with P = N/B concurrent tasks trades
+        # politeness for wall-clock (aggregate rate = P / interval).
+        b = self._apps_per_partition
+        if b is None:
+            b = len(self._app_ids) if self._throttle > 0 else 1
+        b = max(1, b)
+        ids = self._app_ids
+        return [
+            InputPartition(ids[i : i + b]) for i in range(0, len(ids), b)
+        ]
 
     def read(self, partition):
-        app = partition.value
         limiter = RateLimiter(self._throttle)
-        limiter.wait()
-        yield app, fetch_with_retry(
-            app,
-            max_retries=self._max_retries,
-            backoff_seconds=self._backoff,
-        )
+        for app in partition.value:
+            limiter.wait()
+            yield app, fetch_with_retry(
+                app,
+                max_retries=self._max_retries,
+                backoff_seconds=self._backoff,
+            )
 
 
 class SteamAppDetailsStreamReader(SimpleDataSourceStreamReader):

@@ -184,3 +184,53 @@ def test_fetch_retry_exhausts_and_reraises():
             sleeper=slept.append,
         )
     assert slept == [0.5, 1.0]  # max_retries sleeps, then re-raise
+
+
+def test_reader_batches_apps_and_paces_within_partition(monkeypatch):
+    """ADVICE r4: one-app partitions made throttle_seconds a no-op (a
+    fresh limiter's first wait never sleeps). With a throttle the reader
+    must batch apps into one partition and pace requests 2..N through a
+    SINGLE limiter instance."""
+    from steam_prices_data_engineering_spark.sources import steam_api_source as m
+
+    r = m.SteamAppDetailsReader({"throttle_seconds": "3.0"})
+    parts = r.partitions()
+    assert len(parts) == 1  # serial polite fetch by default when throttled
+    assert [a for a in parts[0].value] == [10, 20, 30, 40]
+
+    # drive read() with an injectable clock so the pacing is observable
+    slept = []
+    now = [0.0]
+
+    class FakeTime:
+        @staticmethod
+        def monotonic():
+            return now[0]
+
+        @staticmethod
+        def sleep(s):
+            slept.append(s)
+            now[0] += s
+
+    real_init = m.RateLimiter.__init__
+
+    def patched(self, min_interval, clock=None, sleeper=None):
+        real_init(self, min_interval, clock=FakeTime.monotonic,
+                  sleeper=FakeTime.sleep)
+
+    monkeypatch.setattr(m.RateLimiter, "__init__", patched)
+    rows = list(r.read(parts[0]))
+    assert [app for app, _ in rows] == [10, 20, 30, 40]
+    assert slept == [3.0, 3.0, 3.0]  # first request free, 2..N paced
+
+    # unthrottled: max fan-out (one app per partition), nothing sleeps
+    r0 = m.SteamAppDetailsReader({})
+    parts0 = r0.partitions()
+    assert len(parts0) == 4
+    assert [p.value for p in parts0] == [[10], [20], [30], [40]]
+
+    # explicit override: 2 apps per partition regardless of throttle
+    r2 = m.SteamAppDetailsReader(
+        {"throttle_seconds": "3.0", "apps_per_partition": "2"}
+    )
+    assert [p.value for p in r2.partitions()] == [[10, 20], [30, 40]]

@@ -55,53 +55,57 @@ def test_driver_sample_spans_families():
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
     must_have = {
-        # ROUND-4 rotation (VERDICT.md r3 task 1): the 14 round-3
-        # families — never driver-sampled before this round — MUST lead.
-        "attribution_shapley",           # Shapley channel attribution
-        "dedup_shadow_agreement",        # dedup migration shadow gate
-        "ab_difference_in_differences",  # DiD causal estimate
-        "forecast_pinball_quantiles",    # quantile forecast eval
-        "bm25_ndcg_vs_semantic",         # ranking eval (nDCG)
-        "item_cf_holdout_hitrate",       # recommender offline eval
-        "quality_isotonic_calibration",  # isotonic PAV calibration
-        "logreg_newton_irls",            # in-engine logistic regression
-        "ab_uplift_qini",                # uplift / Qini
-        "naive_bayes_lang_eval",         # NB text classifier
-        "decision_stump_infogain",       # decision-stump induction
-        "brier_score_decomposition",     # Brier decomposition
-        "kmv_theta_intersection",        # KMV/theta sketch set ops
-        "label_propagation_communities",  # LPA communities
+        # ROUND-5 rotation (VERDICT.md r4 task 1): the 10 round-4
+        # additions — never driver-sampled before this round — MUST lead.
+        "cv_fold_rmse",                  # k-fold CV
+        "cv_groupkfold_rmse",            # leakage-safe GroupKFold
+        "learning_curve_scaling",        # learning-curve power fit
+        "target_encoding_loo",           # LOO target encoding
+        "feature_hashing_trick",         # feature hashing
+        "ridge_lambda_sweep",            # hyperparameter sweep
+        "doremi_mixture_weights",        # DoReMi mixture reweighting
+        "dedup_incremental_delta",       # incremental dedup index
+        "dedup_threshold_sweep",         # dedup threshold sensitivity
+        "tokenizer_fertility",           # tokenizer fertility
         # one representative per remaining family, all never-sampled
-        "orc_source_roundtrip",          # columnar source round-trip
-        "xml_source_roundtrip",          # semi-structured source
-        "sql_grouping_sets",             # SQL surface
-        "tpch_q8_market_share",          # TPC-H tail (8-table join)
-        "pandas_udf_scalar_bytes",       # Arrow UDF surface
-        "cogroup_doc_embedding_stats",   # cogrouped Arrow UDF
-        "simsearch_multiprobe_lsh",      # ANN tier
-        "streaming_steam_source_extract",  # streaming source
-        "streaming_foreachbatch_sink",   # streaming sink
-        "skew_salted_agg",               # skew handling
-        "join_shuffle_hash_dim",         # join-strategy hint surface
-        "decontaminate_ngram_overlap",   # lexical decontamination
-        "chunk_dedup_ratio",             # span-level dedup signal
-        "doc_repetition_ratio",          # text quality
-        "timeseries_hourly_gapfill",     # time-series densification
-        "funnel_view_click_purchase",    # behavioral funnel
-        "survival_km_curve",             # survival analysis
-        "bootstrap_mean_ci",             # resampling statistics
-        "ab_test_welch",                 # experiment analysis
-        "dq_validation_report",          # data-quality audit
-        "benford_digit_audit",           # forensics
-        "record_linkage_blocking",       # record linkage
-        "seqpack_token_budget",          # trainset packing
-        "trainset_group_holdout",        # leakage-safe split
+        "holdout_lm_perplexity",         # LM perplexity (de-hinted join)
+        "boilerplate_strip_rebuild",     # span-level dedup transform
+        "minhash_estimate_error",        # sketch quality eval
+        "simsearch_ivf_cells",           # ANN tier (IVF)
+        "multimodal_frame_sample",       # multimodal plumbing
+        "map_in_arrow_byte_stats",       # Arrow UDF surface
+        "token_count_bpe",               # tokenization
+        "doc_char_entropy",              # char-entropy selection
+        "collocations_pmi",              # collocations
+        "zipf_fit_by_source",            # Zipf fit
+        "corpus_datasheet",              # corpus profiling
+        "embedding_dim_stats",           # embedding stats
+        "contrastive_negatives",         # trainset pairs
+        "trainset_curriculum_shards",    # curriculum sharding
+        "stratified_sample_per_lang",    # stratified sampling
+        "events_multires_rollup",        # multi-resolution rollup
+        "streaming_static_enrichment",   # stream-static join
+        "interval_overlap_bin_join",     # interval/range join
+        "scd2_point_in_time_join",       # SCD2 as-of join
+        "skew_profile_report",           # ops diagnostics
+        "sql_in_subquery",               # SQL surface
+        "tpch_q12_priority_by_linestatus",  # TPC-H tail
+        "pivot_status_priority_counts",  # pivot
+        "percentile_exact_by_flag",      # exact percentiles
+        "array_higher_order_stats",      # array HOF surface
+        "stats_corr_regr_by_flag",       # corr/regr aggregates
+        "chisq_segment_region",          # chi-square test
+        "ab_cuped_adjusted",             # CUPED variance reduction
+        "equidepth_histogram",           # equi-depth histogram
+        "ks_two_sample_drift",           # KS drift test
+        "stl_decomposition_lite",        # seasonal decomposition
+        "ols_normal_equations",          # in-engine OLS
+        "markov_next_event_eval",        # Markov train/eval
+        "frequent_itempairs",            # market basket
     }
     missing = must_have - set(first50)
     assert not missing, missing
-    # the rotation's point: ZERO overlap with rounds 1-3 (the r2/r3
-    # geospatial anchor spatial_cell_join is now double-driver-green, so
-    # its single-member family is excused rather than re-sampled).
+    # the rotation's point: ZERO overlap with rounds 1-4.
     import json
     import os
 
@@ -110,6 +114,7 @@ def test_driver_sample_spans_families():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         p = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(p):
