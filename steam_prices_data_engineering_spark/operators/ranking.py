@@ -168,12 +168,13 @@ def ntile_scores(
     (mapping output name -> (measure Column, descending?)); ties always
     break ascending on `key_col`; all other columns pass through.
 
-    Two driver-coordinated prep passes over `df` (which callers should
-    .cache()) collect BOUNDED state — the same discipline as the
-    k-means centroid / BPE argmax loops: (1) one aggregate row with
-    per-measure min/max + the row count, (2) the (measure, bin)
-    histogram (<= |measures| * n_bins rows, via a prep-only melt).
-    Both fold into LITERAL expressions — bin bounds and exclusive rank
+    ONE driver-coordinated prep pass over `df` (which callers should
+    .cache()) collects BOUNDED state — the same discipline as the
+    k-means centroid / BPE argmax loops: the per-measure min/max + row
+    count are a 1-row in-plan aggregate broadcast onto a prep-only
+    melt, whose (measure, bin) histogram (<= |measures| * n_bins rows,
+    bounds replicated on each row) is the single collect. Everything
+    folds into LITERAL expressions — bin bounds and exclusive rank
     offsets — so the final plan is |measures| chained row_number
     windows, each PARTITIONED by that measure's constant-count min-max
     bin, plus pure ntile arithmetic from (rank, n). Desc measures rank
@@ -181,9 +182,11 @@ def ntile_scores(
     broadcast chain, no melt/pivot in the hot path (a broadcast-join
     draft of this operator serialized ~6 local jobs and benched 5x over
     the global-window form it replaced; a melt+pivot draft still paid
-    two extra fact-grain shuffles).
+    two extra fact-grain shuffles; a two-collect draft — bounds job,
+    then a literal-binned histogram job — paid a second driver
+    round-trip, ~0.5 s of pure scheduling at sf0.1).
 
-    At 100 TB the prep passes are map-side-combined aggregations, the
+    At 100 TB the prep pass is a map-side-combined aggregation, the
     collected state stays <= |measures| * n_bins rows, and each rank
     partition holds ~n/n_bins rows — raise n_bins if a single bin's
     sort must stay smaller."""
@@ -193,16 +196,64 @@ def ntile_scores(
         for name, (col, desc) in measures.items()
     }
 
-    # Prep pass 1: one row — per-measure bounds + total count.
-    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_n")]
+    # Prep: ONE action. The 1-row bounds aggregate stays IN-PLAN
+    # (broadcast onto the melt), bins derive from its columns, and the
+    # histogram rows carry the bounds back so a single collect returns
+    # both. (A giant single-row |measures| * n_bins sum(when) aggregate
+    # was tried and benched SLOWER — codegen compile per build; separate
+    # bounds + histogram collects were tried and pay an extra job.)
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_rk_n")]
     for i, name in enumerate(names):
-        aggs.append(F.min(ordv[name]).alias(f"_mn{i}"))
-        aggs.append(F.max(ordv[name]).alias(f"_mx{i}"))
-    st = df.agg(*aggs).collect()[0]
-    n_total = st["_n"]
+        aggs.append(F.min(ordv[name]).alias(f"_rk_mn{i}"))
+        aggs.append(F.max(ordv[name]).alias(f"_rk_mx{i}"))
+    bounds = df.agg(*aggs)
+    bounds_cols = [f.name for f in bounds.schema.fields]
+
+    def bin_from_bounds(i: int, name: str) -> Column:
+        mn, mx = F.col(f"_rk_mn{i}"), F.col(f"_rk_mx{i}")
+        span = mx - mn
+        return F.when(
+            mn.isNull() | (span <= F.lit(0.0)), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((ordv[name] - mn) * n_bins / span).cast("int"),
+            )
+        )
+
+    melt = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            *bounds_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"),
+                            bin_from_bounds(i, name).alias("b"),
+                        )
+                        for i, name in enumerate(names)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            *bounds_cols,
+            F.col("e.m").alias("_m"),
+            F.col("e.b").alias(_BIN),
+        )
+    )
+    hist = melt.groupBy(*bounds_cols, "_m", _BIN).agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    ).collect()
+    if not hist:  # empty input: bounds row still needed for n_total
+        st = bounds.collect()[0]
+    else:
+        st = hist[0]
+    n_total = st["_rk_n"]
 
     def bin_expr(i: int, name: str) -> Column:
-        mn, mx = st[f"_mn{i}"], st[f"_mx{i}"]
+        mn, mx = st[f"_rk_mn{i}"], st[f"_rk_mx{i}"]
         if mn is None or mx is None or mx <= mn:
             return F.lit(0)
         return (
@@ -214,27 +265,6 @@ def ntile_scores(
             )
         )
 
-    # Prep pass 2: (measure, bin) histogram via a prep-only melt ->
-    # exclusive rank offsets, folded to literal lookup maps. (A
-    # single-row |measures| * n_bins sum(when) aggregate was tried and
-    # benched SLOWER — the giant aggregate pays codegen compile per
-    # build; the melt histogram is one map-side-combined groupBy over a
-    # constant-size group domain.)
-    melt = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("m"), bin_expr(i, name).alias("b")
-                    )
-                    for i, name in enumerate(names)
-                ]
-            )
-        ).alias("e")
-    ).select(F.col("e.m").alias("_m"), F.col("e.b").alias(_BIN))
-    hist = melt.groupBy("_m", _BIN).agg(
-        F.count(F.lit(1)).cast("long").alias("bc")
-    ).collect()
     offsets: dict[int, dict[int, int]] = {i: {} for i in range(len(names))}
     for i in range(len(names)):
         acc = 0

@@ -607,28 +607,28 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows with literal-folded bounds/offsets, never a partition-less
     window over the customer grain."""
     o = read_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max(F.col("o_orderdate").cast("long")).alias("mxe"))
-    cust = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "mxe")
-        .agg(
-            F.max(F.col("o_orderdate").cast("long")).alias("last_e"),
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            dround(F.sum("o_totalprice"), 2).alias("monetary"),
-        )
-        .select(
-            "o_custkey",
-            F.floor((F.col("mxe") - F.col("last_e")) / 86400.0)
-            .cast("long")
-            .alias("recency_days"),
-            "freq",
-            "monetary",
-        )
+    # ONE orders scan: the corpus-max order date equals the max over
+    # customers of each customer's last order, so it derives from the
+    # customer-grain aggregate instead of a second fact scan.
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("long")).alias("last_e"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        dround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
     # Customer-grain aggregate (dimension-scale, bounded): cached because
-    # the melted scorer's min/max + histogram branches re-derive it —
-    # without the cache each branch re-runs the orders scan.
-    cust = cust.cache()  # session-per-query
+    # the global-max branch, the melted scorer's bounds+histogram pass
+    # and the rank windows all re-derive it — without the cache each
+    # branch re-runs the orders scan.
+    base = base.cache()  # session-per-query
+    mx = base.agg(F.max("last_e").alias("mxe"))
+    cust = base.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.floor((F.col("mxe") - F.col("last_e")) / 86400.0)
+        .cast("long")
+        .alias("recency_days"),
+        "freq",
+        "monetary",
+    )
     scored = ntile_scores(
         cust,
         "o_custkey",
