@@ -1380,20 +1380,23 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
     )
+    # Shared frames are branched 2-3x downstream (ords feeds the train
+    # baskets twice + the test baskets; bi feeds train/test baskets AND
+    # the co-occurrence base; train_ui feeds scoring twice; test_ui
+    # feeds the eval-customer universe and the hit join); cache each
+    # once instead of re-running the window/distinct/join per branch
+    # (bi+train_ui measured 6.4s -> ~4s warm at sf0.1; ords+test_ui
+    # shave two more window passes over orders).
     ords = o.select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(wc).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_ord"),
-    )
+    ).cache()  # session-per-query
     test_b = ords.filter((F.col("rn") == 1) & (F.col("n_ord") >= 2)).select(
         "o_custkey", "o_orderkey"
     )
     train_b = ords.filter(F.col("rn") > 1).select("o_custkey", "o_orderkey")
-    # Shared frames are branched 2-3x downstream (bi feeds train/test
-    # baskets AND the co-occurrence base; train_ui feeds scoring twice);
-    # cache them once instead of re-running the distinct/join per branch
-    # (measured 6.4s -> ~4s warm at sf0.1).
     bi = li.select("l_orderkey", "l_partkey").distinct().cache()  # session-per-query
     train_ui = (
         train_b.join(bi, train_b.o_orderkey == bi.l_orderkey)
@@ -1405,6 +1408,7 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_b.join(bi, test_b.o_orderkey == bi.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
+        .cache()  # session-per-query
     )
     tb = bi.join(
         train_b.select("o_orderkey"),
