@@ -1228,3 +1228,4 @@ from . import insights as _insights  # noqa: E402,F401
 from . import linalg as _linalg  # noqa: E402,F401
 from . import patterns as _patterns  # noqa: E402,F401
 from . import ml_eval as _ml_eval  # noqa: E402,F401  (needs trainset, corpus_eval)
+from . import round5 as _round5  # noqa: E402,F401

@@ -1,0 +1,917 @@
+"""Round-5 extension operators: sequential experimentation, distribution
+drift, clustering/ranking evaluation, off-policy evaluation, association
+rules, LM-surprisal data pruning, template detection, and embedding
+outlier auditing.
+
+Each operator is the Spark-first relational reduction of a standard
+large-scale data-pipeline job, with the same scale discipline as the
+rest of the repo: fact-scale work is map-side-combined aggregation,
+small derived frames ride broadcast joins (hint-free when their grain
+can grow with the data), windows are partitioned or run on documented
+bounded grains, and every compared output goes through
+`functions/rounding.py:dround` with identical aliases in both engines.
+
+No counterpart in the reference (a single-threaded pandas ETL,
+/root/reference/Scripts/transformers/steam_prices_transformer.py); these
+are the analytics a 100 TB training-data platform layers on the same
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.text import tokens
+from ..sources.tables import read_table
+from .registry import register
+
+# ===========================================================================
+# Sequential A/B monitoring (SPRT, Wald 1945): group-sequential log-
+# likelihood-ratio test on hourly conversion batches. Classic SPRT is
+# per-observation; at pipeline scale monitoring runs on micro-batch
+# rollups, so the LLR is computed on CUMULATIVE hourly (trials,
+# successes) per variant and the decision is the first hour a boundary
+# is crossed. The cumulative window is PARTITIONED by variant and runs
+# on the hour grain — calendar-bounded rows, independent of event
+# volume.
+#
+# The LLR arithmetic and both boundaries are ONE SQL fragment string
+# evaluated by Spark (F.expr) and DuckDB verbatim — the
+# plans/linalg.py:_det3 discipline, so the two engines cannot drift on
+# ln() expression shape.
+# ===========================================================================
+
+# Explicit DOUBLE casts: bare decimal literals parse as DECIMAL in both
+# engines but with DIFFERENT division precision, which shifts ln() by
+# ~1e-6 and the cumulative LLR by ~1e-5 x count (probed: llr_final
+# mismatched at 2.5e-5 with bare literals).
+_SPRT_P0 = "CAST(0.18 AS DOUBLE)"
+_SPRT_P1 = "CAST(0.22 AS DOUBLE)"
+_SPRT_ALPHA = "CAST(0.05 AS DOUBLE)"  # also beta: symmetric error budget
+# llr(cn trials, cx successes) under H1:p1 vs H0:p0
+_SPRT_LLR = (
+    f"(cx * ln({_SPRT_P1}/{_SPRT_P0})"
+    f" + (cn - cx) * ln((1.0-{_SPRT_P1})/(1.0-{_SPRT_P0})))"
+)
+_SPRT_UP = f"ln((1.0-{_SPRT_ALPHA})/{_SPRT_ALPHA})"   # accept H1
+_SPRT_DN = f"ln({_SPRT_ALPHA}/(1.0-{_SPRT_ALPHA}))"  # accept H0
+
+_SPRT_SQL = f"""
+WITH hourly AS (
+    SELECT user_id % 2 AS variant,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT variant, hr,
+           sum(n) OVER (PARTITION BY variant ORDER BY hr
+                        ROWS UNBOUNDED PRECEDING) AS cn,
+           sum(x) OVER (PARTITION BY variant ORDER BY hr
+                        ROWS UNBOUNDED PRECEDING) AS cx
+    FROM hourly
+),
+llr AS (SELECT variant, hr, {_SPRT_LLR} AS llr FROM cum),
+per AS (
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           min(CASE WHEN llr >= {_SPRT_UP} THEN hr END) AS up_hr,
+           min(CASE WHEN llr <= {_SPRT_DN} THEN hr END) AS dn_hr,
+           max_by(llr, hr) AS llr_last
+    FROM llr GROUP BY variant
+)
+SELECT CAST(variant AS BIGINT) AS variant, n_hours,
+       CASE WHEN up_hr IS NOT NULL AND (dn_hr IS NULL OR up_hr <= dn_hr)
+                 THEN 'reject_h0'
+            WHEN dn_hr IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(coalesce(
+           CASE WHEN up_hr IS NOT NULL AND (dn_hr IS NULL OR up_hr <= dn_hr)
+                     THEN up_hr
+                WHEN dn_hr IS NOT NULL THEN dn_hr END, -1) AS BIGINT)
+           AS crossing_hour,
+       {R('llr_last', 6)} AS llr_final
+FROM per
+"""
+
+
+@register("sprt_sequential_monitor", _SPRT_SQL)
+def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First boundary crossing of the hourly-batched SPRT per variant.
+
+    Scale shape: one map-side-combined (variant, hour) rollup over the
+    fact stream, then a variant-partitioned cumulative window over the
+    calendar-bounded hour grain and a 2-row final aggregate. The LLR and
+    boundary expressions are shared SQL fragments (F.expr here, inline
+    in the oracle)."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hr"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("xx"),
+        )
+        .groupBy("variant", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xx").cast("long").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.select(
+        "variant",
+        "hr",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("x").over(w).alias("cx"),
+    )
+    llr = cum.select("variant", "hr", F.expr(_SPRT_LLR).alias("llr"))
+    per = llr.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.min(
+            F.when(F.col("llr") >= F.expr(_SPRT_UP), F.col("hr"))
+        ).alias("up_hr"),
+        F.min(
+            F.when(F.col("llr") <= F.expr(_SPRT_DN), F.col("hr"))
+        ).alias("dn_hr"),
+        F.max_by("llr", "hr").alias("llr_last"),
+    )
+    rejected = F.col("up_hr").isNotNull() & (
+        F.col("dn_hr").isNull() | (F.col("up_hr") <= F.col("dn_hr"))
+    )
+    decision = (
+        F.when(rejected, "reject_h0")
+        .when(F.col("dn_hr").isNotNull(), "accept_h0")
+        .otherwise("continue")
+    )
+    crossing = F.coalesce(
+        F.when(rejected, F.col("up_hr")).when(
+            F.col("dn_hr").isNotNull(), F.col("dn_hr")
+        ),
+        F.lit(-1),
+    )
+    return per.select(
+        F.col("variant").cast("long").alias("variant"),
+        "n_hours",
+        decision.alias("decision"),
+        crossing.cast("long").alias("crossing_hour"),
+        dround(F.col("llr_last"), 6).alias("llr_final"),
+    )
+
+
+# ===========================================================================
+# 1-D Wasserstein (earth mover's) drift: W1 between the order-value
+# distributions of two segments, on the integer-dollar grid (quantizing
+# to whole dollars bounds the grid by the PRICE RANGE — a domain
+# constant — rather than the row count, and bounds the quantization
+# error of W1 by $1). W1 = sum over grid steps of
+# |ECDF_a - ECDF_b| * step_width. The cumulative counts are integer
+# (exact under any association); the single partition-less window runs
+# on the documented bounded value grain (same census allowance as
+# ks_two_sample_drift).
+# ===========================================================================
+
+_W1_SEG_A = "1-URGENT"
+_W1_SEG_B = "5-LOW"
+
+_W1_SQL = f"""
+WITH seg AS (
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '{_W1_SEG_A}')
+                AS BIGINT) AS ca,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '{_W1_SEG_B}')
+                AS BIGINT) AS cb
+    FROM orders
+    WHERE o_orderpriority IN ('{_W1_SEG_A}', '{_W1_SEG_B}')
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
+    FROM seg
+),
+cdf AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+           sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+           lead(v) OVER (ORDER BY v) - v AS gap
+    FROM seg
+)
+SELECT CAST(count(*) AS BIGINT) AS n_grid,
+       CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       {R('sum(gap * abs(cum_a / t.na - cum_b / t.nb))', 4)} AS w1_dollars
+FROM cdf CROSS JOIN tot t
+GROUP BY t.na, t.nb
+"""
+
+
+@register("wasserstein_1d_drift", _W1_SQL)
+def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distance between urgent- and low-priority order values on the
+    integer-dollar grid. One fact pass builds the two-segment histogram;
+    the ECDF window runs on the bounded dollar grain; last grid point
+    contributes nothing (gap NULL -> dropped by sum)."""
+    o = read_table(spark, sf_dir, "orders")
+    seg = (
+        o.filter(F.col("o_orderpriority").isin(_W1_SEG_A, _W1_SEG_B))
+        .groupBy(F.floor("o_totalprice").cast("long").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == _W1_SEG_A, 1).otherwise(0)
+            ).cast("long").alias("ca"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == _W1_SEG_B, 1).otherwise(0)
+            ).cast("long").alias("cb"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.orderBy("v")
+    cdf = seg.select(
+        "v",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        (F.lead("v").over(wlead) - F.col("v")).alias("gap"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grid"),
+            dround(
+                F.sum(
+                    F.col("gap")
+                    * F.abs(
+                        F.col("cum_a") / F.col("na")
+                        - F.col("cum_b") / F.col("nb")
+                    )
+                ),
+                4,
+            ).alias("w1_dollars"),
+        )
+        .select(
+            "n_grid",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "w1_dollars",
+        )
+    )
+
+
+# ===========================================================================
+# Clustering-agreement evaluation: NMI + purity between two categorical
+# labelings (cluster = source, class = lang) — the standard external
+# cluster-quality metrics (Manning et al., IR book ch. 16). Everything
+# reduces to the (cluster, class) contingency table: one
+# map-side-combined groupBy, marginals aggregated FROM the table (never
+# a second fact scan), and three 1-row entropy/MI reductions.
+# ===========================================================================
+
+_NMI_SQL = f"""
+WITH ct AS (
+    SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+    FROM documents GROUP BY source, lang
+),
+n_ AS (SELECT sum(c) AS n FROM ct),
+cs AS (SELECT source, sum(c) AS csum, max(c) AS cmax FROM ct GROUP BY source),
+cl AS (SELECT lang, sum(c) AS lsum FROM ct GROUP BY lang),
+mi AS (
+    SELECT sum((ct.c / n_.n) * ln(ct.c * n_.n / (cs.csum * cl.lsum))) AS i
+    FROM ct JOIN cs USING (source) JOIN cl USING (lang) CROSS JOIN n_
+),
+hs AS (
+    SELECT -sum((csum / n_.n) * ln(csum / n_.n)) AS h,
+           sum(cmax) AS maxsum
+    FROM cs CROSS JOIN n_
+),
+hl AS (SELECT -sum((lsum / n_.n) * ln(lsum / n_.n)) AS h FROM cl CROSS JOIN n_)
+SELECT CAST(n_.n AS BIGINT) AS n_docs,
+       {R('mi.i / sqrt(hs.h * hl.h)', 6)} AS nmi,
+       {R('hs.maxsum / n_.n', 6)} AS purity,
+       {R('hs.h', 6)} AS h_cluster,
+       {R('hl.h', 6)} AS h_class
+FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN n_
+"""
+
+
+@register("cluster_eval_nmi_purity", _NMI_SQL)
+def cluster_eval_nmi_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI and purity of the source partition against the lang classes.
+
+    The contingency table is the only fact-grain reduction; cs/cl
+    marginals and the MI/entropy sums are all table-grain. Joins to the
+    marginals are hint-free — the source domain can grow with the
+    corpus, so the strategy stays size-based (AQE)."""
+    d = read_table(spark, sf_dir, "documents")
+    ct = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ct = ct.cache()  # session-per-query
+    n_ = ct.agg(F.sum("c").alias("n"))
+    cs = ct.groupBy("source").agg(
+        F.sum("c").alias("csum"), F.max("c").alias("cmax")
+    )
+    cl = ct.groupBy("lang").agg(F.sum("c").alias("lsum"))
+    mi = (
+        ct.join(cs, "source")
+        .join(cl, "lang")
+        .crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(
+                    F.col("c") * F.col("n") / (F.col("csum") * F.col("lsum"))
+                )
+            ).alias("i")
+        )
+    )
+    hs = cs.crossJoin(F.broadcast(n_)).agg(
+        (-F.sum(
+            (F.col("csum") / F.col("n")) * F.log(F.col("csum") / F.col("n"))
+        )).alias("h"),
+        F.sum("cmax").alias("maxsum"),
+    )
+    hl = cl.crossJoin(F.broadcast(n_)).agg(
+        (-F.sum(
+            (F.col("lsum") / F.col("n")) * F.log(F.col("lsum") / F.col("n"))
+        )).alias("h2")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(n_))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            dround(F.col("i") / F.sqrt(F.col("h") * F.col("h2")), 6).alias(
+                "nmi"
+            ),
+            dround(F.col("maxsum") / F.col("n"), 6).alias("purity"),
+            dround(F.col("h"), 6).alias("h_cluster"),
+            dround(F.col("h2"), 6).alias("h_class"),
+        )
+    )
+
+
+# ===========================================================================
+# Ranking agreement (rank-biased overlap, Webber et al. 2010,
+# truncated at depth K): how much do the revenue top-K and quantity
+# top-K part rankings agree, with geometric top-weighting p. Both
+# rankings come from ONE fact scan (two measures of the same rollup),
+# each top-K is orderBy().limit(K) (TakeOrderedAndProject, never a
+# global sort), and the rank-of-survivors windows run on K-row frames.
+# Ranking keys are ROUNDED measures with a part tie-break (the ntile
+# cross-engine rule: raw double sums can flip order at the last ULP).
+# ===========================================================================
+
+_RBO_K = 20
+_RBO_P = "0.9"
+
+_RBO_SQL = f"""
+WITH m AS (
+    SELECT l_partkey,
+           {R("sum(l_extendedprice * (1 - l_discount))", 2)} AS rev,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_partkey
+),
+r1 AS (
+    SELECT l_partkey, row_number() OVER (ORDER BY rev DESC, l_partkey) AS rk1
+    FROM m QUALIFY rk1 <= {_RBO_K}
+),
+r2 AS (
+    SELECT l_partkey, row_number() OVER (ORDER BY qty DESC, l_partkey) AS rk2
+    FROM m QUALIFY rk2 <= {_RBO_K}
+),
+j AS (
+    SELECT greatest(rk1, rk2) AS mx
+    FROM r1 JOIN r2 USING (l_partkey)
+),
+ov AS (
+    SELECT d, CAST(count(mx) AS BIGINT) AS o
+    FROM generate_series(1, {_RBO_K}) t(d)
+    LEFT JOIN j ON j.mx <= t.d
+    GROUP BY d
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS k,
+       max(CASE WHEN d = {_RBO_K} THEN o END) AS overlap_at_k,
+       {R(f'(1 - {_RBO_P}) * sum(pow({_RBO_P}, d - 1) * o / d)', 6)}
+           AS rbo_at_k
+FROM ov
+"""
+
+
+@register("rank_agreement_rbo", _RBO_SQL)
+def rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated RBO@K between the revenue and quantity part rankings."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("rev"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    m = m.cache()  # session-per-query (two top-K branches)
+
+    def topk(col: str, alias: str) -> DataFrame:
+        lim = m.orderBy(F.desc(col), F.asc("l_partkey")).limit(_RBO_K)
+        w = Window.orderBy(F.desc(col), F.asc("l_partkey"))
+        return lim.select(
+            "l_partkey", F.row_number().over(w).alias(alias)
+        )
+
+    r1 = topk("rev", "rk1")
+    r2 = topk("qty", "rk2")
+    j = r1.join(r2, "l_partkey").select(
+        F.greatest("rk1", "rk2").alias("mx")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(F.broadcast(j), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("mx").cast("long").alias("o"))
+    )
+    p = float(_RBO_P)
+    return ov.agg(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("o"))).alias("overlap_at_k"),
+        dround(
+            F.lit(1 - p)
+            * F.sum(
+                F.pow(F.lit(p), F.col("d") - 1) * F.col("o") / F.col("d")
+            ),
+            6,
+        ).alias("rbo_at_k"),
+    )
+
+
+# ===========================================================================
+# Off-policy evaluation (IPS / SNIPS, Horvitz-Thompson; Swaminathan &
+# Joachims 2015): estimate the value of a deterministic target policy
+# ("in each hour-of-day context, take the action with the highest
+# rounded mean logged reward") from the behavior log, weighting matched
+# rows by inverse empirical propensity. Everything is two bounded-grain
+# aggregates (context x action stats, context totals) joined back onto
+# one fact pass — no per-row Python, no driver loop.
+# ===========================================================================
+
+_IPS_SQL = f"""
+WITH e AS (
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS ctx,
+           event_type AS act, value AS r
+    FROM events
+),
+stats AS (
+    SELECT ctx, act, CAST(count(*) AS DOUBLE) AS cnt,
+           {R('avg(r)', 6)} AS avgr
+    FROM e GROUP BY ctx, act
+),
+ctxn AS (SELECT ctx, sum(cnt) AS cn FROM stats GROUP BY ctx),
+pi AS (
+    SELECT ctx, act AS pi_act
+    FROM (SELECT ctx, act, row_number() OVER (
+              PARTITION BY ctx ORDER BY avgr DESC, act ASC) AS rn
+          FROM stats)
+    WHERE rn = 1
+),
+wtd AS (
+    SELECT e.r,
+           CASE WHEN e.act = pi.pi_act THEN ctxn.cn / stats.cnt
+                ELSE 0.0 END AS w
+    FROM e
+    JOIN stats ON stats.ctx = e.ctx AND stats.act = e.act
+    JOIN ctxn ON ctxn.ctx = e.ctx
+    JOIN pi ON pi.ctx = e.ctx
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       {R('avg(r)', 6)} AS behavior_value,
+       {R('sum(w * r) / count(*)', 6)} AS ips_value,
+       {R('sum(w * r) / sum(w)', 6)} AS snips_value
+FROM wtd
+"""
+
+
+@register("ips_offline_policy_value", _IPS_SQL)
+def ips_offline_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS and SNIPS value estimates of the greedy hour-of-day policy.
+
+    The argmax action per context orders by the ROUNDED mean reward
+    (dround 6) with an action tie-break, so the target policy is
+    identical in both engines. The context/action grain is bounded
+    (24 x action vocabulary), so those joins broadcast naturally under
+    AQE — no hints needed."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        ((F.floor(F.col("ts").cast("long")) % 86400) / 3600)
+        .cast("long")
+        .alias("ctx"),
+        F.col("event_type").alias("act"),
+        F.col("value").alias("r"),
+    )
+    stats = e.groupBy("ctx", "act").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        dround(F.avg("r"), 6).alias("avgr"),
+    )
+    stats = stats.cache()  # session-per-query (3 consumers below)
+    ctxn = stats.groupBy("ctx").agg(F.sum("cnt").alias("cn"))
+    wp = Window.partitionBy("ctx").orderBy(F.desc("avgr"), F.asc("act"))
+    pi = (
+        stats.select("ctx", "act", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("ctx", F.col("act").alias("pi_act"))
+    )
+    wtd = (
+        e.join(stats.select("ctx", "act", "cnt"), ["ctx", "act"])
+        .join(ctxn, "ctx")
+        .join(pi, "ctx")
+        .select(
+            "r",
+            F.when(
+                F.col("act") == F.col("pi_act"), F.col("cn") / F.col("cnt")
+            )
+            .otherwise(0.0)
+            .alias("w"),
+        )
+    )
+    return wtd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dround(F.avg("r"), 6).alias("behavior_value"),
+        dround(F.sum(F.col("w") * F.col("r")) / F.count(F.lit(1)), 6).alias(
+            "ips_value"
+        ),
+        dround(F.sum(F.col("w") * F.col("r")) / F.sum("w"), 6).alias(
+            "snips_value"
+        ),
+    )
+
+
+# ===========================================================================
+# Association rules (Agrawal & Srikant 1994): directed
+# antecedent -> consequent rules from the Apriori-pruned frequent pair
+# lattice, with confidence / lift / leverage. COMPOSES the same basket
+# reduction as plans/behavioral.py:frequent_itempairs (distinct
+# item-per-basket -> frequent-item semi-join -> basket self-join) and
+# emits BOTH rule directions from each undirected pair.
+# ===========================================================================
+
+_RULES_MINSUP = 3  # matches behavioral._BASKET_MINSUP (one lattice)
+
+_RULES_SQL = f"""
+WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+    SELECT l_partkey, CAST(count(*) AS DOUBLE) AS c FROM bp
+    GROUP BY l_partkey HAVING count(*) >= {_RULES_MINSUP}
+),
+fbp AS (SELECT bp.* FROM bp JOIN freq USING (l_partkey)),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(count(*) AS DOUBLE) AS supp
+    FROM fbp a JOIN fbp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_RULES_MINSUP}
+),
+n_ AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM bp),
+directed AS (
+    SELECT pa AS ante, pb AS cons, supp FROM pairs
+    UNION ALL
+    SELECT pb AS ante, pa AS cons, supp FROM pairs
+)
+SELECT d.ante AS antecedent, d.cons AS consequent,
+       CAST(d.supp AS BIGINT) AS support,
+       {R('d.supp / fa.c', 6)} AS confidence,
+       {R('d.supp * n_.n / (fa.c * fc.c)', 6)} AS lift,
+       {R('d.supp / n_.n - (fa.c / n_.n) * (fc.c / n_.n)', 6)} AS leverage
+FROM directed d
+JOIN freq fa ON fa.l_partkey = d.ante
+JOIN freq fc ON fc.l_partkey = d.cons
+CROSS JOIN n_
+"""
+
+
+@register("association_rules_confidence", _RULES_SQL)
+def association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules with confidence/lift/leverage.
+
+    Same Apriori discipline as frequent_itempairs
+    (plans/behavioral.py:593): only individually-frequent items enter
+    the basket self-join, so candidate volume is bounded by the support
+    threshold, not the raw basket width."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    bp = bp.cache()  # session-per-query (freq + join + basket count)
+    freq = (
+        bp.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .filter(F.col("c") >= _RULES_MINSUP)
+    )
+    fbp = bp.join(
+        F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi"
+    )
+    a, b = fbp.alias("a"), fbp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("supp"))
+        .filter(F.col("supp") >= _RULES_MINSUP)
+    )
+    n_ = bp.agg(F.count_distinct("l_orderkey").cast("double").alias("n"))
+    directed = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "supp"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "supp"
+        )
+    )
+    fa = freq.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))
+    fc = freq.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cc"))
+    return (
+        directed.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fc), "cons")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            F.col("ante").alias("antecedent"),
+            F.col("cons").alias("consequent"),
+            F.col("supp").cast("long").alias("support"),
+            dround(F.col("supp") / F.col("ca"), 6).alias("confidence"),
+            dround(
+                F.col("supp") * F.col("n") / (F.col("ca") * F.col("cc")), 6
+            ).alias("lift"),
+            dround(
+                F.col("supp") / F.col("n")
+                - (F.col("ca") / F.col("n")) * (F.col("cc") / F.col("n")),
+                6,
+            ).alias("leverage"),
+        )
+    )
+
+
+# ===========================================================================
+# Surprisal-based data pruning (the EL2N/perplexity-filter shape used by
+# every web-scale corpus build): score each document by mean token
+# surprisal under the corpus unigram LM, set the cutoff at the 0.9
+# quantile, and report per-language retention. The LM join is hint-free
+# (unbounded vocab grain); the cutoff is one 1-row quantile aggregate
+# (DuckDB quantile_cont == Spark percentile, same interpolation);
+# boundary comparisons run on the ROUNDED score so last-ULP
+# cross-engine drift cannot flip a doc across the cutoff.
+# ===========================================================================
+
+_PRUNE_Q = "0.9"
+
+_PRUNE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+lm AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT sum(cnt) AS n FROM lm),
+doc AS (
+    SELECT t.doc_id, t.lang,
+           {R("avg(-ln(CAST(lm.cnt AS DOUBLE) / total.n))", 6)} AS s
+    FROM tok t JOIN lm ON lm.tok = t.tok CROSS JOIN total
+    GROUP BY t.doc_id, t.lang
+),
+cut AS (SELECT {R(f'quantile_cont(s, {_PRUNE_Q})', 6)} AS cutoff FROM doc)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE d.s <= c.cutoff) AS BIGINT) AS n_kept,
+       {R('CAST(count(*) FILTER (WHERE d.s <= c.cutoff) AS DOUBLE)'
+          ' / count(*)', 6)} AS kept_frac,
+       {R('avg(d.s) FILTER (WHERE d.s <= c.cutoff)', 6)}
+           AS mean_surprisal_kept
+FROM doc d CROSS JOIN cut c
+GROUP BY d.lang
+"""
+
+
+@register("data_pruning_surprisal", _PRUNE_SQL)
+def data_pruning_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language retention after pruning the hardest 10% of docs by
+    unigram-LM mean surprisal (cutoff = global 0.9 quantile of the
+    ROUNDED doc score)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("n"))
+    surprisal = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    doc = (
+        tok.join(lm, "tok")  # hint-free: vocab grain grows with the corpus
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(dround(F.avg(surprisal), 6).alias("s"))
+    )
+    doc = doc.cache()  # session-per-query (cutoff + report branches)
+    cut = doc.agg(
+        dround(F.expr(f"percentile(s, {_PRUNE_Q})"), 6).alias("cutoff")
+    )
+    kept = F.col("s") <= F.col("cutoff")
+    return (
+        doc.crossJoin(F.broadcast(cut))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            dround(
+                F.sum(F.when(kept, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+            dround(F.avg(F.when(kept, F.col("s"))), 6).alias(
+                "mean_surprisal_kept"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Template detection via slot entropy: per source, the token entropy at
+# each of the first P token positions, averaged. Machine-generated /
+# templated sources repeat the same tokens in the same slots (low slot
+# entropy); organic text does not. The position grain is a CONSTANT
+# (P=8), so the per-(source, pos) distribution fits the standard
+# explode + two-level groupBy shape — codegen'd, map-side combined.
+# ===========================================================================
+
+_TPL_P = 8
+
+_TPL_SQL = f"""
+WITH tok AS (
+    SELECT source, pos, tok FROM (
+        SELECT source,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ) WHERE pos <= {_TPL_P}
+),
+slot AS (
+    SELECT source, pos, sum(c) AS np, sum(c * ln(c)) AS sum_c_ln_c
+    FROM (SELECT source, pos, tok, CAST(count(*) AS DOUBLE) AS c
+          FROM tok GROUP BY source, pos, tok)
+    GROUP BY source, pos
+),
+ent AS (
+    SELECT source, pos, ln(np) - sum_c_ln_c / np AS h FROM slot
+),
+docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY source)
+SELECT e.source, d.n_docs,
+       {R('avg(e.h)', 6)} AS avg_slot_entropy,
+       {R('min(e.h)', 6)} AS min_slot_entropy
+FROM ent e JOIN docs d ON d.source = e.source
+GROUP BY e.source, d.n_docs
+"""
+
+
+@register("template_slot_entropy", _TPL_SQL)
+def template_slot_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/min token entropy over the first 8 token slots per source."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.posexplode(F.slice(tokens(F.col("text")), 1, _TPL_P)).alias(
+                "p0", "tok"
+            ),
+        )
+        .select("source", (F.col("p0") + 1).alias("pos"), "tok")
+    )
+    ctok = tok.groupBy("source", "pos", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    slot = ctok.groupBy("source", "pos").agg(
+        F.sum("c").alias("np"),
+        F.sum(F.col("c") * F.log("c")).alias("sum_c_ln_c"),
+    )
+    ent = slot.select(
+        "source",
+        "pos",
+        (F.log("np") - F.col("sum_c_ln_c") / F.col("np")).alias("h"),
+    )
+    docs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        ent.join(docs, "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            dround(F.avg("h"), 6).alias("avg_slot_entropy"),
+            dround(F.min("h"), 6).alias("min_slot_entropy"),
+        )
+    )
+
+
+# ===========================================================================
+# Embedding outlier audit: cosine of every vector to its label centroid,
+# flagging vectors whose distance z-score (on the ROUNDED z) exceeds 2 —
+# the standard per-cluster mislabel/contamination sweep before training
+# on an embedded corpus. Everything is the relational dim-explode shape
+# (plans/linalg.py PCA discipline): (vec, dim) rows -> centroid per
+# (label, dim) -> dot/norm reductions per vec -> per-label moments.
+# No pairwise joins anywhere — O(n x d), not O(n^2).
+# ===========================================================================
+
+_OUTLIER_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, label, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+),
+cent AS (SELECT label, i, avg(x) AS m FROM ev GROUP BY label, i),
+cnorm AS (SELECT label, sqrt(sum(m * m)) AS nc FROM cent GROUP BY label),
+per_vec AS (
+    SELECT ev.vec_id, ev.label,
+           sum(ev.x * c.m) AS dot, sqrt(sum(ev.x * ev.x)) AS nv
+    FROM ev JOIN cent c ON c.label = ev.label AND c.i = ev.i
+    GROUP BY ev.vec_id, ev.label
+),
+dist AS (
+    SELECT p.vec_id, p.label,
+           1.0 - p.dot / (p.nv * cn.nc) AS dd
+    FROM per_vec p JOIN cnorm cn ON cn.label = p.label
+),
+mom AS (
+    SELECT label, avg(dd) AS mu, stddev_samp(dd) AS sd,
+           CAST(count(*) AS BIGINT) AS n_vecs, avg(1.0 - dd) AS mean_cos
+    FROM dist GROUP BY label
+)
+SELECT CAST(d.label AS BIGINT) AS label, m.n_vecs,
+       {R('m.mean_cos', 6)} AS mean_cos,
+       CAST(count(*) FILTER (
+           WHERE {R('(d.dd - m.mu) / m.sd', 6)} > 2.0) AS BIGINT)
+           AS n_outliers
+FROM dist d JOIN mom m ON m.label = d.label
+GROUP BY d.label, m.n_vecs, m.mean_cos
+"""
+
+
+@register("embedding_outlier_zscore", _OUTLIER_SQL)
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier counts by centroid-cosine z-score."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    ev = ev.cache()  # session-per-query (centroid + per-vec branches)
+    cent = ev.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    cent = cent.cache()  # session-per-query (norm + dot branches)
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nc")
+    )
+    per_vec = (
+        ev.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("m")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+        )
+    )
+    dist = per_vec.join(cnorm, "label").select(
+        "vec_id",
+        "label",
+        (F.lit(1.0) - F.col("dot") / (F.col("nv") * F.col("nc"))).alias("dd"),
+    )
+    dist = dist.cache()  # session-per-query (moments + flag branches)
+    mom = dist.groupBy("label").agg(
+        F.avg("dd").alias("mu"),
+        F.stddev_samp("dd").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg(F.lit(1.0) - F.col("dd")).alias("mean_cos"),
+    )
+    z = dround((F.col("dd") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        dist.join(mom, "label")
+        .groupBy(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            dround(F.col("mean_cos"), 6).alias("mean_cos"),
+        )
+        .agg(
+            F.sum(F.when(z > 2.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

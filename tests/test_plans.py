@@ -194,6 +194,16 @@ def test_projection_prunes_scan_columns(spark):
         "feature_hashing_trick",
         "doremi_mixture_weights",
         "cv_groupkfold_rmse",
+        # round-5 tier (plans/round5.py): all pure-relational
+        "sprt_sequential_monitor",
+        "wasserstein_1d_drift",
+        "cluster_eval_nmi_purity",
+        "rank_agreement_rbo",
+        "ips_offline_policy_value",
+        "association_rules_confidence",
+        "data_pruning_surprisal",
+        "template_slot_entropy",
+        "embedding_outlier_zscore",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -778,6 +788,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # queries' docstrings state as an explicit assumption.
     "ks_two_sample_drift": "distinct-measure-value grain (documented)",
     "auc_quality_gate": "distinct-score-value grain (documented)",
+    # round-5 additions
+    "wasserstein_1d_drift": "integer-dollar grid (price-range-bounded)",
+    "rank_agreement_rbo": "post-limit top-K frames (rank of K survivors)",
 }
 
 
