@@ -101,13 +101,18 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Apriori-pruned like `frequent_itempairs`; both pair directions are
     generated so the per-item top-k window sees every neighbor."""
     li = read_table(spark, sf_dir, "lineitem")
+    # bp feeds the item-frequency pass AND the pruned basket frame; fbp
+    # self-joins below — cache each so the distinct/semi-join chains run
+    # once, not per consumer.
     bp = li.select("l_orderkey", "l_partkey").distinct()
+    bp = bp.cache()  # session-per-query
     freq = (
         bp.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _CF_MINSUP)
     )
     fbp = bp.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
+    fbp = fbp.cache()  # session-per-query
     a, b = fbp.alias("a"), fbp.alias("b")
     co = (
         a.join(
