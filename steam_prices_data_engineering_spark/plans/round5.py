@@ -915,3 +915,186 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+# ===========================================================================
+# WoE / IV monotonic-risk binning (the credit-scoring / feature-audit
+# standard, Siddiqi 2006): Weight of Evidence and Information Value of a
+# fixed-width price binning against the returned-flag target.
+# Fixed-width bins (not data-dependent quantile edges) keep the bucket
+# definition a pure row expression — one map-side-combined pass; 0.5
+# Laplace smoothing keeps one-sided bins finite in both engines.
+# ===========================================================================
+
+_WOE_BIN_W = 10000.0  # dollars per bin, capped at bin 9
+_WOE_SMOOTH = "0.5"
+
+_WOE_SQL = f"""
+WITH b AS (
+    SELECT least(9, CAST(floor(l_extendedprice / {_WOE_BIN_W}) AS BIGINT))
+               AS bin,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS bad,
+           CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE)
+               AS good
+    FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(good) AS g, sum(bad) AS bd FROM b)
+SELECT b.bin,
+       CAST(b.good AS BIGINT) AS n_good,
+       CAST(b.bad AS BIGINT) AS n_bad,
+       {R(f'ln(((b.good + {_WOE_SMOOTH}) / t.g)'
+          f' / ((b.bad + {_WOE_SMOOTH}) / t.bd))', 6)} AS woe,
+       {R(f'(b.good / t.g - b.bad / t.bd)'
+          f' * ln(((b.good + {_WOE_SMOOTH}) / t.g)'
+          f' / ((b.bad + {_WOE_SMOOTH}) / t.bd))', 6)} AS iv_contrib
+FROM b CROSS JOIN t
+"""
+
+
+@register("woe_iv_binning", _WOE_SQL)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin WoE and IV contribution of the price binning vs returns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    smooth = float(_WOE_SMOOTH)
+    b = li.groupBy(
+        F.least(
+            F.lit(9), F.floor(F.col("l_extendedprice") / _WOE_BIN_W)
+        )
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        ).alias("bad"),
+        F.sum(
+            F.when(F.col("l_returnflag") != "R", 1.0).otherwise(0.0)
+        ).alias("good"),
+    )
+    t = b.agg(F.sum("good").alias("g"), F.sum("bad").alias("bd"))
+    woe = F.log(
+        ((F.col("good") + smooth) / F.col("g"))
+        / ((F.col("bad") + smooth) / F.col("bd"))
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("good").cast("long").alias("n_good"),
+        F.col("bad").cast("long").alias("n_bad"),
+        dround(woe, 6).alias("woe"),
+        dround(
+            (F.col("good") / F.col("g") - F.col("bad") / F.col("bd")) * woe,
+            6,
+        ).alias("iv_contrib"),
+    )
+
+
+# ===========================================================================
+# Temperature-scaled language sampling (the mT5 / XLM-R multilingual
+# mixture rule, alpha = 0.3): q_i proportional to p_i^alpha over
+# token-mass shares — low-resource languages upsampled, high-resource
+# flattened. One token-count pass (size(split), no explode) + bounded
+# language-grain normalization.
+# ===========================================================================
+
+_TEMP_ALPHA = "CAST(0.3 AS DOUBLE)"
+
+_TEMP_SQL = f"""
+WITH lt AS (
+    SELECT lang, CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+               AS n_tokens
+    FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n_tokens) AS n FROM lt),
+q AS (
+    SELECT lang, n_tokens, n_tokens / t.n AS p,
+           pow(n_tokens / t.n, {_TEMP_ALPHA}) AS raw
+    FROM lt CROSS JOIN t
+),
+z AS (SELECT sum(raw) AS z FROM q)
+SELECT q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       {R('q.p', 6)} AS p_raw,
+       {R('q.raw / z.z', 6)} AS q_alpha,
+       {R('(q.raw / z.z) / q.p', 6)} AS upsample_factor
+FROM q CROSS JOIN z
+"""
+
+
+@register("lang_sampling_temperature", _TEMP_SQL)
+def lang_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.3 temperature-scaled sampling weights per language."""
+    d = read_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("double").alias("n_tokens")
+    )
+    t = lt.agg(F.sum("n_tokens").alias("n"))
+    q = lt.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("n")).alias("p"),
+        F.pow(F.col("n_tokens") / F.col("n"), F.expr(_TEMP_ALPHA)).alias(
+            "raw"
+        ),
+    )
+    z = q.agg(F.sum("raw").alias("z"))
+    return q.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dround(F.col("p"), 6).alias("p_raw"),
+        dround(F.col("raw") / F.col("z"), 6).alias("q_alpha"),
+        dround((F.col("raw") / F.col("z")) / F.col("p"), 6).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+# ===========================================================================
+# Cross-source near-dup overlap matrix: the corpus-contamination audit —
+# which SOURCES duplicate each other, from the production MinHash-LSH
+# pair set (operators/dedup.py:minhash_lsh_pairs; the oracle replays the
+# same pipeline via registry._NEARDUP_MINHASH_SQL). Source pairs are
+# normalized (least/greatest) so the matrix is one deterministic
+# triangle; the doc->source attachment is two joins on the pair keys.
+# ===========================================================================
+
+
+def _overlap_sql() -> str:
+    from .registry import _NEARDUP_MINHASH_SQL
+
+    return f"""
+WITH pairs AS ({_NEARDUP_MINHASH_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {R('avg(p.jaccard)', 6)} AS mean_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_id_a
+JOIN documents db ON db.doc_id = p.doc_id_b
+GROUP BY 1, 2
+"""
+
+
+@register("source_overlap_matrix", _overlap_sql())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts and mean Jaccard per (source, source) cell."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            dround(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )

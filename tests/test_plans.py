@@ -204,6 +204,9 @@ def test_projection_prunes_scan_columns(spark):
         "data_pruning_surprisal",
         "template_slot_entropy",
         "embedding_outlier_zscore",
+        "woe_iv_binning",
+        "lang_sampling_temperature",
+        "source_overlap_matrix",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
