@@ -304,6 +304,29 @@ SHOWCASE: list[tuple[str, str]] = [
         "arithmetic on the bounded grid, and a broadcast join scores "
         "every fold's holdout in the second scan.",
     ),
+    (
+        "sprt_sequential_monitor",
+        "Group-sequential SPRT: one map-side-combined (variant, hour) "
+        "rollup over the event stream; the cumulative-LLR window is "
+        "PARTITIONED by variant over the calendar-bounded hour grain; "
+        "the decision is a 2-row aggregate. No fact-grain window, no "
+        "second scan.",
+    ),
+    (
+        "data_pruning_surprisal",
+        "LM-surprisal pruning: the token explode feeds ONE vocab "
+        "aggregate; the LM joins back HINT-FREE (unbounded vocab grain — "
+        "AQE picks broadcast vs shuffle by measured size); the 0.9-"
+        "quantile cutoff is a 1-row aggregate broadcast onto the doc "
+        "frame.",
+    ),
+    (
+        "embedding_outlier_zscore",
+        "Centroid-cosine outlier audit with NO pairwise join: (vec, dim) "
+        "explode -> (label, dim) centroid -> per-vec dot/norm reductions "
+        "-> label-grain moments. O(n x d) end to end; every join key is "
+        "(label[, dim]).",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
