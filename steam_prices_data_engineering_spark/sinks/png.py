@@ -108,75 +108,222 @@ COUNTRY_BOXES: dict[str, tuple[float, float, float, float]] = {
     "IND": (68.0, 97.0, 8.0, 35.0),
 }
 
-# Coarse country OUTLINES (lon, lat vertex rings; multi-ring = islands),
-# hand-digitized public-geography approximations (~10-25 vertices per
-# country, deliberately generous so each COUNTRY_BOXES center is
-# interior). This replaces the round-2 bounding-box fill with real
-# scanline-filled polygons — the reference's visual contract
-# (`world_map_transformer.py:214-254` draws naturalearth polygons); a
-# production deployment swaps this atlas for naturalearth WKT one-for-one
-# (the fill algorithm below consumes any ring list).
+# Country OUTLINES (lon, lat vertex rings; multi-ring = islands) —
+# hand-digitized public-geography approximations, densified in round 5
+# to ~25-60 vertices per ring (major capes, gulfs, peninsulas and land
+# borders traced; shared borders reuse identical vertex chains so
+# neighboring fills meet without gaps). This is the embedded-atlas
+# equivalent of the reference's naturalearth polygons
+# (`world_map_transformer.py:214-254`); a production deployment swaps
+# this atlas for naturalearth WKT one-for-one (the fill algorithm below
+# consumes any ring list). Each country's interior anchor for tests
+# lives in COUNTRY_LABEL_POINTS (box centers are NOT guaranteed
+# interior for concave coastlines — e.g. Japan's box center is in the
+# Sea of Japan).
 COUNTRY_POLYGONS: dict[str, list[list[tuple[float, float]]]] = {
-    "USA": [[(-124.0, 48.0), (-124.0, 40.0), (-120.0, 34.0), (-117.0, 32.0),
-             (-106.0, 31.0), (-103.0, 29.0), (-99.0, 27.0), (-97.0, 26.0),
-             (-94.0, 29.0), (-90.0, 29.0), (-84.0, 30.0), (-81.0, 25.0),
-             (-80.0, 27.0), (-76.0, 35.0), (-71.0, 41.0), (-67.0, 45.0),
-             (-69.0, 47.0), (-83.0, 46.0), (-95.0, 49.0)]],
-    "BRA": [[(-70.0, -4.0), (-60.0, 2.0), (-51.0, 4.0), (-44.0, -2.0),
-             (-35.0, -7.0), (-39.0, -13.0), (-39.0, -18.0), (-41.0, -23.0),
-             (-48.0, -26.0), (-53.0, -33.0), (-57.0, -30.0), (-58.0, -24.0),
-             (-58.0, -20.0), (-65.0, -10.0), (-70.0, -8.0)]],
-    "ARG": [[(-70.0, -22.0), (-62.0, -22.0), (-58.0, -27.0), (-58.0, -33.0),
-             (-62.0, -39.0), (-62.0, -41.0), (-65.0, -45.0), (-66.0, -49.0),
-             (-68.0, -52.0), (-65.0, -55.0), (-72.0, -54.0), (-72.0, -45.0),
-             (-70.0, -36.0), (-70.0, -30.0)]],
-    "GBR": [[(-5.5, 50.0), (-3.0, 51.0), (1.0, 51.0), (2.0, 52.5),
-             (0.0, 53.0), (-0.5, 54.5), (-1.5, 56.0), (-2.0, 57.5),
-             (-3.0, 58.5), (-5.0, 58.0), (-5.0, 56.5), (-3.5, 55.0),
-             (-4.5, 53.5), (-3.2, 53.0), (-5.5, 51.5)]],
-    "FRA": [[(-4.5, 48.5), (-1.5, 49.5), (1.5, 51.0), (4.0, 50.0),
-             (8.0, 49.0), (7.5, 47.5), (6.0, 46.0), (7.0, 43.5),
-             (3.0, 43.0), (0.0, 42.5), (-1.5, 43.5), (-1.0, 46.0),
-             (-4.5, 47.5)]],
-    "ESP": [[(-9.0, 43.0), (-7.5, 43.5), (-2.0, 43.5), (3.0, 42.0),
-             (0.0, 40.0), (0.5, 38.5), (-2.0, 36.5), (-5.5, 36.0),
-             (-7.0, 37.0), (-9.0, 38.5), (-8.5, 42.0)]],
-    "DEU": [[(6.0, 51.5), (7.0, 53.5), (9.0, 54.5), (11.0, 54.0),
-             (14.0, 54.0), (15.0, 51.0), (12.0, 50.0), (13.0, 48.5),
-             (10.0, 47.5), (7.5, 47.5), (8.0, 49.0), (6.0, 49.5)]],
-    "ITA": [[(7.0, 44.0), (9.0, 46.0), (13.5, 46.5), (13.5, 45.5),
-             (12.5, 44.0), (14.0, 42.5), (16.0, 41.5), (18.5, 40.0),
-             (16.5, 39.5), (16.0, 38.0), (15.5, 40.0), (14.0, 40.5),
-             (11.8, 41.8), (10.0, 43.0), (7.5, 43.5)],
-            # Sicily + Sardinia, coarse
-            [(12.5, 38.2), (15.5, 38.3), (15.0, 36.7), (12.8, 37.5)],
-            [(8.2, 41.2), (9.7, 41.0), (9.5, 39.0), (8.5, 39.0)]],
-    "SWE": [[(12.0, 58.0), (11.5, 59.5), (17.0, 60.5), (17.5, 61.0),
-             (20.0, 64.0), (22.0, 65.5), (23.5, 67.0), (20.0, 69.0),
-             (17.5, 68.0), (15.5, 66.5), (14.0, 64.0), (12.5, 61.0)]],
-    "NOR": [[(5.0, 58.0), (5.0, 61.0), (7.0, 63.0), (9.0, 65.0),
-             (12.0, 67.0), (15.0, 68.5), (19.0, 70.0), (25.0, 71.0),
-             (31.0, 70.5), (28.0, 69.0), (21.0, 67.5), (18.7, 64.8),
-             (15.0, 62.5), (10.0, 60.0), (7.0, 58.0)]],
-    "POL": [[(14.2, 53.8), (16.0, 54.5), (18.5, 54.8), (23.0, 54.2),
-             (24.0, 52.0), (23.5, 50.5), (21.0, 49.2), (19.0, 49.4),
-             (16.0, 50.2), (14.5, 51.0)]],
-    "JPN": [[(130.0, 31.0), (132.0, 34.0), (134.0, 35.5), (135.0, 36.5),
-             (136.0, 39.5), (138.0, 41.0), (140.0, 43.0), (142.5, 44.5),
-             (145.5, 44.2), (144.0, 42.5), (141.5, 41.0), (141.0, 38.5),
-             (140.3, 35.8), (138.5, 34.5), (135.5, 33.6), (132.5, 32.5),
-             (131.0, 30.6)]],
-    "CHN": [[(74.0, 38.0), (80.0, 45.0), (87.0, 49.0), (97.0, 43.0),
-             (110.0, 43.0), (117.0, 41.0), (124.0, 46.0), (131.0, 48.0),
-             (135.0, 48.5), (131.0, 43.0), (125.0, 40.0), (121.0, 37.0),
-             (119.0, 35.0), (121.0, 31.0), (118.0, 25.0), (112.0, 21.0),
-             (108.0, 21.5), (106.0, 23.0), (100.0, 22.0), (97.0, 25.0),
-             (92.0, 28.0), (85.0, 29.0), (79.0, 32.0), (75.0, 35.0)]],
-    "IND": [[(68.5, 23.5), (70.0, 21.0), (72.5, 19.0), (74.0, 15.0),
-             (76.0, 9.0), (78.0, 8.5), (80.0, 13.0), (82.0, 17.0),
-             (85.0, 19.5), (89.0, 21.5), (92.0, 22.0), (97.0, 28.0),
-             (94.0, 29.5), (88.0, 27.5), (84.0, 28.5), (80.0, 30.5),
-             (77.0, 33.0), (74.0, 34.5), (72.0, 31.0), (69.0, 27.0)]],
+    # Contiguous US: Pacific coast, Mexican border, Gulf coast, Florida,
+    # Atlantic seaboard, Maine, Great Lakes chain, the 49th parallel.
+    "USA": [[(-124.7, 48.4), (-124.4, 43.0), (-124.3, 40.3), (-120.6, 34.6),
+             (-117.1, 32.5), (-114.8, 32.5), (-111.0, 31.3), (-108.2, 31.3),
+             (-106.5, 31.8), (-103.0, 29.0), (-101.4, 29.8), (-99.1, 26.4),
+             (-97.1, 25.9), (-97.0, 28.0), (-93.8, 29.7), (-90.1, 29.1),
+             (-89.0, 30.2), (-85.0, 29.7), (-84.0, 30.1), (-82.6, 27.9),
+             (-81.8, 26.0), (-80.9, 25.1), (-80.0, 26.8), (-81.0, 29.5),
+             (-81.4, 30.7), (-79.0, 33.8), (-75.5, 35.2), (-76.0, 37.0),
+             (-74.0, 40.5), (-70.5, 41.7), (-70.8, 43.0), (-68.8, 44.8),
+             (-67.0, 45.2), (-69.0, 47.4), (-71.5, 45.0), (-75.0, 45.0),
+             (-76.8, 43.6), (-79.0, 43.3), (-82.4, 41.7), (-83.1, 42.3),
+             (-82.5, 45.3), (-84.8, 46.5), (-88.0, 48.3), (-90.0, 48.1),
+             (-95.2, 49.0), (-123.0, 49.0), (-123.2, 48.3)]],
+    # Brazil: Amazon mouth, the eastern bulge, the southern coast, the
+    # Paraguay/Bolivia/Peru borders, the Acre panhandle.
+    "BRA": [[(-69.9, -4.2), (-69.4, 0.6), (-67.0, 1.7), (-64.7, 4.1),
+             (-60.6, 5.2), (-59.5, 1.3), (-56.5, 1.9), (-54.0, 2.3),
+             (-51.7, 4.3), (-50.0, 0.0), (-48.5, -1.5), (-44.3, -2.5),
+             (-41.8, -2.9), (-38.5, -3.7), (-35.2, -5.5), (-34.8, -7.1),
+             (-35.0, -9.0), (-37.0, -11.0), (-38.5, -13.0), (-39.0, -17.5),
+             (-40.9, -21.3), (-43.2, -22.9), (-46.3, -24.0), (-48.5, -25.5),
+             (-48.6, -28.6), (-51.2, -30.0), (-53.4, -33.7), (-57.6, -30.2),
+             (-55.7, -28.2), (-54.6, -25.4), (-55.8, -22.3), (-57.9, -22.1),
+             (-58.0, -20.2), (-57.8, -17.5), (-60.2, -16.3), (-60.5, -13.8),
+             (-65.3, -11.5), (-69.5, -10.9), (-73.8, -7.3), (-70.0, -4.4)]],
+    # Argentina: Chaco north, Mesopotamia, Rio de la Plata, Patagonian
+    # Atlantic coast to Tierra del Fuego strait, the Andes border back north.
+    "ARG": [[(-66.3, -21.8), (-64.3, -22.8), (-62.3, -22.2), (-60.9, -23.9),
+             (-58.6, -24.8), (-57.6, -25.6), (-54.6, -25.6), (-53.8, -27.1),
+             (-55.0, -28.8), (-58.2, -32.5), (-58.4, -33.1), (-58.0, -34.8),
+             (-56.7, -36.3), (-62.3, -38.8), (-62.2, -40.8), (-65.1, -40.8),
+             (-65.0, -42.1), (-63.6, -42.6), (-65.3, -43.7), (-67.5, -46.0),
+             (-67.6, -47.8), (-69.0, -50.3), (-68.4, -52.3), (-71.9, -52.0),
+             (-71.7, -48.0), (-71.7, -44.0), (-71.9, -41.0), (-70.4, -36.2),
+             (-70.0, -33.3), (-69.8, -30.2), (-68.5, -24.8), (-67.3, -22.9)]],
+    # Great Britain: Land's End clockwise via Dover, the Wash, Scotland,
+    # the Irish Sea, Wales, the Bristol Channel.
+    "GBR": [[(-5.7, 50.1), (-4.5, 50.3), (-2.5, 50.6), (-0.8, 50.8),
+             (1.4, 51.2), (1.7, 52.5), (0.2, 52.9), (0.0, 53.5),
+             (-0.1, 54.1), (-1.3, 54.8), (-1.6, 55.6), (-2.6, 56.0),
+             (-2.0, 57.5), (-3.1, 58.5), (-5.0, 58.6), (-5.8, 57.9),
+             (-5.7, 56.9), (-5.6, 55.3), (-5.0, 54.8), (-3.2, 54.9),
+             (-3.2, 54.1), (-4.7, 53.3), (-4.1, 52.9), (-4.8, 52.8),
+             (-4.1, 52.3), (-5.3, 51.9), (-4.2, 51.7), (-3.1, 51.4),
+             (-4.2, 51.2)]],
+    # France hexagon: Channel coast, Brittany, Biscay, Pyrenees, the
+    # Mediterranean arc, the Alpine and Rhine borders.
+    "FRA": [[(2.5, 51.1), (1.6, 50.9), (0.2, 49.7), (-1.3, 49.7),
+             (-1.9, 49.7), (-1.6, 48.6), (-2.7, 48.6), (-4.8, 48.4),
+             (-4.3, 47.8), (-2.5, 47.3), (-1.2, 46.3), (-1.1, 45.6),
+             (-1.2, 44.2), (-1.4, 43.4), (0.7, 42.7), (2.0, 42.4),
+             (3.1, 42.4), (3.0, 43.1), (4.1, 43.5), (5.3, 43.3),
+             (6.6, 43.2), (7.5, 43.8), (7.0, 44.2), (6.8, 45.0),
+             (7.0, 45.9), (6.8, 46.4), (7.6, 47.6), (8.2, 48.9),
+             (6.6, 49.5), (6.2, 49.5), (4.9, 50.0), (4.2, 50.3)]],
+    # Iberia (Spain): Cantabrian coast, Catalonia, the Levante,
+    # Andalusia, the Portuguese border.
+    "ESP": [[(-8.9, 43.3), (-7.7, 43.8), (-5.8, 43.7), (-3.8, 43.5),
+             (-1.8, 43.4), (0.7, 42.7), (3.3, 42.3), (2.1, 41.3),
+             (0.5, 40.5), (-0.3, 39.5), (0.2, 38.8), (-0.5, 38.3),
+             (-2.4, 36.8), (-4.4, 36.7), (-5.3, 36.0), (-6.3, 36.5),
+             (-7.4, 37.2), (-7.4, 37.5), (-7.0, 38.9), (-7.2, 39.7),
+             (-6.8, 41.0), (-6.2, 41.6), (-6.6, 42.0), (-8.2, 42.1),
+             (-8.9, 41.9), (-8.7, 42.3)]],
+    # Germany: North Sea + Baltic coasts, the Oder-Neisse line, the
+    # Czech/Austrian/Swiss borders, the Rhine frontier.
+    "DEU": [[(7.0, 53.3), (8.5, 53.5), (8.9, 53.9), (8.6, 54.9),
+             (9.4, 54.8), (10.0, 54.5), (10.9, 53.9), (12.5, 54.4),
+             (13.4, 54.6), (14.2, 53.9), (14.6, 52.8), (14.6, 51.8),
+             (14.8, 50.9), (12.1, 50.3), (13.8, 48.7), (12.8, 48.5),
+             (12.9, 47.7), (11.0, 47.4), (10.2, 47.3), (9.6, 47.5),
+             (8.6, 47.8), (7.6, 47.6), (7.5, 48.9), (6.7, 49.2),
+             (6.1, 50.1), (6.0, 50.8), (5.9, 51.8), (6.8, 52.2),
+             (7.2, 53.3)]],
+    # Italy: the boot (Ligurian arc, Tyrrhenian coast, Calabrian toe,
+    # Taranto gulf, Adriatic back up to the Alps) + Sicily + Sardinia.
+    "ITA": [[(7.5, 43.8), (8.9, 44.4), (10.2, 43.9), (10.5, 42.9),
+             (11.1, 42.4), (11.8, 42.1), (13.6, 41.2), (14.3, 40.8),
+             (15.7, 39.9), (16.2, 38.9), (15.7, 37.9), (16.1, 37.9),
+             (16.6, 38.4), (17.1, 38.9), (16.5, 39.8), (17.2, 40.5),
+             (18.4, 39.8), (18.5, 40.1), (18.0, 40.7), (16.9, 41.1),
+             (16.2, 41.9), (15.4, 41.9), (14.7, 42.1), (13.6, 43.6),
+             (12.3, 44.4), (12.5, 45.5), (13.6, 45.8), (13.7, 46.5),
+             (12.4, 46.7), (11.1, 47.0), (10.0, 46.6), (9.0, 46.2),
+             (7.7, 45.9), (7.0, 45.2), (7.0, 44.2)],
+            [(12.4, 37.8), (13.3, 38.2), (14.3, 38.0), (15.6, 38.3),
+             (15.1, 36.7), (12.8, 37.6)],
+            [(8.2, 40.9), (9.2, 41.3), (9.6, 40.9), (9.8, 40.5),
+             (9.6, 39.2), (9.1, 39.2), (8.4, 38.9), (8.4, 39.8),
+             (8.2, 40.6)]],
+    # Sweden: Skagerrak, Scania, the Baltic coast up the Gulf of
+    # Bothnia, the Finnish border, the shared Scandinavian-ridge chain
+    # with Norway (identical vertices on both sides).
+    "SWE": [[(11.2, 59.1), (11.9, 57.4), (12.9, 55.4), (14.2, 55.4),
+             (14.7, 56.2), (16.0, 56.2), (16.7, 57.7), (17.1, 58.7),
+             (18.3, 59.4), (18.6, 60.2), (17.2, 60.7), (17.3, 61.7),
+             (18.5, 62.3), (19.3, 63.2), (20.9, 63.8), (22.3, 65.5),
+             (24.1, 65.8), (23.7, 66.5), (23.6, 67.4), (22.8, 68.4),
+             (20.5, 69.1), (20.0, 68.6), (18.1, 68.5), (16.7, 67.9),
+             (15.4, 66.6), (14.5, 65.3), (14.1, 64.2), (12.7, 64.0),
+             (12.1, 63.0), (12.3, 61.6), (12.9, 61.4), (12.2, 61.0),
+             (11.7, 59.9)]],
+    # Norway (mainland): Skagerrak, the fjord coast to Nordkapp, the
+    # Varanger fjord, then the Finnish/Swedish border chain south (the
+    # Swedish-border vertices are IDENTICAL to the Swedish ring's, so
+    # the two fills meet without gap or overlap).
+    "NOR": [[(8.0, 58.1), (7.0, 58.0), (5.5, 58.7), (5.0, 59.8),
+             (4.9, 61.0), (5.1, 62.0), (6.2, 62.5), (7.1, 63.0),
+             (9.5, 63.6), (11.0, 64.9), (12.2, 66.5), (13.5, 67.5),
+             (14.5, 68.2), (16.0, 68.4), (17.5, 69.0), (18.9, 69.7),
+             (21.5, 70.2), (24.0, 71.0), (25.8, 71.0), (27.5, 71.0),
+             (29.7, 70.7), (31.0, 70.4), (30.0, 69.8), (28.5, 69.2),
+             (27.0, 69.9), (25.8, 69.0), (23.9, 68.8), (21.9, 69.0),
+             (20.5, 69.1), (18.1, 68.5), (16.7, 67.9), (15.4, 66.6),
+             (14.5, 65.3), (14.1, 64.2), (12.7, 64.0), (12.1, 63.0),
+             (12.3, 61.6), (12.9, 61.4), (12.2, 61.0), (11.7, 59.9),
+             (11.2, 59.1), (9.6, 59.0)]],
+    # Poland: Baltic coast, the Kaliningrad/Lithuania/Belarus line, the
+    # Bug, the Carpathian and Sudetes borders, the Oder-Neisse line
+    # (identical vertices to the German ring).
+    "POL": [[(14.6, 52.8), (14.2, 53.9), (16.2, 54.3), (18.3, 54.8),
+             (19.6, 54.5), (22.8, 54.4), (23.5, 53.9), (23.9, 53.2),
+             (23.6, 52.6), (23.6, 52.0), (24.0, 50.8), (22.7, 49.6),
+             (22.6, 49.1), (21.0, 49.4), (20.1, 49.2), (18.8, 49.5),
+             (18.6, 49.9), (17.7, 50.3), (16.9, 50.4), (16.2, 50.7),
+             (15.0, 51.0), (14.8, 50.9), (14.6, 51.8)]],
+    # Japan: Honshu, Hokkaido, Kyushu, Shikoku (four rings).
+    "JPN": [[(140.9, 41.5), (141.5, 40.5), (141.7, 39.2), (141.0, 38.3),
+             (140.9, 35.7), (139.8, 34.9), (139.1, 35.2), (138.9, 34.6),
+             (137.0, 34.6), (136.5, 34.2), (135.8, 33.4), (135.1, 33.9),
+             (135.4, 34.6), (134.7, 34.8), (133.5, 34.4), (132.4, 34.3),
+             (130.9, 34.0), (130.9, 34.4), (132.1, 35.1), (133.1, 35.5),
+             (134.4, 35.6), (135.9, 35.6), (136.1, 36.2), (136.8, 37.4),
+             (137.3, 37.5), (138.5, 37.4), (139.4, 38.1), (140.0, 39.4),
+             (140.0, 40.4), (140.3, 41.2)],
+            [(140.4, 42.3), (140.7, 43.2), (141.7, 44.3), (141.9, 45.5),
+             (142.7, 44.8), (143.8, 44.1), (145.3, 44.3), (145.8, 43.4),
+             (144.3, 42.9), (143.2, 41.9), (142.0, 42.5), (140.9, 42.6)],
+            [(130.4, 33.9), (131.0, 33.6), (131.9, 32.8), (131.5, 31.6),
+             (130.7, 31.0), (130.2, 31.3), (130.2, 32.1), (129.8, 32.6),
+             (130.4, 33.1), (129.9, 33.4)],
+            [(132.8, 34.0), (134.6, 34.2), (134.7, 33.8), (134.2, 33.2),
+             (133.3, 33.4), (132.8, 32.8), (132.4, 33.0), (132.4, 33.4)]],
+    # China: the Pamir-Altai-Mongolia-Amur land border, the Yellow/East/
+    # South China Sea coast, the Indochina and Himalayan borders.
+    "CHN": [[(73.6, 39.5), (76.5, 40.4), (79.9, 42.0), (80.2, 45.1),
+             (82.3, 45.5), (85.5, 47.0), (87.3, 49.1), (90.9, 46.9),
+             (95.9, 44.3), (100.8, 42.6), (105.0, 41.6), (109.5, 42.5),
+             (111.9, 43.7), (116.6, 44.8), (119.7, 46.6), (117.4, 49.6),
+             (119.3, 50.3), (121.5, 53.3), (124.8, 53.2), (126.5, 52.8),
+             (127.5, 50.2), (130.5, 48.9), (133.1, 48.1), (134.7, 48.4),
+             (134.0, 47.2), (131.0, 45.3), (131.3, 44.0), (130.4, 42.7),
+             (129.7, 42.4), (128.0, 41.4), (126.0, 40.9), (124.4, 40.1),
+             (121.6, 38.9), (121.2, 40.9), (119.0, 39.8), (117.8, 39.0),
+             (118.0, 38.2), (119.2, 37.7), (120.4, 37.5), (122.5, 37.4),
+             (120.3, 36.1), (119.2, 34.8), (120.9, 32.6), (121.9, 31.3),
+             (121.1, 30.3), (121.9, 29.6), (121.5, 28.2), (120.3, 27.1),
+             (119.6, 25.7), (118.1, 24.5), (116.5, 23.4), (114.3, 22.5),
+             (113.5, 22.2), (112.0, 21.8), (110.4, 21.2), (109.7, 21.4),
+             (108.3, 21.5), (106.7, 22.8), (105.3, 23.2), (103.9, 22.5),
+             (102.1, 22.4), (101.8, 21.1), (100.1, 21.5), (99.2, 22.1),
+             (98.7, 24.1), (97.5, 24.7), (98.7, 27.5), (97.3, 28.2),
+             (96.1, 29.4), (94.6, 29.3), (92.1, 27.8), (89.5, 28.0),
+             (85.8, 28.2), (82.1, 30.1), (79.0, 31.4), (78.4, 32.5),
+             (78.9, 34.3), (77.8, 35.5), (75.9, 36.7), (74.6, 37.2)]],
+    # India: Kutch, the peninsular V (Konkan-Malabar down, Coromandel
+    # up), Bengal, the NE wing, the Himalayan arc, the western border.
+    "IND": [[(68.2, 23.7), (70.5, 22.9), (70.8, 20.7), (72.6, 21.7),
+             (72.8, 19.0), (73.5, 16.1), (74.4, 14.3), (74.9, 12.8),
+             (75.9, 11.4), (76.6, 9.5), (77.5, 8.1), (78.1, 8.9),
+             (79.3, 9.2), (79.9, 10.3), (80.3, 13.1), (80.3, 15.7),
+             (83.3, 17.7), (85.1, 19.5), (86.5, 20.1), (87.1, 21.7),
+             (88.1, 21.6), (88.1, 24.3), (88.7, 25.2), (88.1, 26.4),
+             (89.7, 26.2), (92.2, 25.0), (92.2, 24.1), (94.0, 23.9),
+             (94.6, 25.2), (95.2, 26.6), (97.0, 27.7), (96.1, 29.4),
+             (94.6, 29.3), (92.1, 27.8), (89.5, 28.0), (85.8, 28.2),
+             (82.1, 30.1), (79.0, 31.4), (78.4, 32.5), (78.9, 34.3),
+             (77.8, 35.5), (76.8, 34.7), (74.3, 34.8), (74.0, 33.2),
+             (74.6, 32.5), (74.5, 31.1), (73.9, 29.4), (72.3, 28.7),
+             (71.0, 27.9), (70.1, 26.6), (69.5, 26.8), (70.1, 25.7),
+             (70.9, 24.3), (68.8, 24.3)]],
+}
+
+# Guaranteed-interior anchor per country (roughly the naturalearth
+# label point): the test probe and any annotation layer use THESE, not
+# bounding-box centers — a box center can fall in the sea for concave
+# coastlines (Japan's is in the Sea of Japan, Norway's in Sweden).
+COUNTRY_LABEL_POINTS: dict[str, tuple[float, float]] = {
+    "USA": (-98.0, 39.0),
+    "BRA": (-52.0, -10.0),
+    "ARG": (-65.0, -35.0),
+    "GBR": (-1.5, 52.5),
+    "FRA": (2.5, 47.0),
+    "ESP": (-4.0, 40.0),
+    "DEU": (10.0, 51.0),
+    "ITA": (12.7, 42.6),
+    "SWE": (15.5, 60.0),
+    "NOR": (9.0, 61.0),
+    "POL": (19.0, 52.0),
+    "JPN": (139.5, 36.2),
+    "CHN": (105.0, 35.0),
+    "IND": (78.0, 23.0),
 }
 
 _OCEAN = (210, 228, 240)

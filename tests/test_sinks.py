@@ -94,7 +94,7 @@ def test_png_sink_renders_decodable_artifact(spark, tmp_path):
     assert blob.startswith(b"\x89PNG\r\n\x1a\n")
     # IHDR: the world-raster geometry, 8-bit RGB.
     from steam_prices_data_engineering_spark.sinks.png import (
-        COUNTRY_BOXES,
+        COUNTRY_LABEL_POINTS,
         WORLD_H,
         WORLD_W,
     )
@@ -117,10 +117,13 @@ def test_png_sink_renders_decodable_artifact(spark, tmp_path):
     # Mid-Pacific and mid-Atlantic are ocean; covered countries are not.
     assert pixel(-150, 0) == ocean and pixel(-30, 30) == ocean
     covered = {r.iso_a3 for r in df.select("iso_a3").collect()}
-    for iso3, (lon0, lon1, lat0, lat1) in COUNTRY_BOXES.items():
+    # Probe each country's INTERIOR label anchor (box centers can fall
+    # in the sea for concave coastlines — Japan's is in the Sea of
+    # Japan — so the round-5 high-fidelity atlas pairs each country
+    # with a guaranteed-interior point).
+    for iso3, (lon, lat) in COUNTRY_LABEL_POINTS.items():
         if iso3 in covered:
-            center = pixel((lon0 + lon1) / 2, (lat0 + lat1) / 2)
-            assert center != ocean, iso3
+            assert pixel(lon, lat) != ocean, iso3
 
 
 def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
