@@ -836,32 +836,64 @@ def _rebuild_bucketed(spark: SparkSession, sf_dir: str, name: str,
     session's default warehouse is cwd-relative and the driver's cwd is
     not guaranteed writable. The in-memory catalog forgets tables between
     sessions but the directory persists; clear a stale location before
-    rewriting so saveAsTable can't hit LOCATION_ALREADY_EXISTS."""
+    rewriting so saveAsTable can't hit LOCATION_ALREADY_EXISTS.
+
+    Concurrency: the landing is PER sf_dir (name suffix), so sessions on
+    different scale factors never touch each other's files — a shared
+    location let a sweep at sf0.01 rmtree the landing mid-read of a
+    pytest session at sf0.001 (observed: ROWCOUNT 0). Same-sf first
+    builds additionally serialize on an exclusive flock; once a landing
+    with a matching marker exists it is only ever REUSED, never
+    destroyed, so there is no rmtree path after first build."""
+    import fcntl
+    import os
+    import re
     import shutil
 
+    sfkey = re.sub(r"\W+", "_", sf_dir).strip("_")
+    name = f"{name}_{sfkey}"
     loc = f"/root/repo/.scratch/bucketed/{name}"
     marker = f"/root/repo/.scratch/bucketed/{name}.source"
-    same_source = False
-    try:
-        same_source = open(marker).read() == sf_dir
-    except OSError:
-        pass
-    if same_source and spark.catalog.tableExists(name):
+    lockpath = f"/root/repo/.scratch/bucketed/{name}.lock"
+    os.makedirs(os.path.dirname(lockpath), exist_ok=True)
+
+    def landed() -> bool:
+        try:
+            return open(marker).read() == sf_dir
+        except OSError:
+            return False
+
+    if landed() and spark.catalog.tableExists(name):
         return spark.table(name)
-    # A fresh session's catalog forgot the table (bucket metadata lives in
-    # the catalog, not the files), or the landing belongs to another
-    # sf_dir: rebuild.
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(loc, ignore_errors=True)
-    (
-        df.write.mode("overwrite")
-        .option("path", loc)
-        .bucketBy(8, key)
-        .sortBy(key)
-        .saveAsTable(name)
-    )
-    with open(marker, "w") as fh:
-        fh.write(sf_dir)
+    with open(lockpath, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if landed():
+            # Another process landed it (or this session's catalog merely
+            # forgot the table): register the EXISTING files via DDL —
+            # zero writes, so a concurrent reader's scan can never see a
+            # half-rewritten landing.
+            if not spark.catalog.tableExists(name):
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO 8 BUCKETS LOCATION '{loc}'"
+                )
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .option("path", loc)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
     return spark.table(name)
 
 
