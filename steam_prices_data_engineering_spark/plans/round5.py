@@ -1098,3 +1098,212 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+# ===========================================================================
+# Markov removal-effect attribution (Anderl et al. 2014 — the standard
+# data-driven alternative to position/Shapley heuristics): journeys are
+# per-user event runs split at purchases; a first-order transition
+# matrix over {start, channels..., conv, drop} is estimated from the
+# log; each channel's value is the drop in T-step absorbing conversion
+# probability when that channel's node is deleted (no renormalization —
+# lost mass becomes drop, per the method).
+#
+# Scale shape: journey/transition extraction is two user-partitioned
+# windows + one bounded (from, to) aggregate; the removal scenarios
+# enter as a COLUMN over the bounded edge frame (the ridge_lambda_sweep
+# discipline), so all |channels|+1 chains propagate together; the
+# absorption recursion is unrolled T=12 times over frames of
+# |scenarios| x |states| rows (tens). Both engines run the IDENTICAL
+# truncated recursion, so truncation cannot split them.
+# ===========================================================================
+
+_MKV_T = 12
+
+
+def _markov_removal_sql() -> str:
+    iters = []
+    for k in range(1, _MKV_T + 1):
+        iters.append(f"""
+a{k} AS (
+    SELECT t.rm, t.f AS state,
+           max(t.pc) + coalesce(sum(t.p * a.a), 0.0) AS a
+    FROM tmat t LEFT JOIN a{k - 1} a ON a.rm = t.rm AND a.state = t.t
+    GROUP BY t.rm, t.f
+)""")
+    return f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pj
+    FROM events
+),
+steps AS (
+    SELECT user_id, pj, event_type,
+           lag(event_type) OVER (PARTITION BY user_id, pj
+                                 ORDER BY ts, event_id) AS prev,
+           lead(event_type) OVER (PARTITION BY user_id, pj
+                                  ORDER BY ts, event_id) AS nxt
+    FROM ordered
+),
+raw_edges AS (
+    SELECT coalesce(prev, 'start') AS f,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS t
+    FROM steps
+    UNION ALL
+    SELECT event_type AS f, 'drop' AS t
+    FROM steps WHERE nxt IS NULL AND event_type <> 'purchase'
+),
+cnt AS (SELECT f, t, CAST(count(*) AS DOUBLE) AS c FROM raw_edges
+        GROUP BY f, t),
+prob AS (
+    SELECT f, t, c / sum(c) OVER (PARTITION BY f) AS p FROM cnt
+),
+chan AS (SELECT DISTINCT t AS ch FROM prob WHERE t NOT IN ('conv', 'drop')),
+scen AS (SELECT 'none' AS rm FROM (VALUES (1)) UNION ALL SELECT ch FROM chan),
+-- per-scenario surviving edges, pre-split into conv mass vs transient
+-- mass. MATERIALIZED: the recursion references tmat T+1 times and
+-- DuckDB inlines plain CTEs, which would re-run the window pipeline
+-- per reference (probed: ~11 s -> ~1 s at sf0.001 with the hint).
+tmat AS MATERIALIZED (
+    SELECT s.rm, p.f,
+           CASE WHEN p.t IN ('conv', 'drop') THEN NULL ELSE p.t END AS t,
+           CASE WHEN p.t IN ('conv', 'drop') THEN 0.0 ELSE p.p END AS p,
+           CASE WHEN p.t = 'conv' THEN p.p ELSE 0.0 END AS pc
+    FROM prob p CROSS JOIN scen s
+    WHERE p.f <> s.rm AND p.t <> s.rm
+),
+a0 AS (
+    SELECT rm, f AS state, sum(pc) AS a FROM tmat GROUP BY rm, f
+),
+{", ".join(iters)},
+full_ AS (SELECT a AS p_full FROM a{_MKV_T} WHERE rm = 'none'
+          AND state = 'start'),
+rem AS (
+    SELECT a.rm AS channel,
+           greatest(0.0, 1.0 - a.a / nullif(f_.p_full, 0.0)) AS re,
+           f_.p_full
+    FROM a{_MKV_T} a CROSS JOIN full_ f_
+    WHERE a.rm <> 'none' AND a.state = 'start'
+),
+z AS (SELECT sum(re) AS z FROM rem)
+SELECT r.channel,
+       {R('r.re', 6)} AS removal_effect,
+       {R('r.re / nullif(z.z, 0.0)', 6)} AS attribution_share,
+       {R('r.p_full', 6)} AS p_conv_full
+FROM rem r CROSS JOIN z
+"""
+
+
+@register("attribution_markov_removal", _markov_removal_sql())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect channel attribution from the journey Markov chain."""
+    e = read_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(wseq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("pj"),
+    )
+    wj = Window.partitionBy("user_id", "pj").orderBy("ts", "event_id")
+    steps = ordered.select(
+        "event_type",
+        F.lag("event_type").over(wj).alias("prev"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    steps = steps.cache()  # session-per-query (two edge branches)
+    edges1 = steps.select(
+        F.coalesce(F.col("prev"), F.lit("start")).alias("f"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    drops = steps.filter(
+        F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("f"), F.lit("drop").alias("t"))
+    cnt = (
+        edges1.unionAll(drops)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wf = Window.partitionBy("f")
+    prob = cnt.select(
+        "f", "t", (F.col("c") / F.sum("c").over(wf)).alias("p")
+    )
+    prob = prob.cache()  # session-per-query (scenario + channel branches)
+    chan = prob.filter(~F.col("t").isin("conv", "drop")).select(
+        F.col("t").alias("rm")
+    ).distinct()
+    scen = spark.range(1).select(F.lit("none").alias("rm")).unionAll(chan)
+    transient = ~F.col("t").isin("conv", "drop")
+    tmat = (
+        prob.crossJoin(F.broadcast(scen))
+        .filter((F.col("f") != F.col("rm")) & (F.col("t") != F.col("rm")))
+        .select(
+            "rm",
+            "f",
+            F.when(transient, F.col("t")).alias("tt"),
+            F.when(transient, F.col("p")).otherwise(0.0).alias("p"),
+            F.when(F.col("t") == "conv", F.col("p")).otherwise(0.0).alias("pc"),
+        )
+    )
+    # The transition matrix is BOUNDED (|scenarios| x |states|^2 — tens
+    # of rows at any corpus size), so the T-step recursion is a
+    # bounded driver-coordination point, same discipline as the k-means
+    # centroid / BPE argmax loops: collect the matrix ONCE, iterate the
+    # absorption update in Python (deterministic term order), and emit
+    # the |channels|-row result through dround literals. In-engine
+    # variants were measured first: 12 nested lazy aggregate-joins paid
+    # ~70 s of plan analysis at sf0.001, and eager per-iteration
+    # localCheckpoints still paid ~2 s of job overhead per step for
+    # 25-row frames.
+    rows = tmat.collect()
+    pc: dict[tuple[str, str], float] = {}
+    trans: dict[tuple[str, str], list[tuple[str, float]]] = {}
+    for r in rows:
+        key = (r["rm"], r["f"])
+        pc[key] = pc.get(key, 0.0) + r["pc"]
+        if r["tt"] is not None:
+            trans.setdefault(key, []).append((r["tt"], r["p"]))
+    for key in trans:
+        trans[key].sort()  # deterministic accumulation order
+    a = dict(pc)
+    for _ in range(_MKV_T):
+        a = {
+            (rm, s): pc[(rm, s)]
+            + sum(
+                p * a.get((rm, t2), 0.0) for t2, p in trans.get((rm, s), ())
+            )
+            for (rm, s) in pc
+        }
+    p_full = a.get(("none", "start"), 0.0)
+    chans = sorted({rm for (rm, _s) in pc if rm != "none"})
+    re = {
+        c: max(0.0, 1.0 - a.get((c, "start"), 0.0) / p_full)
+        if p_full
+        else None
+        for c in chans
+    }
+    z = sum(v for v in re.values() if v is not None)
+    out = spark.createDataFrame(
+        [(c, re[c], p_full) for c in chans],
+        "channel string, re double, p_full double",
+    )
+    return out.select(
+        "channel",
+        dround(F.col("re"), 6).alias("removal_effect"),
+        dround(F.col("re") / F.nullif(F.lit(z), F.lit(0.0)), 6).alias(
+            "attribution_share"
+        ),
+        dround(F.col("p_full"), 6).alias("p_conv_full"),
+    )

@@ -190,3 +190,16 @@ def test_ips_snips_relationship(spark):
     # SNIPS stays within the reward range while IPS may not
     assert row.snips_value > 0
     assert row.ips_value > 0
+
+
+def test_markov_removal_shares_normalize(spark):
+    rows = registry.queries()["attribution_markov_removal"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 4  # the four non-converting channels
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert 0.0 < r.p_conv_full <= 1.0
+    # every channel's removal hurts conversion on this fixture
+    assert all(r.removal_effect > 0 for r in rows)
