@@ -1307,3 +1307,274 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround(F.col("p_full"), 6).alias("p_conv_full"),
     )
+
+
+# ===========================================================================
+# Multiple-testing control (Benjamini-Hochberg 1995, FDR q = 0.10):
+# per-segment two-sided z-tests (large-sample Welch) with the BH step-up
+# over the BOUNDED segment grain. The normal-tail p-value is the
+# Abramowitz-Stegun 7.1.26 erf polynomial emitted as ONE SQL fragment
+# both engines evaluate (the linalg shared-string discipline); ranks
+# and the step-up compare use ROUNDED p so a last-ULP engine difference
+# cannot reorder the ranking or flip a rejection.
+# ===========================================================================
+
+_BH_Q = "0.10"
+
+
+def _sql_pvalue_two_sided(az: str) -> str:
+    """Two-sided normal p-value 1 - erf(|z|/sqrt(2)) via the A&S 7.1.26
+    polynomial (|error| < 1.5e-7 — far inside dround(6))."""
+    x = f"(({az}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    return f"(({poly}) * exp(-{x} * {x}))"
+
+
+_BH_SQL = f"""
+WITH agg AS (
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS na,
+           sum(value) FILTER (WHERE user_id % 2 = 0) AS sa,
+           sum(value * value) FILTER (WHERE user_id % 2 = 0) AS qa,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS nb,
+           sum(value) FILTER (WHERE user_id % 2 = 1) AS sb,
+           sum(value * value) FILTER (WHERE user_id % 2 = 1) AS qb
+    FROM events GROUP BY event_type
+),
+zs AS (
+    SELECT event_type,
+           abs((sa / na - sb / nb) /
+               sqrt((qa - sa * sa / na) / (na - 1) / na
+                    + (qb - sb * sb / nb) / (nb - 1) / nb)) AS az
+    FROM agg
+),
+ps AS (
+    SELECT event_type, az,
+           {R(_sql_pvalue_two_sided("az"), 6)} AS p_value
+    FROM zs
+),
+ranked AS (
+    SELECT event_type, az, p_value,
+           CAST(row_number() OVER (ORDER BY p_value, event_type) AS BIGINT)
+               AS p_rank,
+           CAST(count(*) OVER () AS DOUBLE) AS m
+    FROM ps
+),
+cut AS (
+    SELECT *,
+           {R(f'p_rank * {_BH_Q} / m', 6)} AS bh_crit,
+           max(CASE WHEN p_value <= {R(f'p_rank * {_BH_Q} / m', 6)}
+                    THEN p_rank END) OVER () AS k
+    FROM ranked
+)
+SELECT event_type, {R('az', 4)} AS z_abs, p_value, p_rank, bh_crit,
+       coalesce(p_rank <= k, FALSE) AS rejected
+FROM cut
+"""
+
+
+@register("ab_benjamini_hochberg", _BH_SQL)
+def ab_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up over per-event-type z-tests (even/odd user arms).
+
+    One conditional-sum fact pass (the ab_test_welch monoid columns);
+    everything after runs on the bounded segment grain — the global
+    windows cover |event-type vocabulary| rows (census-allowlisted)."""
+    e = read_table(spark, sf_dir, "events")
+    arm_a = F.col("user_id") % 2 == 0
+
+    def cs(cond, col):
+        return F.sum(F.when(cond, col))
+
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(arm_a, F.lit(1))).cast("double").alias("na"),
+        cs(arm_a, F.col("value")).alias("sa"),
+        cs(arm_a, F.col("value") * F.col("value")).alias("qa"),
+        F.count(F.when(~arm_a, F.lit(1))).cast("double").alias("nb"),
+        cs(~arm_a, F.col("value")).alias("sb"),
+        cs(~arm_a, F.col("value") * F.col("value")).alias("qb"),
+    )
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    az = F.abs(
+        (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+        / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    )
+    ps = agg.select(
+        "event_type",
+        az.alias("az"),
+    ).select(
+        "event_type",
+        "az",
+        dround(F.expr(_sql_pvalue_two_sided("az")), 6).alias("p_value"),
+    )
+    wall = Window.orderBy("p_value", "event_type")
+    ranked = ps.select(
+        "event_type",
+        "az",
+        "p_value",
+        F.row_number().over(wall).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("double").alias("m"),
+    )
+    q = float(_BH_Q)
+    crit = dround(F.col("p_rank") * q / F.col("m"), 6)
+    cut = ranked.select(
+        "event_type",
+        "az",
+        "p_value",
+        "p_rank",
+        crit.alias("bh_crit"),
+        F.max(
+            F.when(F.col("p_value") <= crit, F.col("p_rank"))
+        ).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+    )
+    return cut.select(
+        "event_type",
+        dround(F.col("az"), 4).alias("z_abs"),
+        "p_value",
+        "p_rank",
+        "bh_crit",
+        F.coalesce(F.col("p_rank") <= F.col("k"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+# ===========================================================================
+# Vocabulary-coverage sweep: token coverage of the top-V vocabulary at
+# nested sizes — the vocab-size-selection curve before committing a
+# tokenizer. One token pass builds the frequency table; the candidate
+# set is orderBy().limit(max V) (TakeOrderedAndProject, never a global
+# sort over the Heaps'-law vocab); the rank/cumulative windows run on
+# the max-V-row survivor frame (census: post-limit top-K).
+# ===========================================================================
+
+_VOCAB_SWEEP = (2, 4, 8, 16)  # fixture vocab is ~31 distinct tokens
+
+_VOCAB_SWEEP_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+tot AS (
+    SELECT sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_distinct FROM freq
+),
+top AS (
+    SELECT tok, cnt,
+           row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+    FROM freq QUALIFY r <= {max(_VOCAB_SWEEP)}
+),
+cum AS (
+    SELECT r, sum(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cov
+    FROM top
+)
+SELECT CAST(c.r AS BIGINT) AS vocab_size,
+       {R('c.cov / t.n', 6)} AS coverage,
+       t.n_distinct AS distinct_tokens,
+       CAST(t.n AS BIGINT) AS total_tokens
+FROM cum c CROSS JOIN tot t
+WHERE c.r IN ({", ".join(str(v) for v in _VOCAB_SWEEP)})
+"""
+
+
+@register("vocab_coverage_sweep", _VOCAB_SWEEP_SQL)
+def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V token coverage at V in (2, 4, 8, 16)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    freq = freq.cache()  # session-per-query (totals + top-K branches)
+    tot = freq.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    kmax = max(_VOCAB_SWEEP)
+    top = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(kmax)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    wc = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = top.select("cnt", F.row_number().over(w).alias("r")).select(
+        "r", F.sum("cnt").over(wc).alias("cov")
+    )
+    return (
+        cum.filter(F.col("r").isin(*_VOCAB_SWEEP))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("vocab_size"),
+            dround(F.col("cov") / F.col("n"), 6).alias("coverage"),
+            F.col("n_distinct").alias("distinct_tokens"),
+            F.col("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ===========================================================================
+# Mergeable quantile-sketch rollup: ONE pass computes per-segment AND
+# grand-total approximate medians via GROUP BY ROLLUP — the grand-total
+# row is the engine MERGING the per-segment sketch partials, which is
+# exactly what a 100 TB hierarchy rollup needs (re-aggregating raw data
+# per level would be L fact scans). Sketch values are not bit-portable
+# across engines, so the oracle asserts the exact companions plus
+# bracket booleans (the approx_aggregates discipline); the exact
+# percentiles ride a SEPARATE rollup so the sketch aggregate keeps its
+# mergeable partial-agg fast path.
+# ===========================================================================
+
+_QSK_SQL = f"""
+WITH ex AS (
+    SELECT coalesce(event_type, 'ALL') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {R('quantile_cont(value, 0.5)', 6)} AS p50_exact,
+           quantile_cont(value, 0.45) AS lo,
+           quantile_cont(value, 0.55) AS hi
+    FROM events GROUP BY ROLLUP (event_type)
+)
+SELECT segment, n_events, p50_exact, TRUE AS p50_sketch_ok FROM ex
+"""
+
+
+@register("quantile_sketch_rollup", _QSK_SQL)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment + grand-total median sketches from one rollup pass,
+    bracket-checked against exact companions."""
+    e = read_table(spark, sf_dir, "events")
+    sk = e.rollup("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_sketch")
+    )
+    ex = e.rollup("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dround(F.expr("percentile(value, 0.5D)"), 6).alias("p50_exact"),
+        F.expr("percentile(value, 0.45D)").alias("_lo"),
+        F.expr("percentile(value, 0.55D)").alias("_hi"),
+    )
+    seg = lambda df: df.select(  # noqa: E731
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("segment"),
+        *[c for c in df.columns if c != "event_type"],
+    )
+    both = seg(sk).join(seg(ex), "segment")
+    return both.select(
+        "segment",
+        "n_events",
+        "p50_exact",
+        F.coalesce(
+            F.col("_p50_sketch").between(F.col("_lo"), F.col("_hi")),
+            F.lit(True),
+        ).alias("p50_sketch_ok"),
+    )

@@ -207,6 +207,9 @@ def test_projection_prunes_scan_columns(spark):
         "woe_iv_binning",
         "lang_sampling_temperature",
         "source_overlap_matrix",
+        "ab_benjamini_hochberg",
+        "vocab_coverage_sweep",
+        "quantile_sketch_rollup",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -794,6 +797,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # round-5 additions
     "wasserstein_1d_drift": "integer-dollar grid (price-range-bounded)",
     "rank_agreement_rbo": "post-limit top-K frames (rank of K survivors)",
+    "ab_benjamini_hochberg": "segment grain (bounded event-type vocabulary)",
+    "vocab_coverage_sweep": "post-limit top-K frame",
 }
 
 
