@@ -146,6 +146,18 @@ def main() -> None:
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # CPU-speed canary: a FIXED data-independent JVM workload (sum over
+    # a 200M-row range, min of 2). Hypervisor steal on this VM is
+    # invisible in loadavg and skews wall time 2-3x between rounds;
+    # dividing any cross-round per-query ratio by the canary ratio
+    # separates code regressions from environment drift.
+    canary = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, 200_000_000).selectExpr("sum(id)").collect()
+        el = time.time() - t0
+        canary = el if canary is None else min(canary, el)
+
     qs = registry.queries()
 
     # Warm-up: run every benchmark plan once at the smallest scale factor so
@@ -186,6 +198,9 @@ def main() -> None:
         # near load 0).
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "load_avg_start": load_start,
+        # Fixed-work canary seconds (see above): compare across rounds
+        # to normalize for machine-speed drift before reading ratios.
+        "canary_sec": round(canary, 3),
     }
     # The differ is an auxiliary diagnostic: it must never be able to
     # destroy the run's one contractual stdout JSON line.
