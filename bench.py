@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "doremi_mixture_weights",
     "cv_groupkfold_rmse",
     "target_encoding_loo",
+    # round-5 tier: the heavier representatives (journey-window Markov
+    # attribution, the LSH-composed source matrix, the Apriori rule
+    # lattice, the LM-scored pruning pass, the hourly SPRT rollup)
+    "attribution_markov_removal",
+    "source_overlap_matrix",
+    "association_rules_confidence",
+    "data_pruning_surprisal",
+    "sprt_sequential_monitor",
 ]
 
 

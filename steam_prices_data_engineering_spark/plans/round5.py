@@ -1578,3 +1578,196 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("p50_sketch_ok"),
     )
+
+
+# ===========================================================================
+# Coarsened exact matching ATT (Iacus, King & Porro 2012): treatment =
+# "user has a signup event"; outcome = total purchase value; covariates
+# (activity count, mean event value) are COARSENED into fixed-width
+# strata, unmatched strata are pruned, and the ATT is the
+# treated-weighted average of within-stratum outcome differences.
+# Everything is two bounded aggregates over one user-grain rollup —
+# matching never generates pairs, so there is no join explosion at any
+# scale (the blocking key IS the stratum).
+# ===========================================================================
+
+_CEM_SQL = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(count(*) AS DOUBLE) AS n_ev,
+           avg(value) AS avg_v,
+           CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS treated,
+           sum(CASE WHEN event_type = 'purchase' THEN value
+                    ELSE 0.0 END) AS outcome
+    FROM events GROUP BY user_id
+),
+strata AS (
+    SELECT least(4, CAST(floor(n_ev / 40) AS BIGINT)) AS s_act,
+           least(4, CAST(floor(avg_v / 4) AS BIGINT)) AS s_val,
+           treated, outcome
+    FROM u
+),
+cell AS (
+    SELECT s_act, s_val,
+           CAST(count(*) FILTER (WHERE treated = 1) AS DOUBLE) AS nt,
+           CAST(count(*) FILTER (WHERE treated = 0) AS DOUBLE) AS nc,
+           avg(outcome) FILTER (WHERE treated = 1) AS mt,
+           avg(outcome) FILTER (WHERE treated = 0) AS mc
+    FROM strata GROUP BY s_act, s_val
+),
+matched AS (SELECT * FROM cell WHERE nt > 0 AND nc > 0)
+SELECT CAST(sum(nt) AS BIGINT) AS n_treated_matched,
+       CAST(sum(nc) AS BIGINT) AS n_control_matched,
+       CAST((SELECT count(*) FROM cell WHERE nt > 0 AND nc = 0) AS BIGINT)
+           AS n_strata_pruned,
+       {R('sum(nt * (mt - mc)) / sum(nt)', 4)} AS att
+FROM matched
+"""
+
+
+@register("cem_att_estimate", _CEM_SQL)
+def cem_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEM average-treatment-effect-on-treated over coarsened strata."""
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ev"),
+        F.avg("value").alias("avg_v"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).cast("long").alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("outcome"),
+    )
+    strata = u.select(
+        F.least(F.lit(4), F.floor(F.col("n_ev") / 40))
+        .cast("long")
+        .alias("s_act"),
+        F.least(F.lit(4), F.floor(F.col("avg_v") / 4))
+        .cast("long")
+        .alias("s_val"),
+        "treated",
+        "outcome",
+    )
+    t1 = F.col("treated") == 1
+    cell = strata.groupBy("s_act", "s_val").agg(
+        F.count(F.when(t1, F.lit(1))).cast("double").alias("nt"),
+        F.count(F.when(~t1, F.lit(1))).cast("double").alias("nc"),
+        F.avg(F.when(t1, F.col("outcome"))).alias("mt"),
+        F.avg(F.when(~t1, F.col("outcome"))).alias("mc"),
+    )
+    cell = cell.cache()  # session-per-query (matched + pruned branches)
+    matched = cell.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    pruned = cell.filter((F.col("nt") > 0) & (F.col("nc") == 0)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_pruned")
+    )
+    return (
+        matched.agg(
+            F.sum("nt").cast("long").alias("n_treated_matched"),
+            F.sum("nc").cast("long").alias("n_control_matched"),
+            dround(
+                F.sum(F.col("nt") * (F.col("mt") - F.col("mc")))
+                / F.sum("nt"),
+                4,
+            ).alias("att"),
+        )
+        .crossJoin(F.broadcast(pruned))
+        .select(
+            "n_treated_matched",
+            "n_control_matched",
+            "n_strata_pruned",
+            "att",
+        )
+    )
+
+
+# ===========================================================================
+# Sharp regression discontinuity (Imbens & Lemieux 2008): local linear
+# fits on each side of a price cutoff within a fixed bandwidth, effect =
+# the jump between the two intercepts AT the cutoff. Each side's
+# (a, b) solves the 2x2 normal equations from five monoid sums — ONE
+# conditional-sum fact pass computes both fits, no sorting, no windows.
+# ===========================================================================
+
+_RDD_CUT = 150000.0
+_RDD_BW = 60000.0
+
+_RDD_SQL = f"""
+WITH w AS (
+    SELECT o_totalprice - {_RDD_CUT} AS x,
+           CAST(o_orderpriority = '1-URGENT' AS DOUBLE) AS y,
+           (o_totalprice >= {_RDD_CUT}) AS rt
+    FROM orders
+    WHERE o_totalprice >= {_RDD_CUT} - {_RDD_BW}
+      AND o_totalprice < {_RDD_CUT} + {_RDD_BW}
+),
+s AS (
+    SELECT rt, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+           sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+    FROM w GROUP BY rt
+),
+fit AS (
+    SELECT rt,
+           n,
+           (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS a,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+    FROM s
+)
+SELECT CAST(l.n AS BIGINT) AS n_left, CAST(r.n AS BIGINT) AS n_right,
+       {R('l.a', 6)} AS intercept_left,
+       {R('r.a', 6)} AS intercept_right,
+       {R('r.a - l.a', 6)} AS rdd_effect,
+       {R('l.b * 1000', 6)} AS slope_left_per_k,
+       {R('r.b * 1000', 6)} AS slope_right_per_k
+FROM (SELECT * FROM fit WHERE NOT rt) l
+CROSS JOIN (SELECT * FROM fit WHERE rt) r
+"""
+
+
+@register("regression_discontinuity", _RDD_SQL)
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RDD at the price cutoff: urgent-priority share jump."""
+    o = read_table(spark, sf_dir, "orders")
+    w = o.filter(
+        (F.col("o_totalprice") >= _RDD_CUT - _RDD_BW)
+        & (F.col("o_totalprice") < _RDD_CUT + _RDD_BW)
+    ).select(
+        (F.col("o_totalprice") - _RDD_CUT).alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("double")
+        .alias("y"),
+        (F.col("o_totalprice") >= _RDD_CUT).alias("rt"),
+    )
+    s = w.groupBy("rt").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = s.select(
+        "rt",
+        "n",
+        ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / det)
+        .alias("a"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det)
+        .alias("b"),
+    )
+    left = fit.filter(~F.col("rt")).select(
+        F.col("n").alias("nl"), F.col("a").alias("al"), F.col("b").alias("bl")
+    )
+    right = fit.filter(F.col("rt")).select(
+        F.col("n").alias("nr"), F.col("a").alias("ar"), F.col("b").alias("br")
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        dround(F.col("al"), 6).alias("intercept_left"),
+        dround(F.col("ar"), 6).alias("intercept_right"),
+        dround(F.col("ar") - F.col("al"), 6).alias("rdd_effect"),
+        dround(F.col("bl") * 1000, 6).alias("slope_left_per_k"),
+        dround(F.col("br") * 1000, 6).alias("slope_right_per_k"),
+    )

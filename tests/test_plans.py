@@ -210,6 +210,8 @@ def test_projection_prunes_scan_columns(spark):
         "ab_benjamini_hochberg",
         "vocab_coverage_sweep",
         "quantile_sketch_rollup",
+        "cem_att_estimate",
+        "regression_discontinuity",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
