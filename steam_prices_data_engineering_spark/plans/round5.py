@@ -1,7 +1,12 @@
-"""Round-5 extension operators: sequential experimentation, distribution
-drift, clustering/ranking evaluation, off-policy evaluation, association
-rules, LM-surprisal data pruning, template detection, and embedding
-outlier auditing.
+"""Round-5 extension operators: sequential experimentation (SPRT,
+BH-FDR), distribution drift (1-D Wasserstein), clustering/ranking
+evaluation (NMI/purity, RBO), off-policy evaluation (IPS/SNIPS),
+association rules, LM-surprisal data pruning, template detection,
+embedding outlier auditing, WoE/IV feature binning, temperature-scaled
+language sampling, the cross-source near-dup overlap matrix, Markov
+removal-effect attribution, vocab-coverage sweeps, mergeable
+quantile-sketch rollups, and observational causal inference (CEM
+matching, sharp RDD).
 
 Each operator is the Spark-first relational reduction of a standard
 large-scale data-pipeline job, with the same scale discipline as the
