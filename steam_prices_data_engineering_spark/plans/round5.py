@@ -1776,3 +1776,153 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("bl") * 1000, 6).alias("slope_left_per_k"),
         dround(F.col("br") * 1000, 6).alias("slope_right_per_k"),
     )
+
+
+# ===========================================================================
+# LSH parameter planner: the S-curve P(candidate | s) = 1 - (1 - s^r)^b
+# for each (bands, rows) configuration of a 16-signature MinHash budget,
+# evaluated over a similarity grid — with each config's 50%-threshold
+# approximation (1/b)^(1/r). The design table every LSH deployment reads
+# before picking (b, r); pure arithmetic over a constant grid (no fact
+# scan at all), generated identically in both engines.
+# ===========================================================================
+
+_LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # (bands, rows): b*r = 16
+_LSH_GRID = tuple(round(0.05 * i, 2) for i in range(1, 20))  # s = 0.05..0.95
+
+_LSH_CURVE_SQL = f"""
+WITH cfg(bands, rws) AS (
+    VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)}
+),
+grid(s) AS (VALUES {", ".join(f"(CAST({s} AS DOUBLE))" for s in _LSH_GRID)})
+SELECT CAST(c.bands AS BIGINT) AS bands, CAST(c.rws AS BIGINT) AS rws,
+       {R('g.s', 2)} AS jaccard_s,
+       {R('1.0 - pow(1.0 - pow(g.s, c.rws), c.bands)', 6)} AS p_candidate,
+       {R('pow(1.0 / c.bands, 1.0 / c.rws)', 6)} AS threshold_50
+FROM cfg c CROSS JOIN grid g
+"""
+
+
+@register("lsh_parameter_curve", _LSH_CURVE_SQL)
+def lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-curves for the (b, r) splits of a 16-signature MinHash budget."""
+    cfg = spark.createDataFrame(
+        list(_LSH_CONFIGS), "bands long, rws long"
+    )
+    grid = spark.createDataFrame(
+        [(s,) for s in _LSH_GRID], "s double"
+    )
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("s"), F.col("rws")), F.col("bands")
+    )
+    # broadcast: a plain crossJoin of two parallelized literal frames is
+    # a CartesianProduct whose partition count MULTIPLIES (32 x 32 =
+    # 1024 tasks for 76 rows — measured 19.6s of pure scheduling).
+    return cfg.crossJoin(F.broadcast(grid)).select(
+        "bands",
+        "rws",
+        dround(F.col("s"), 2).alias("jaccard_s"),
+        dround(p, 6).alias("p_candidate"),
+        dround(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rws")), 6
+        ).alias("threshold_50"),
+    )
+
+
+# ===========================================================================
+# Mixture token allocation (largest-remainder / Hamilton method): turn
+# the alpha=0.3 temperature weights into an INTEGER per-language token
+# budget that sums exactly to the target. Floors first, then the
+# largest fractional remainders (lang tie-break) absorb the shortfall —
+# the standard way a sampler turns mixture weights into shard counts.
+# Bounded language grain end to end.
+# ===========================================================================
+
+_ALLOC_BUDGET = 100_000
+
+_ALLOC_SQL = f"""
+WITH lt AS (
+    SELECT lang, CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+               AS n_tokens
+    FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n_tokens) AS n FROM lt),
+q AS (
+    SELECT lang, pow(n_tokens / t.n, {_TEMP_ALPHA}) AS raw
+    FROM lt CROSS JOIN t
+),
+z AS (SELECT sum(raw) AS z FROM q),
+shares AS (
+    SELECT lang, raw / z.z * {_ALLOC_BUDGET} AS ideal FROM q CROSS JOIN z
+),
+floors AS (
+    SELECT lang, ideal, CAST(floor(ideal) AS BIGINT) AS fl,
+           {R('ideal - floor(ideal)', 6)} AS frac
+    FROM shares
+),
+short AS (
+    SELECT CAST({_ALLOC_BUDGET} - sum(fl) AS BIGINT) AS k FROM floors
+),
+ranked AS (
+    SELECT f.*, s.k,
+           CAST(row_number() OVER (ORDER BY f.frac DESC, f.lang ASC)
+                AS BIGINT) AS r
+    FROM floors f CROSS JOIN short s
+)
+SELECT lang,
+       {R('ideal', 4)} AS ideal_tokens,
+       (fl + CASE WHEN r <= k THEN 1 ELSE 0 END) AS alloc_tokens,
+       (r <= k) AS got_remainder
+FROM ranked
+"""
+
+
+@register("mixture_token_allocation", _ALLOC_SQL)
+def mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder integer allocation of a 100k-token budget over
+    the alpha=0.3 language mixture (allocations sum exactly to the
+    budget; the global rank window covers |languages| rows —
+    census-allowlisted bounded grain). Remainder ranks compare on the
+    ROUNDED fraction so last-ULP drift cannot reorder ties."""
+    d = read_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("double").alias("n_tokens")
+    )
+    t = lt.agg(F.sum("n_tokens").alias("n"))
+    q = lt.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.pow(F.col("n_tokens") / F.col("n"), F.expr(_TEMP_ALPHA)).alias(
+            "raw"
+        ),
+    )
+    z = q.agg(F.sum("raw").alias("z"))
+    shares = q.crossJoin(F.broadcast(z)).select(
+        "lang", (F.col("raw") / F.col("z") * _ALLOC_BUDGET).alias("ideal")
+    )
+    floors = shares.select(
+        "lang",
+        "ideal",
+        F.floor("ideal").cast("long").alias("fl"),
+        dround(F.col("ideal") - F.floor("ideal"), 6).alias("frac"),
+    )
+    floors = floors.cache()  # session-per-query (shortfall + rank branches)
+    short = floors.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("fl")).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.desc("frac"), F.asc("lang"))
+    ranked = floors.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "ideal",
+        "fl",
+        "k",
+        F.row_number().over(w).cast("long").alias("r"),
+    )
+    return ranked.select(
+        "lang",
+        dround(F.col("ideal"), 4).alias("ideal_tokens"),
+        (
+            F.col("fl")
+            + F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("alloc_tokens"),
+        (F.col("r") <= F.col("k")).alias("got_remainder"),
+    )

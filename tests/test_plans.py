@@ -212,6 +212,8 @@ def test_projection_prunes_scan_columns(spark):
         "quantile_sketch_rollup",
         "cem_att_estimate",
         "regression_discontinuity",
+        "lsh_parameter_curve",
+        "mixture_token_allocation",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -801,6 +803,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "rank_agreement_rbo": "post-limit top-K frames (rank of K survivors)",
     "ab_benjamini_hochberg": "segment grain (bounded event-type vocabulary)",
     "vocab_coverage_sweep": "post-limit top-K frame",
+    "mixture_token_allocation": "language grain (bounded vocabulary)",
 }
 
 
