@@ -1601,17 +1601,19 @@ WITH u AS (
     SELECT user_id,
            CAST(count(*) AS DOUBLE) AS n_ev,
            avg(value) AS avg_v,
-           CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                AS BIGINT) AS treated,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS share,
            sum(CASE WHEN event_type = 'purchase' THEN value
                     ELSE 0.0 END) AS outcome
     FROM events GROUP BY user_id
 ),
+med AS (SELECT {R('quantile_cont(share, 0.5)', 6)} AS m FROM u),
 strata AS (
-    SELECT least(4, CAST(floor(n_ev / 40) AS BIGINT)) AS s_act,
-           least(4, CAST(floor(avg_v / 4) AS BIGINT)) AS s_val,
-           treated, outcome
-    FROM u
+    SELECT least(9, CAST(floor(n_ev / 20) AS BIGINT)) AS s_act,
+           least(9, CAST(floor(avg_v / 2) AS BIGINT)) AS s_val,
+           CAST({R('share', 6)} > med.m AS BIGINT) AS treated,
+           outcome
+    FROM u CROSS JOIN med
 ),
 cell AS (
     SELECT s_act, s_val,
@@ -1633,27 +1635,38 @@ FROM matched
 
 @register("cem_att_estimate", _CEM_SQL)
 def cem_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CEM average-treatment-effect-on-treated over coarsened strata."""
+    """CEM average-treatment-effect-on-treated over coarsened strata.
+
+    Treatment = "signup share above the cross-user median" (a fixed
+    has-a-signup rule left ZERO control users at small SFs — every user
+    trips a signup within ~67 events); the median is one 1-row exact
+    percentile and the split compares ROUNDED shares so a last-ULP
+    engine difference cannot move a user across the median."""
     e = read_table(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n_ev"),
         F.avg("value").alias("avg_v"),
-        F.max(
-            F.when(F.col("event_type") == "signup", 1).otherwise(0)
-        ).cast("long").alias("treated"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1.0).otherwise(0.0)
+            )
+            / F.count(F.lit(1))
+        ).alias("share"),
         F.sum(
             F.when(F.col("event_type") == "purchase", F.col("value"))
             .otherwise(0.0)
         ).alias("outcome"),
     )
-    strata = u.select(
-        F.least(F.lit(4), F.floor(F.col("n_ev") / 40))
+    u = u.cache()  # session-per-query (median + strata branches)
+    med = u.agg(dround(F.expr("percentile(share, 0.5D)"), 6).alias("m"))
+    strata = u.crossJoin(F.broadcast(med)).select(
+        F.least(F.lit(9), F.floor(F.col("n_ev") / 20))
         .cast("long")
         .alias("s_act"),
-        F.least(F.lit(4), F.floor(F.col("avg_v") / 4))
+        F.least(F.lit(9), F.floor(F.col("avg_v") / 2))
         .cast("long")
         .alias("s_val"),
-        "treated",
+        (dround(F.col("share"), 6) > F.col("m")).cast("long").alias("treated"),
         "outcome",
     )
     t1 = F.col("treated") == 1

@@ -203,3 +203,75 @@ def test_markov_removal_shares_normalize(spark):
         assert 0.0 < r.p_conv_full <= 1.0
     # every channel's removal hurts conversion on this fixture
     assert all(r.removal_effect > 0 for r in rows)
+
+
+def test_temperature_weights_normalize_and_flatten(spark):
+    rows = sorted(
+        registry.queries()["lang_sampling_temperature"](spark, SF).collect(),
+        key=lambda r: r.p_raw,
+    )
+    assert abs(sum(r.q_alpha for r in rows) - 1.0) < 1e-4
+    # alpha < 1 flattens: upsample factor decreases as raw share grows
+    factors = [r.upsample_factor for r in rows]
+    assert factors == sorted(factors, reverse=True)
+    assert factors[0] > 1.0 > factors[-1]
+
+
+def test_token_allocation_sums_to_budget(spark):
+    rows = registry.queries()["mixture_token_allocation"](spark, SF).collect()
+    assert sum(r.alloc_tokens for r in rows) == 100_000
+    for r in rows:
+        # each allocation is the floor or the floor + 1 of its ideal
+        assert r.alloc_tokens - r.ideal_tokens < 1.0 + 1e-6
+        assert r.ideal_tokens - r.alloc_tokens < 1.0 + 1e-6
+
+
+def test_lsh_curve_monotone_and_threshold_order(spark):
+    rows = registry.queries()["lsh_parameter_curve"](spark, SF).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rws), []).append(r)
+    assert len(by_cfg) == 4
+    th = {}
+    for cfg, rs in by_cfg.items():
+        rs.sort(key=lambda r: r.jaccard_s)
+        ps = [r.p_candidate for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(ps, ps[1:]))  # monotone
+        assert 0.0 <= ps[0] and ps[-1] <= 1.0 + 1e-9
+        th[cfg] = rs[0].threshold_50
+    # more rows per band -> higher similarity threshold
+    assert th[(16, 1)] < th[(8, 2)] < th[(4, 4)] < th[(2, 8)]
+
+
+def test_cem_and_rdd_sanity(spark):
+    cem = registry.queries()["cem_att_estimate"](spark, SF).collect()[0]
+    assert cem.n_treated_matched > 0 and cem.n_control_matched > 0
+    assert cem.att is not None
+    rdd = registry.queries()["regression_discontinuity"](spark, SF).collect()[0]
+    assert rdd.n_left > 0 and rdd.n_right > 0
+    # outcome is a share: intercepts live in [0, 1]
+    assert 0.0 <= rdd.intercept_left <= 1.0
+    assert 0.0 <= rdd.intercept_right <= 1.0
+    assert abs(rdd.rdd_effect - (rdd.intercept_right - rdd.intercept_left)) < 2e-6
+
+
+def test_woe_iv_partitions_lineitem(spark):
+    rows = registry.queries()["woe_iv_binning"](spark, SF).collect()
+    li_n = read_table(spark, SF, "lineitem").count()
+    assert sum(r.n_good + r.n_bad for r in rows) == li_n
+    for r in rows:
+        # (g - b) and ln(g/b) share sign, so IV contributions are
+        # non-negative up to smoothing slack
+        assert r.iv_contrib >= -1e-3
+
+
+def test_bh_stepup_is_contiguous(spark):
+    rows = sorted(
+        registry.queries()["ab_benjamini_hochberg"](spark, SF).collect(),
+        key=lambda r: r.p_rank,
+    )
+    # BH rejects a PREFIX of the p-ordered list
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.p_value <= 1.0 + 1e-9
