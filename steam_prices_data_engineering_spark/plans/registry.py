@@ -149,8 +149,9 @@ _PRIORITY: tuple[str, ...] = (
 # Deliberately under the FULL LOCAL GATE only this round: every r1-r4
 # driver-green query plus micro-families whose parent family holds a
 # round-5 slot. Every one is hash-checked by tools/check_oracle.py and
-# tests/test_queries.py each run. After this round at most 45 registered
-# queries remain never-driver-sampled.
+# tests/test_queries.py each run. After this round 45 PRE-EXISTING
+# queries remain never-driver-sampled, plus the 20 round-5 additions
+# (plans/round5.py) — 65 candidates for the round-6 rotation.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
