@@ -235,6 +235,9 @@ def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cb"),
         )
     )
+    # bounded dollar-grid frame, branched by the totals aggregate AND
+    # the ECDF window — cache so the fact scan runs once
+    seg = seg.cache()  # session-per-query
     tot = seg.agg(
         F.sum("ca").cast("double").alias("na"),
         F.sum("cb").cast("double").alias("nb"),
@@ -1774,13 +1777,18 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det)
         .alias("b"),
     )
-    left = fit.filter(~F.col("rt")).select(
-        F.col("n").alias("nl"), F.col("a").alias("al"), F.col("b").alias("bl")
+    # Pivot the 2-row fit frame with ONE conditional aggregate — a
+    # filter-per-side pair of branches re-derived each side from its own
+    # scan (2 fact scans for a 2-row frame).
+    left = fit.agg(
+        F.max(F.when(~F.col("rt"), F.col("n"))).alias("nl"),
+        F.max(F.when(~F.col("rt"), F.col("a"))).alias("al"),
+        F.max(F.when(~F.col("rt"), F.col("b"))).alias("bl"),
+        F.max(F.when(F.col("rt"), F.col("n"))).alias("nr"),
+        F.max(F.when(F.col("rt"), F.col("a"))).alias("ar"),
+        F.max(F.when(F.col("rt"), F.col("b"))).alias("br"),
     )
-    right = fit.filter(F.col("rt")).select(
-        F.col("n").alias("nr"), F.col("a").alias("ar"), F.col("b").alias("br")
-    )
-    return left.crossJoin(F.broadcast(right)).select(
+    return left.select(
         F.col("nl").cast("long").alias("n_left"),
         F.col("nr").cast("long").alias("n_right"),
         dround(F.col("al"), 6).alias("intercept_left"),

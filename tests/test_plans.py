@@ -937,3 +937,73 @@ def test_no_broadcast_hint_on_unbounded_frames():
         "let AQE pick the strategy, or bound the frame with limit/top-K):\n"
         + "\n".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 tier plan shapes: single-scan claims, pushdown, and join
+# discipline. Scan counts use the formatted detail headers (the tree
+# section repeats every node — see CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _n_scans(plan: str) -> int:
+    return len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M))
+
+
+def test_rdd_single_scan_bandwidth_pushed(spark):
+    plan = _plan(spark, "regression_discontinuity")
+    assert _n_scans(plan) == 1, plan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    assert "LessThan(o_totalprice" in plan
+
+
+def test_cem_single_fact_scan(spark):
+    # user rollup + median + strata + cells: one events scan (cached
+    # user frame feeds every branch)
+    plan = _plan(spark, "cem_att_estimate")
+    assert _n_scans(plan) <= 1, plan
+
+
+def test_sprt_single_scan(spark):
+    plan = _plan(spark, "sprt_sequential_monitor")
+    assert _n_scans(plan) == 1, plan
+
+
+def test_wasserstein_single_scan_filter_pushed(spark):
+    # the dollar-grid frame is cached, so the fact scan runs once and
+    # the segment IN-filter reaches it
+    plan = _plan(spark, "wasserstein_1d_drift")
+    assert _n_scans(plan) == 1, plan
+    assert "In(o_orderpriority" in plan, plan
+
+
+def test_lsh_curve_scans_nothing(spark):
+    # pure design table: zero parquet scans, no shuffle exchange
+    plan = _plan(spark, "lsh_parameter_curve")
+    assert _n_scans(plan) == 0, plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_source_overlap_no_cartesian(spark):
+    # candidates come from the banded equi join; source attachment is
+    # two key joins — never an unblocked product
+    tree = _plan(spark, "source_overlap_matrix").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_ips_policy_joins_are_keyed(spark):
+    tree = _plan(spark, "ips_offline_policy_value").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_pruning_scan_budget(spark):
+    # the canonical LM shape: the vocab build and the scoring pass each
+    # scan the corpus, and the cached doc-score frame adds its one
+    # materialization — 3 scans total, independent of the sweep/report
+    # width (the no-forced-broadcast property is pinned repo-wide by
+    # test_no_broadcast_hint_on_unbounded_frames)
+    assert _n_scans(_plan(spark, "data_pruning_surprisal")) <= 3
