@@ -1947,3 +1947,116 @@ def mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("alloc_tokens"),
         (F.col("r") <= F.col("k")).alias("got_remainder"),
     )
+
+
+# ===========================================================================
+# Offline bandit replay (Li et al. 2011's replay method, batched):
+# replay an hourly UCB1 policy over the logged event stream — at each
+# hour the policy picks the arm (event type) maximizing
+# mean + sqrt(2 ln N / n) over the PRIOR hours' cumulative stats
+# (unplayed arms first, ties lexicographic), and earns that hour's
+# realized mean reward of the chosen arm. The standard counterfactual
+# eval for "which action should the system have been taking" — all on
+# the calendar-bounded hour grain: one fact rollup, two bounded-grain
+# windows (per-arm cumulative, per-hour argmax).
+#
+# Engine-parity: the UCB score compares on dround(6), and cumulative
+# stats are integer/sum monoids, so the argmax is identical in both
+# engines.
+# ===========================================================================
+
+_UCB_SQL = f"""
+WITH hourly AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, event_type AS act,
+           CAST(count(*) AS DOUBLE) AS n, sum(value) AS sumr
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT hr, act,
+           coalesce(sum(n) OVER (PARTITION BY act ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cn,
+           coalesce(sum(sumr) OVER (PARTITION BY act ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cr,
+           sum(n) OVER (PARTITION BY hr) AS hn,
+           coalesce(sum(n) OVER (ORDER BY hr
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS totn,
+           n, sumr
+    FROM hourly
+),
+scored AS (
+    SELECT hr, act, n, sumr,
+           CASE WHEN cn = 0 THEN 1e18
+                ELSE {R('cr / cn + sqrt(2.0 * ln(greatest(totn, 1.0)) / cn)',
+                        6)} END AS ucb
+    FROM cum
+),
+chosen AS (
+    SELECT hr, act, sumr / n AS hour_mean
+    FROM (SELECT *, row_number() OVER (PARTITION BY hr
+              ORDER BY ucb DESC, act ASC) AS rk FROM scored)
+    WHERE rk = 1
+)
+SELECT act AS arm,
+       CAST(count(*) AS BIGINT) AS hours_chosen,
+       {R('sum(hour_mean)', 4)} AS replay_reward,
+       {R('avg(hour_mean)', 6)} AS mean_reward_when_chosen
+FROM chosen GROUP BY act
+"""
+
+
+@register("bandit_ucb_replay", _UCB_SQL)
+def bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly UCB1 replay over the event log: per arm, how often the
+    policy would have chosen it and the realized replay reward."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("hr"),
+        F.col("event_type").alias("act"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("sumr"),
+    )
+    wact = (
+        Window.partitionBy("act")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whr = Window.partitionBy("hr")
+    wtot = Window.orderBy("hr").rangeBetween(Window.unboundedPreceding, -1)
+    cum = hourly.select(
+        "hr",
+        "act",
+        "n",
+        "sumr",
+        F.coalesce(F.sum("n").over(wact), F.lit(0.0)).alias("cn"),
+        F.coalesce(F.sum("sumr").over(wact), F.lit(0.0)).alias("cr"),
+        F.coalesce(F.sum("n").over(wtot), F.lit(0.0)).alias("totn"),
+    )
+    ucb = F.when(F.col("cn") == 0, F.lit(1e18)).otherwise(
+        dround(
+            F.col("cr") / F.col("cn")
+            + F.sqrt(
+                2.0
+                * F.log(F.greatest(F.col("totn"), F.lit(1.0)))
+                / F.col("cn")
+            ),
+            6,
+        )
+    )
+    scored = cum.select("hr", "act", "n", "sumr", ucb.alias("ucb"))
+    wpick = Window.partitionBy("hr").orderBy(F.desc("ucb"), F.asc("act"))
+    chosen = (
+        scored.select(
+            "hr",
+            "act",
+            (F.col("sumr") / F.col("n")).alias("hour_mean"),
+            F.row_number().over(wpick).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return chosen.groupBy(F.col("act").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("hours_chosen"),
+        dround(F.sum("hour_mean"), 4).alias("replay_reward"),
+        dround(F.avg("hour_mean"), 6).alias("mean_reward_when_chosen"),
+    )

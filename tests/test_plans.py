@@ -214,6 +214,7 @@ def test_projection_prunes_scan_columns(spark):
         "regression_discontinuity",
         "lsh_parameter_curve",
         "mixture_token_allocation",
+        "bandit_ucb_replay",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -804,6 +805,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ab_benjamini_hochberg": "segment grain (bounded event-type vocabulary)",
     "vocab_coverage_sweep": "post-limit top-K frame",
     "mixture_token_allocation": "language grain (bounded vocabulary)",
+    "bandit_ucb_replay": "hour x arm grain (calendar x vocabulary bounded)",
 }
 
 
