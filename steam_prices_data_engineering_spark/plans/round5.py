@@ -2060,3 +2060,182 @@ def bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("hour_mean"), 4).alias("replay_reward"),
         dround(F.avg("hour_mean"), 6).alias("mean_reward_when_chosen"),
     )
+
+
+# ===========================================================================
+# Gradient-boosted regression stumps, 2 rounds (Friedman 2001 with
+# squared loss: each round fits a depth-1 tree to the residuals). The
+# candidate thresholds are the order-date decile grid (one exact-
+# percentile row, broadcast), each round's best split comes from ONE
+# conditional-sum pass over the fact x 9-threshold broadcast (SSE from
+# per-side monoid sums), and the argmin compares ROUNDED SSE with a
+# threshold tie-break so both engines pick the same split. Two rounds =
+# two sweep passes + one final MSE pass over the cached (x, y) frame —
+# fact scans independent of the grid width.
+# ===========================================================================
+
+
+def _gbm_round_sql(tgt: str, rnd: int) -> str:
+    """One boosting round as CTEs: sweep{rnd} (per-threshold sums),
+    best{rnd} (argmin SSE), fit{rnd} (1-row: threshold + side means)."""
+    return f"""
+sweep{rnd} AS (
+    SELECT g.t,
+           CAST(count(*) FILTER (WHERE b.x <= g.t) AS DOUBLE) AS nl,
+           sum({tgt}) FILTER (WHERE b.x <= g.t) AS sl,
+           sum({tgt} * {tgt}) FILTER (WHERE b.x <= g.t) AS ql,
+           CAST(count(*) FILTER (WHERE b.x > g.t) AS DOUBLE) AS nr,
+           sum({tgt}) FILTER (WHERE b.x > g.t) AS sr,
+           sum({tgt} * {tgt}) FILTER (WHERE b.x > g.t) AS qr
+    FROM base{rnd} b CROSS JOIN grid g
+    GROUP BY g.t
+),
+best{rnd} AS (
+    SELECT t, sl / nl AS ml, sr / nr AS mr
+    FROM (SELECT *, row_number() OVER (ORDER BY
+              {R('(ql - sl * sl / nl) + (qr - sr * sr / nr)', 4)} ASC,
+              t ASC) AS rk
+          FROM sweep{rnd} WHERE nl > 0 AND nr > 0)
+    WHERE rk = 1
+)"""
+
+
+_GBM_SQL = f"""
+WITH base1 AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) AS x,
+           o_totalprice AS y
+    FROM orders
+),
+grid AS (
+    SELECT unnest(quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9])) AS t
+    FROM base1
+),
+{_gbm_round_sql('b.y', 1)},
+base2 AS (
+    SELECT b.x, b.y,
+           b.y - CASE WHEN b.x <= f.t THEN f.ml ELSE f.mr END AS r
+    FROM base1 b CROSS JOIN best1 f
+),
+{_gbm_round_sql('b.r', 2)},
+mse AS (
+    SELECT
+        avg(pow(b.y - (CASE WHEN b.x <= f1.t THEN f1.ml ELSE f1.mr END),
+                2)) AS mse1,
+        avg(pow(b.y - (CASE WHEN b.x <= f1.t THEN f1.ml ELSE f1.mr END)
+                    - (CASE WHEN b.x <= f2.t THEN f2.ml ELSE f2.mr END),
+                2)) AS mse2,
+        avg(pow(b.y - (SELECT avg(y) FROM base1), 2)) AS mse0
+    FROM base1 b CROSS JOIN best1 f1 CROSS JOIN best2 f2
+)
+SELECT {R('f1.t', 1)} AS split_round1,
+       {R('f1.ml', 4)} AS mean_left_r1, {R('f1.mr', 4)} AS mean_right_r1,
+       {R('f2.t', 1)} AS split_round2,
+       {R('f2.ml', 4)} AS mean_left_r2, {R('f2.mr', 4)} AS mean_right_r2,
+       {R('m.mse0', 2)} AS mse_baseline,
+       {R('m.mse1', 2)} AS mse_round1,
+       {R('m.mse2', 2)} AS mse_round2
+FROM best1 f1 CROSS JOIN best2 f2 CROSS JOIN mse m
+"""
+
+
+@register("gbm_stumps_two_rounds", _GBM_SQL)
+def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds of regression stumps on order value vs date."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_orderdate").cast("long")).cast("long").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    base = base.cache()  # session-per-query (grid + 2 sweeps + MSE pass)
+    grid = base.agg(
+        F.expr(
+            "percentile(x, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+            " 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("ts")
+    ).select(F.explode("ts").alias("t"))
+
+    def best_split(df: DataFrame, tgt: str) -> DataFrame:
+        left = F.col("x") <= F.col("t")
+        sweep = df.crossJoin(F.broadcast(grid)).groupBy("t").agg(
+            F.count(F.when(left, F.lit(1))).cast("double").alias("nl"),
+            F.sum(F.when(left, F.col(tgt))).alias("sl"),
+            F.sum(F.when(left, F.col(tgt) * F.col(tgt))).alias("ql"),
+            F.count(F.when(~left, F.lit(1))).cast("double").alias("nr"),
+            F.sum(F.when(~left, F.col(tgt))).alias("sr"),
+            F.sum(F.when(~left, F.col(tgt) * F.col(tgt))).alias("qr"),
+        )
+        sse = dround(
+            (F.col("ql") - F.col("sl") * F.col("sl") / F.col("nl"))
+            + (F.col("qr") - F.col("sr") * F.col("sr") / F.col("nr")),
+            4,
+        )
+        return (
+            sweep.filter((F.col("nl") > 0) & (F.col("nr") > 0))
+            .orderBy(sse.asc(), F.col("t").asc())
+            .limit(1)
+            .select(
+                "t",
+                (F.col("sl") / F.col("nl")).alias("ml"),
+                (F.col("sr") / F.col("nr")).alias("mr"),
+            )
+        )
+
+    f1 = best_split(base, "y")
+    base2 = base.crossJoin(F.broadcast(f1)).select(
+        "x",
+        "y",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("r"),
+    )
+    f2 = best_split(base2, "r")
+    f1r = f1.select(
+        F.col("t").alias("t1"), F.col("ml").alias("ml1"),
+        F.col("mr").alias("mr1"),
+    )
+    f2r = f2.select(
+        F.col("t").alias("t2"), F.col("ml").alias("ml2"),
+        F.col("mr").alias("mr2"),
+    )
+    pred1 = F.when(F.col("x") <= F.col("t1"), F.col("ml1")).otherwise(
+        F.col("mr1")
+    )
+    pred2 = pred1 + F.when(F.col("x") <= F.col("t2"), F.col("ml2")).otherwise(
+        F.col("mr2")
+    )
+    mu = base.agg(F.avg("y").alias("mu"))
+    mse = (
+        base.crossJoin(F.broadcast(f1r))
+        .crossJoin(F.broadcast(f2r))
+        .crossJoin(F.broadcast(mu))
+        .agg(
+            dround(
+                F.avg(F.pow(F.col("y") - F.col("mu"), 2)), 2
+            ).alias("mse_baseline"),
+            dround(F.avg(F.pow(F.col("y") - pred1, 2)), 2).alias(
+                "mse_round1"
+            ),
+            dround(F.avg(F.pow(F.col("y") - pred2, 2)), 2).alias(
+                "mse_round2"
+            ),
+        )
+    )
+    return (
+        f1r.crossJoin(F.broadcast(f2r))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            dround(F.col("t1"), 1).alias("split_round1"),
+            dround(F.col("ml1"), 4).alias("mean_left_r1"),
+            dround(F.col("mr1"), 4).alias("mean_right_r1"),
+            dround(F.col("t2"), 1).alias("split_round2"),
+            dround(F.col("ml2"), 4).alias("mean_left_r2"),
+            dround(F.col("mr2"), 4).alias("mean_right_r2"),
+            "mse_baseline",
+            "mse_round1",
+            "mse_round2",
+        )
+    )

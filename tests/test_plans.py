@@ -215,6 +215,7 @@ def test_projection_prunes_scan_columns(spark):
         "lsh_parameter_curve",
         "mixture_token_allocation",
         "bandit_ucb_replay",
+        "gbm_stumps_two_rounds",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -275,3 +275,25 @@ def test_bh_stepup_is_contiguous(spark):
     assert flags == sorted(flags, reverse=True)
     for r in rows:
         assert 0.0 <= r.p_value <= 1.0 + 1e-9
+
+
+def test_gbm_boosting_reduces_mse(spark):
+    row = registry.queries()["gbm_stumps_two_rounds"](spark, SF).collect()[0]
+    # each boosting round can only reduce squared loss on train
+    assert row.mse_round1 <= row.mse_baseline + 1e-6
+    assert row.mse_round2 <= row.mse_round1 + 1e-6
+
+
+def test_bandit_replay_covers_all_hours(spark):
+    from pyspark.sql import functions as F
+
+    rows = registry.queries()["bandit_ucb_replay"](spark, SF).collect()
+    n_hours = (
+        read_table(spark, SF, "events")
+        .select(F.floor(F.col("ts").cast("long") / 3600).alias("h"))
+        .distinct()
+        .count()
+    )
+    # exactly one arm is picked per hour, so the chosen-hours partition
+    # the hour grid
+    assert sum(r.hours_chosen for r in rows) == n_hours
