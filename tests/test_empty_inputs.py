@@ -163,6 +163,25 @@ REPRESENTATIVES = [
     "feature_hashing_trick",
     "doremi_mixture_weights",
     "cv_groupkfold_rmse",
+    # round-5 tier (group-keyed outputs; the always-1-row global
+    # aggregates — cluster NMI, RBO, IPS, CEM, RDD, the
+    # constant-grid LSH planner and the rollup sketch's grand-total
+    # row — are excluded per the datasheet precedent above)
+    "sprt_sequential_monitor",
+    "wasserstein_1d_drift",
+    "association_rules_confidence",
+    "data_pruning_surprisal",
+    "template_slot_entropy",
+    "embedding_outlier_zscore",
+    "woe_iv_binning",
+    "lang_sampling_temperature",
+    "source_overlap_matrix",
+    "ab_benjamini_hochberg",
+    "vocab_coverage_sweep",
+    "attribution_markov_removal",
+    "mixture_token_allocation",
+    "bandit_ucb_replay",
+    "gbm_stumps_two_rounds",
 ]
 
 
