@@ -213,12 +213,17 @@ def main() -> None:
     # The differ is an auxiliary diagnostic: it must never be able to
     # destroy the run's one contractual stdout JSON line.
     try:
-        regressions = _diff_against_previous_round(
-            timings, float(sf) if sf else None
+        regressions, canary_ratio = _diff_against_previous_round(
+            timings, float(sf) if sf else None, canary
         )
     except Exception as e:  # noqa: BLE001
         print(f"bench: regression diff failed: {e!r}", file=sys.stderr)
-        regressions = {}
+        regressions, canary_ratio = {}, None
+    if canary_ratio is not None:
+        # canary_now / canary_baseline: >1 means THIS machine-moment is
+        # slower than the baseline round's; the regression ratios below
+        # are already divided by it.
+        result["canary_ratio"] = canary_ratio
     if regressions:
         result["regressions"] = regressions
     detail_path = _write_detail(result)
@@ -245,7 +250,13 @@ def _write_detail(result: dict) -> str | None:
     """Persist the FULL result (per-query map included) to
     BENCH_DETAIL_r{N}.json, N = the round the driver is about to record
     (newest BENCH_r*.json + 1; r01 if none). Best-effort — the bench must
-    still report on a read-only checkout."""
+    still report on a read-only checkout.
+
+    Loaded-rerun guard (VERDICT r5 task 7): if a detail file for round N
+    already exists and THIS run's canary reads >1.2x the recorded one
+    (i.e. this rerun happened on a measurably slower machine-moment),
+    write BENCH_DETAIL_r{N}_loaded.json instead of clobbering the honest
+    idle record."""
     import glob
     import re
 
@@ -256,6 +267,9 @@ def _write_detail(result: dict) -> str | None:
     ]
     n = (max(rounds) + 1) if rounds else 1
     path = os.path.join(REPO, f"BENCH_DETAIL_r{n:02d}.json")
+    path = _detail_path_guarding_idle_record(
+        path, result.get("canary_sec")
+    )
     try:
         with open(path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
@@ -266,18 +280,96 @@ def _write_detail(result: dict) -> str | None:
     return path
 
 
+# A rerun whose fixed-work canary is >1.2x the recorded one is a loaded
+# machine-moment; its detail goes to a suffixed file, not over the record.
+LOADED_CANARY_RATIO = 1.2
+
+
+def _detail_path_guarding_idle_record(
+    path: str, canary_now: float | None
+) -> str:
+    """Return `path`, or its `_loaded`-suffixed sibling when overwriting
+    would shadow an existing detail record taken on a faster machine-
+    moment (existing canary_sec, this canary >1.2x it)."""
+    if canary_now is None or not os.path.exists(path):
+        return path
+    try:
+        with open(path) as f:
+            prev_canary = json.load(f).get("canary_sec")
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return path
+    if prev_canary and canary_now / prev_canary > LOADED_CANARY_RATIO:
+        loaded = path[: -len(".json")] + "_loaded.json"
+        print(
+            f"bench: canary {canary_now:.3f}s is >{LOADED_CANARY_RATIO}x the "
+            f"recorded {prev_canary:.3f}s — keeping the idle record, writing "
+            f"{os.path.basename(loaded)}",
+            file=sys.stderr,
+        )
+        return loaded
+    return path
+
+
 REGRESSION_RATIO = 1.5
 
 
-def _diff_against_previous_round(
-    timings: dict[str, float], sf: float | None
+def _normalized_regressions(
+    timings: dict[str, float],
+    prev_q: dict[str, float],
+    canary_now: float | None,
+    canary_prev: float | None,
+    out=None,
 ) -> dict[str, float]:
+    """Pure flag logic (unit-tested with injected canaries): per-query
+    ratios are divided by the canary ratio (canary_now / canary_prev)
+    when BOTH rounds recorded one, so uniform machine-speed drift —
+    hypervisor steal is invisible in loadavg on this VM — stops writing
+    false `regressions` entries into the round record (VERDICT r5
+    task 2). Flags fire on the NORMALIZED ratio only."""
+    out = out if out is not None else sys.stderr
+    scale = (
+        canary_now / canary_prev
+        if canary_now and canary_prev
+        else 1.0
+    )
+    if scale != 1.0:
+        print(
+            f"bench: canary ratio {scale:.2f}x "
+            f"({canary_now:.3f}s now vs {canary_prev:.3f}s baseline) — "
+            "per-query ratios below are canary-normalized",
+            file=out,
+        )
+    regressions: dict[str, float] = {}
+    for name, now in timings.items():
+        before = prev_q.get(name)
+        if not before:
+            print(f"  {name}: {now:.3f}s (new)", file=out)
+            continue
+        raw = now / before
+        norm = raw / scale
+        flag = ""
+        if norm > REGRESSION_RATIO:
+            regressions[name] = round(norm, 2)
+            flag = f"  <-- REGRESSION >{REGRESSION_RATIO}x (normalized)"
+        suffix = f", {norm:.2f}x norm" if scale != 1.0 else ""
+        print(
+            f"  {name}: {now:.3f}s vs {before:.3f}s ({raw:.2f}x{suffix})"
+            f"{flag}",
+            file=out,
+        )
+    return regressions
+
+
+def _diff_against_previous_round(
+    timings: dict[str, float], sf: float | None, canary_now: float | None
+) -> tuple[dict[str, float], float | None]:
     """Compare per-query times against the newest BENCH_r*.json on disk.
 
     Prints the full ratio table to stderr (stdout is reserved for the one
-    JSON result line) and returns {query: ratio} for queries slower than
-    REGRESSION_RATIO x their previous time, so regressions land in the
-    recorded JSON instead of scrolling away.
+    JSON result line) and returns ({query: normalized_ratio} for queries
+    slower than REGRESSION_RATIO x their previous time after canary
+    normalization, canary_ratio) so regressions land in the recorded
+    JSON instead of scrolling away.
     """
     import glob
     import re
@@ -298,14 +390,17 @@ def _diff_against_previous_round(
         if round_no(p) >= 0
     ]
     if not driver_rounds:
-        return {}
+        return {}, None
     base_round = max(driver_rounds)
     candidates = sorted(
         (
             p
             for pat in ("BENCH_r*.json", "BENCH_DETAIL_r*.json")
             for p in glob.glob(os.path.join(REPO, pat))
+            # `_loaded` siblings are loaded-rerun quarantine files
+            # (see _detail_path_guarding_idle_record) — never a baseline.
             if round_no(p) == base_round
+            and not os.path.basename(p).endswith("_loaded.json")
         ),
         key=lambda p: "DETAIL" in os.path.basename(p),
     )
@@ -315,7 +410,7 @@ def _diff_against_previous_round(
             prev = json.load(f)
     except (OSError, json.JSONDecodeError) as e:
         print(f"bench: cannot read {prev_path}: {e}", file=sys.stderr)
-        return {}
+        return {}, None
     # The driver wraps our JSON line: {"n":..., "sf":..., "parsed": {...}}.
     if "queries" not in prev and isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
@@ -325,25 +420,19 @@ def _diff_against_previous_round(
             f"sf={sf} — skipping regression diff",
             file=sys.stderr,
         )
-        return {}
+        return {}, None
     prev_q = prev.get("queries", {})
-    regressions: dict[str, float] = {}
+    canary_prev = prev.get("canary_sec")
     print(f"bench: vs {os.path.basename(prev_path)}", file=sys.stderr)
-    for name, now in timings.items():
-        before = prev_q.get(name)
-        if not before:
-            print(f"  {name}: {now:.3f}s (new)", file=sys.stderr)
-            continue
-        ratio = now / before
-        flag = ""
-        if ratio > REGRESSION_RATIO:
-            regressions[name] = round(ratio, 2)
-            flag = f"  <-- REGRESSION >{REGRESSION_RATIO}x"
-        print(
-            f"  {name}: {now:.3f}s vs {before:.3f}s ({ratio:.2f}x){flag}",
-            file=sys.stderr,
-        )
-    return regressions
+    regressions = _normalized_regressions(
+        timings, prev_q, canary_now, canary_prev
+    )
+    canary_ratio = (
+        round(canary_now / canary_prev, 3)
+        if canary_now and canary_prev
+        else None
+    )
+    return regressions, canary_ratio
 
 
 if __name__ == "__main__":

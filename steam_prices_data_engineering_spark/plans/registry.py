@@ -71,87 +71,92 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-5 ROTATION (per VERDICT.md r4 task 1): rounds 1-4 drove 196
-# distinct queries green (CORRECTNESS_r01..r04), leaving 95 registered
-# queries never driver-sampled. This round's first 50 are drawn
-# ENTIRELY from that tail, LEADING with the 10 round-4 additions (none
-# has a driver row), then spanning the remaining never-sampled set
-# one-per-family (pinned by
-# tests/test_queries.py::test_driver_sample_spans_families). Every
+# ROUND-6 ROTATION (per VERDICT.md r5 task 1): rounds 1-5 drove 246
+# distinct queries green (CORRECTNESS_r01..r05), leaving 67 registered
+# queries never driver-sampled: the 22 round-5 additions
+# (plans/round5.py) plus 45 older ones. This round's first 50 LEAD
+# with all 22 round-5 queries, then fill from the older tail spanning
+# every remaining family (pinned by
+# tests/test_queries.py::test_driver_sample_spans_families). After
+# this round 17 pre-round-6 queries remain never-driver-sampled
+# (plus whatever round 6 adds) — the round-7 rotation pool. Every
 # displaced query stays under the full local gate
-# (tools/check_oracle.py) and the slow-marked full-oracle pytest sweep.
+# (tools/check_oracle.py) and the full-oracle pytest sweep.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 10 round-4 additions: zero driver rows before this round --
-    "cv_fold_rmse",                 # k-fold CV (one-pass grid)
-    "cv_groupkfold_rmse",           # leakage-safe GroupKFold
-    "learning_curve_scaling",       # learning-curve power fit
-    "target_encoding_loo",          # leave-one-out target encoding
-    "feature_hashing_trick",        # bounded-width feature hashing
-    "ridge_lambda_sweep",           # hyperparameter sweep (lambda column)
-    "doremi_mixture_weights",       # DoReMi mixture reweighting
-    "dedup_incremental_delta",      # incremental dedup index maintenance
-    "dedup_threshold_sweep",        # dedup threshold sensitivity
-    "tokenizer_fertility",          # tokenizer fertility eval
-    # -- never-sampled tail, one per family --
-    # LM gates (incl. the two de-hinted unbounded-vocab joins)
-    "holdout_lm_perplexity",
-    "doc_bigram_lm_quality",
-    # dedup tiers
-    "boilerplate_strip_rebuild",
-    "dedup_cluster_sizes",
-    "minhash_estimate_error",
-    # ANN / multimodal / Arrow UDF
-    "simsearch_ivf_cells",
-    "multimodal_frame_sample",
-    "map_in_arrow_byte_stats",
-    # tokenization / text statistics
-    "token_count_bpe",
-    "bpe_apply_compression",
-    "doc_char_entropy",
-    "collocations_pmi",
-    "zipf_fit_by_source",
-    # corpus / embedding profiling
-    "corpus_datasheet",
-    "embedding_dim_stats",
-    # trainset ops
-    "contrastive_negatives",
-    "trainset_curriculum_shards",
-    "stratified_sample_per_lang",
-    # rollups / streaming / joins
-    "events_multires_rollup",
-    "streaming_static_enrichment",
-    "interval_overlap_bin_join",
-    "scd2_point_in_time_join",
-    "skew_profile_report",
-    # SQL surface
-    "sql_in_subquery",
-    # TPC-H tail (q6/q8/q10/q11/q14/q17 went green in r04)
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q20_volume_suppliers",
-    # relational surface
-    "pivot_status_priority_counts",
-    "percentile_exact_by_flag",
-    "array_higher_order_stats",
-    # statistics / experimentation
-    "stats_corr_regr_by_flag",
-    "chisq_segment_region",
-    "ab_cuped_adjusted",
-    "equidepth_histogram",
-    "ks_two_sample_drift",
-    # time series / ML tail
-    "stl_decomposition_lite",
-    "ols_normal_equations",
-    "markov_next_event_eval",
-    "frequent_itempairs",
+    # -- the 22 round-5 additions: zero driver rows before this round --
+    "sprt_sequential_monitor",      # sequential experimentation (SPRT)
+    "wasserstein_1d_drift",         # 1-D Wasserstein drift
+    "cluster_eval_nmi_purity",      # clustering agreement (NMI/purity)
+    "rank_agreement_rbo",           # rank-biased overlap
+    "ips_offline_policy_value",     # off-policy eval (IPS/SNIPS)
+    "association_rules_confidence", # association rules
+    "data_pruning_surprisal",       # LM-surprisal pruning
+    "template_slot_entropy",        # template detection
+    "embedding_outlier_zscore",     # embedding outlier audit
+    "woe_iv_binning",               # WoE / IV binning
+    "lang_sampling_temperature",    # temperature-scaled sampling
+    "source_overlap_matrix",        # cross-source near-dup overlap
+    "attribution_markov_removal",   # Markov removal-effect attribution
+    "ab_benjamini_hochberg",        # BH-FDR multiple testing
+    "vocab_coverage_sweep",         # vocab-coverage sweep
+    "quantile_sketch_rollup",       # mergeable quantile-sketch rollup
+    "cem_att_estimate",             # CEM matching ATT
+    "regression_discontinuity",     # sharp RDD
+    "lsh_parameter_curve",          # LSH (b, r) planner
+    "mixture_token_allocation",     # mixture token allocation
+    "bandit_ucb_replay",            # offline bandit replay (UCB1)
+    "gbm_stumps_two_rounds",        # gradient-boosted stumps
+    # -- 28 of the 45 older never-sampled, spanning every family --
+    # behavioral / sessions / attribution
+    "attribution_position_based",
+    "session_ids_batch",
+    "funnel_time_bounded",
+    "interarrival_burstiness",
+    # corpus eval / quality gates
+    "auc_quality_gate",
+    "vocab_growth_curve",
+    "quality_calibration_bins",
+    # corpus ops / embeddings
+    "doc_chunk_overlap",
+    "embedding_quantize_int8",
+    # windowed time series
+    "moving_avg_user_value",
+    # concentration / experimentation
+    "gini_spend_concentration",
+    "ab_stratified_ate",
+    # insights / time-series diagnostics
+    "ab_power_mde",
+    "acf_daily_revenue",
+    "cusum_changepoint",
+    "forecast_conformal_interval",
+    # patterns / robust stats
+    "pareto_frontier_parts",
+    "weighted_median_price",
+    "dbscan_grid_clusters",
+    # data quality / governance
+    "ledger_hash_chain",
+    "column_profile_report",
+    "l_diversity_report",
+    # graph / linalg / scale / semistructured / SQL / ANN singletons
+    "linkpred_neighbor_jaccard",
+    "jl_projection_distortion",
+    "join_explosion_audit",
+    "events_variant_props_bands",
+    "sql_session_variables",
+    "simsearch_lsh_buckets",
 )
-# Deliberately under the FULL LOCAL GATE only this round: every r1-r4
-# driver-green query plus micro-families whose parent family holds a
-# round-5 slot. Every one is hash-checked by tools/check_oracle.py and
-# tests/test_queries.py each run. After this round 45 PRE-EXISTING
-# queries remain never-driver-sampled, plus the 20 round-5 additions
-# (plans/round5.py) — 65 candidates for the round-6 rotation.
+# Deliberately under the FULL LOCAL GATE only this round: every r1-r5
+# driver-green query. Every one is hash-checked by
+# tools/check_oracle.py and tests/test_queries.py each run. After this
+# round the never-driver-sampled pre-round-6 tail is 17 queries
+# (cohort_retention_daily, event_transition_matrix,
+# timeseries_forward_fill, timeseries_twap, seasonal_anomaly_hours,
+# source_vocab_overlap, effective_vocab_by_source,
+# timeseries_range_frame_avg, pareto_spend_share, mutual_info_features,
+# forecast_backtest_snaive, golden_record_consolidation,
+# xcorr_error_revenue, frequent_event_sequences,
+# winsorized_stats_by_flag, histogram_extendedprice, robust_stats_mad)
+# — round-7 rotation pool, plus any round-6 additions.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

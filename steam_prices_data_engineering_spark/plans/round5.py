@@ -1191,8 +1191,13 @@ a0 AS (
 full_ AS (SELECT a AS p_full FROM a{_MKV_T} WHERE rm = 'none'
           AND state = 'start'),
 rem AS (
+    -- p_full = 0 (zero conversions) must yield NULL, mirroring the
+    -- Spark path's Python None: DuckDB's greatest() ignores NULL args
+    -- (Postgres-style), so greatest(0.0, NULL) would be 0.0 — guard
+    -- the degenerate case explicitly.
     SELECT a.rm AS channel,
-           greatest(0.0, 1.0 - a.a / nullif(f_.p_full, 0.0)) AS re,
+           CASE WHEN f_.p_full = 0.0 THEN NULL
+                ELSE greatest(0.0, 1.0 - a.a / f_.p_full) END AS re,
            f_.p_full
     FROM a{_MKV_T} a CROSS JOIN full_ f_
     WHERE a.rm <> 'none' AND a.state = 'start'
@@ -1354,11 +1359,16 @@ WITH agg AS (
     FROM events GROUP BY event_type
 ),
 zs AS (
+    -- segments with <=1 row in either arm have no sample variance:
+    -- dropped in BOTH engines (Spark NULL / DuckDB div-by-zero inf
+    -- would otherwise diverge, and the two engines default to
+    -- opposite NULL ordering in the rank window).
     SELECT event_type,
            abs((sa / na - sb / nb) /
                sqrt((qa - sa * sa / na) / (na - 1) / na
                     + (qb - sb * sb / nb) / (nb - 1) / nb)) AS az
     FROM agg
+    WHERE na > 1 AND nb > 1
 ),
 ps AS (
     SELECT event_type, az,
@@ -1416,7 +1426,7 @@ def ab_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
         / F.sqrt(va / F.col("na") + vb / F.col("nb"))
     )
-    ps = agg.select(
+    ps = agg.filter((F.col("na") > 1) & (F.col("nb") > 1)).select(
         "event_type",
         az.alias("az"),
     ).select(
@@ -2068,8 +2078,10 @@ def bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate thresholds are the order-date decile grid (one exact-
 # percentile row, broadcast), each round's best split comes from ONE
 # conditional-sum pass over the fact x 9-threshold broadcast (SSE from
-# per-side monoid sums), and the argmin compares ROUNDED SSE with a
-# threshold tie-break so both engines pick the same split. Two rounds =
+# per-side monoid sums), and the argmin compares the ROUNDED per-row
+# mean SSE (magnitude ~1e10, where dround(4) is meaningful — the raw
+# ~1e13 SSE is beyond 4-decimal double precision) with a threshold
+# tie-break so both engines pick the same split. Two rounds =
 # two sweep passes + one final MSE pass over the cached (x, y) frame —
 # fact scans independent of the grid width.
 # ===========================================================================
@@ -2093,7 +2105,7 @@ sweep{rnd} AS (
 best{rnd} AS (
     SELECT t, sl / nl AS ml, sr / nr AS mr
     FROM (SELECT *, row_number() OVER (ORDER BY
-              {R('(ql - sl * sl / nl) + (qr - sr * sr / nr)', 4)} ASC,
+              {R('((ql - sl * sl / nl) + (qr - sr * sr / nr)) / (nl + nr)', 4)} ASC,
               t ASC) AS rk
           FROM sweep{rnd} WHERE nl > 0 AND nr > 0)
     WHERE rk = 1
@@ -2165,9 +2177,17 @@ def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~left, F.col(tgt))).alias("sr"),
             F.sum(F.when(~left, F.col(tgt) * F.col(tgt))).alias("qr"),
         )
+        # argmin key is the per-row MEAN SSE: raw SSE here is ~1e12-1e13,
+        # where dround(.,4) is a no-op (beyond double's 4-decimal range);
+        # SSE/(nl+nr) is ~1e10, inside it. nl+nr == total rows for every
+        # threshold, so the ordering itself is unchanged — only the
+        # rounded-tie guarantee becomes real.
         sse = dround(
-            (F.col("ql") - F.col("sl") * F.col("sl") / F.col("nl"))
-            + (F.col("qr") - F.col("sr") * F.col("sr") / F.col("nr")),
+            (
+                (F.col("ql") - F.col("sl") * F.col("sl") / F.col("nl"))
+                + (F.col("qr") - F.col("sr") * F.col("sr") / F.col("nr"))
+            )
+            / (F.col("nl") + F.col("nr")),
             4,
         )
         return (

@@ -1,0 +1,89 @@
+"""Unit tests for bench.py's canary-normalized regression flags and the
+loaded-rerun detail-file guard (VERDICT r5 tasks 2 and 7). Pure logic —
+no Spark session."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    LOADED_CANARY_RATIO,
+    REGRESSION_RATIO,
+    _detail_path_guarding_idle_record,
+    _normalized_regressions,
+)
+
+
+def test_loaded_run_stops_flagging_false_regressions():
+    """A uniformly 1.7x-slower machine-moment (canary 0.54s vs 0.32s)
+    must not flag queries whose only slowdown IS that drift."""
+    prev = {"q1": 1.0, "q2": 2.0}
+    now = {"q1": 1.7, "q2": 3.4}  # raw ratio 1.7 > 1.5 — pre-fix these flagged
+    out = io.StringIO()
+    flags = _normalized_regressions(now, prev, 0.544, 0.320, out=out)
+    assert flags == {}
+    assert "canary-normalized" in out.getvalue()
+
+
+def test_real_regression_still_flags_under_load():
+    """A genuine 3x code regression stays visible through 1.7x drift:
+    normalized ratio 3.0/1.7 = 1.76 > 1.5."""
+    flags = _normalized_regressions(
+        {"q1": 3.0}, {"q1": 1.0}, 0.544, 0.320, out=io.StringIO()
+    )
+    assert flags == {"q1": round(3.0 / (0.544 / 0.320), 2)}
+
+
+def test_missing_canary_falls_back_to_raw_ratio():
+    """Rounds before canary_sec existed: no normalization, old behavior."""
+    flags = _normalized_regressions(
+        {"q1": 1.7}, {"q1": 1.0}, 0.544, None, out=io.StringIO()
+    )
+    assert flags == {"q1": 1.7}
+    flags = _normalized_regressions(
+        {"q1": 1.7}, {"q1": 1.0}, None, 0.320, out=io.StringIO()
+    )
+    assert flags == {"q1": 1.7}
+
+
+def test_idle_rerun_on_faster_machine_never_flags_slower_baseline():
+    """Canary ratio < 1 (now FASTER) scales ratios UP — a query that kept
+    its wall time while the machine got 2x faster is a real regression."""
+    flags = _normalized_regressions(
+        {"q1": 1.0}, {"q1": 1.0}, 0.160, 0.320, out=io.StringIO()
+    )
+    assert flags == {"q1": 2.0}
+    assert REGRESSION_RATIO < 2.0
+
+
+def test_new_and_unchanged_queries_not_flagged():
+    flags = _normalized_regressions(
+        {"q_new": 5.0, "q_same": 1.0},
+        {"q_same": 1.0},
+        0.32,
+        0.32,
+        out=io.StringIO(),
+    )
+    assert flags == {}
+
+
+def test_detail_guard_redirects_loaded_rerun(tmp_path):
+    p = tmp_path / "BENCH_DETAIL_r06.json"
+    p.write_text(json.dumps({"canary_sec": 0.320, "queries": {}}))
+    # 1.7x canary: redirect to the _loaded sibling
+    got = _detail_path_guarding_idle_record(str(p), 0.544)
+    assert got == str(tmp_path / "BENCH_DETAIL_r06_loaded.json")
+    # inside the 1.2x band: overwrite in place (normal rerun)
+    assert _detail_path_guarding_idle_record(str(p), 0.350) == str(p)
+    # no prior file: normal write
+    fresh = str(tmp_path / "BENCH_DETAIL_r07.json")
+    assert _detail_path_guarding_idle_record(fresh, 0.544) == fresh
+    # prior file without a canary (pre-canary rounds): overwrite
+    p.write_text(json.dumps({"queries": {}}))
+    assert _detail_path_guarding_idle_record(str(p), 0.544) == str(p)
+    assert LOADED_CANARY_RATIO == 1.2

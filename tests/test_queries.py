@@ -55,57 +55,49 @@ def test_driver_sample_spans_families():
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
     must_have = {
-        # ROUND-5 rotation (VERDICT.md r4 task 1): the 10 round-4
+        # ROUND-6 rotation (VERDICT.md r5 task 1): ALL 22 round-5
         # additions — never driver-sampled before this round — MUST lead.
-        "cv_fold_rmse",                  # k-fold CV
-        "cv_groupkfold_rmse",            # leakage-safe GroupKFold
-        "learning_curve_scaling",        # learning-curve power fit
-        "target_encoding_loo",           # LOO target encoding
-        "feature_hashing_trick",         # feature hashing
-        "ridge_lambda_sweep",            # hyperparameter sweep
-        "doremi_mixture_weights",        # DoReMi mixture reweighting
-        "dedup_incremental_delta",       # incremental dedup index
-        "dedup_threshold_sweep",         # dedup threshold sensitivity
-        "tokenizer_fertility",           # tokenizer fertility
-        # one representative per remaining family, all never-sampled
-        "holdout_lm_perplexity",         # LM perplexity (de-hinted join)
-        "boilerplate_strip_rebuild",     # span-level dedup transform
-        "minhash_estimate_error",        # sketch quality eval
-        "simsearch_ivf_cells",           # ANN tier (IVF)
-        "multimodal_frame_sample",       # multimodal plumbing
-        "map_in_arrow_byte_stats",       # Arrow UDF surface
-        "token_count_bpe",               # tokenization
-        "doc_char_entropy",              # char-entropy selection
-        "collocations_pmi",              # collocations
-        "zipf_fit_by_source",            # Zipf fit
-        "corpus_datasheet",              # corpus profiling
-        "embedding_dim_stats",           # embedding stats
-        "contrastive_negatives",         # trainset pairs
-        "trainset_curriculum_shards",    # curriculum sharding
-        "stratified_sample_per_lang",    # stratified sampling
-        "events_multires_rollup",        # multi-resolution rollup
-        "streaming_static_enrichment",   # stream-static join
-        "interval_overlap_bin_join",     # interval/range join
-        "scd2_point_in_time_join",       # SCD2 as-of join
-        "skew_profile_report",           # ops diagnostics
-        "sql_in_subquery",               # SQL surface
-        "tpch_q12_priority_by_linestatus",  # TPC-H tail
-        "pivot_status_priority_counts",  # pivot
-        "percentile_exact_by_flag",      # exact percentiles
-        "array_higher_order_stats",      # array HOF surface
-        "stats_corr_regr_by_flag",       # corr/regr aggregates
-        "chisq_segment_region",          # chi-square test
-        "ab_cuped_adjusted",             # CUPED variance reduction
-        "equidepth_histogram",           # equi-depth histogram
-        "ks_two_sample_drift",           # KS drift test
-        "stl_decomposition_lite",        # seasonal decomposition
-        "ols_normal_equations",          # in-engine OLS
-        "markov_next_event_eval",        # Markov train/eval
-        "frequent_itempairs",            # market basket
+        "sprt_sequential_monitor",       # sequential experimentation
+        "wasserstein_1d_drift",          # distribution drift
+        "cluster_eval_nmi_purity",       # clustering agreement
+        "rank_agreement_rbo",            # ranking agreement
+        "ips_offline_policy_value",      # off-policy evaluation
+        "association_rules_confidence",  # association rules
+        "data_pruning_surprisal",        # LM-surprisal pruning
+        "template_slot_entropy",         # template detection
+        "embedding_outlier_zscore",      # embedding outlier audit
+        "woe_iv_binning",                # WoE / IV binning
+        "lang_sampling_temperature",     # temperature sampling
+        "source_overlap_matrix",         # cross-source overlap
+        "attribution_markov_removal",    # Markov removal-effect
+        "ab_benjamini_hochberg",         # BH-FDR
+        "vocab_coverage_sweep",          # vocab coverage
+        "quantile_sketch_rollup",        # mergeable quantile sketch
+        "cem_att_estimate",              # CEM matching
+        "regression_discontinuity",      # sharp RDD
+        "lsh_parameter_curve",           # LSH parameter planner
+        "mixture_token_allocation",      # mixture token allocation
+        "bandit_ucb_replay",             # offline bandit replay
+        "gbm_stumps_two_rounds",         # gradient boosting
+        # one representative per remaining never-sampled family
+        "attribution_position_based",    # behavioral attribution
+        "auc_quality_gate",              # quality-gate eval
+        "doc_chunk_overlap",             # chunk-grain dedup signal
+        "moving_avg_user_value",         # windowed time series
+        "gini_spend_concentration",      # concentration metrics
+        "ab_power_mde",                  # experiment design
+        "pareto_frontier_parts",         # skyline
+        "ledger_hash_chain",             # ledger integrity
+        "linkpred_neighbor_jaccard",     # link prediction
+        "jl_projection_distortion",      # JL projection
+        "join_explosion_audit",          # ops diagnostics
+        "events_variant_props_bands",    # semistructured
+        "sql_session_variables",         # SQL surface
+        "simsearch_lsh_buckets",         # ANN (SRP-LSH)
     }
     missing = must_have - set(first50)
     assert not missing, missing
-    # the rotation's point: ZERO overlap with rounds 1-4.
+    # the rotation's point: ZERO overlap with rounds 1-5.
     import json
     import os
 
@@ -115,6 +107,7 @@ def test_driver_sample_spans_families():
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         p = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(p):
