@@ -141,6 +141,25 @@ BENCH_QUERIES = [
     "association_rules_confidence",
     "data_pruning_surprisal",
     "sprt_sequential_monitor",
+    # round-6 (VERDICT r5 task 5): the REST of the round-5 tier, so a
+    # regression in any of its 22 queries is visible to the self-diff
+    "wasserstein_1d_drift",
+    "cluster_eval_nmi_purity",
+    "rank_agreement_rbo",
+    "ips_offline_policy_value",
+    "template_slot_entropy",
+    "embedding_outlier_zscore",
+    "woe_iv_binning",
+    "lang_sampling_temperature",
+    "ab_benjamini_hochberg",
+    "vocab_coverage_sweep",
+    "quantile_sketch_rollup",
+    "cem_att_estimate",
+    "regression_discontinuity",
+    "lsh_parameter_curve",
+    "mixture_token_allocation",
+    "bandit_ucb_replay",
+    "gbm_stumps_two_rounds",
 ]
 
 

@@ -243,3 +243,40 @@ def test_hashed_shingle_table_spread_variant_matches(spark):
     assert a == b and len(a) > 0
     plain.unpersist()
     spreaded.unpersist()
+
+
+def test_cc_labels_driver_fast_path_matches_distributed_loop(spark, monkeypatch):
+    """cc_labels' adaptive union-find collect must produce the exact
+    min-label fixpoint of the distributed propagation loop: chain,
+    triangle, singleton-pair, and two disjoint components."""
+    from steam_prices_data_engineering_spark.plans import iterative
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3: the propagation loop needs >1
+        # iteration), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_id_a long, doc_id_b long",
+    )
+    fast = {
+        (r["node"], r["label"])
+        for r in iterative.cc_labels(edges).collect()
+    }
+    monkeypatch.setattr(iterative, "CC_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["label"])
+        for r in iterative.cc_labels(edges).collect()
+    }
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    assert fast == expected
+    assert slow == expected
+
+
+def test_cc_labels_empty_edges(spark):
+    from steam_prices_data_engineering_spark.plans import iterative
+
+    edges = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert iterative.cc_labels(edges).count() == 0
