@@ -137,3 +137,30 @@ def sql_md5_hex6_to_int(expr: str) -> str:
         f"ELSE ascii(substr(md5({expr}), i, 1)) - 87 END) "
         f"* CAST(pow(16.0, 6 - i) AS BIGINT)))"
     )
+
+
+# Quality-score feature arithmetic (functions/text.py:quality_score twin):
+# like the hash fragments above, the weights live in ONE place so the
+# doc_quality_scores oracle and every downstream calibration/drift oracle
+# cannot drift from each other.
+def sql_quality_feat_ctes(source: str = "documents") -> str:
+    """t -> feat CTE pair ending in feat(doc_id, n_tokens, diversity,
+    avg_tok_len, stop_ratio) over `source` (any relation with
+    doc_id + text)."""
+    return f"""t AS (
+    SELECT doc_id, string_split(text, ' ') AS sp FROM {source}
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(sp) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp) AS diversity,
+           CAST(list_sum(list_transform(sp, x -> length(x))) AS DOUBLE) / len(sp) AS avg_tok_len,
+           CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp) AS stop_ratio
+    FROM t
+)"""
+
+
+SQL_QUALITY_EXPR = (
+    "0.5 * diversity + 0.3 * (1 - stop_ratio)"
+    " + 0.2 * least(n_tokens / 100.0, 1.0)"
+)

@@ -733,9 +733,11 @@ def _sql_shingles(tok_expr: str) -> str:
 # every shingle/MinHash oracle composes from there so the formulas cannot
 # drift between the production pipeline and its evaluators.
 from ..functions.sqlfrag import (  # noqa: E402
+    SQL_QUALITY_EXPR as _SQL_QUALITY_EXPR,
     SQL_TOKEN_HASH as _SQL_TOKEN_HASH,
     sql_exact_jaccard as _sql_exact_jaccard,
     sql_minhash_sig_band_ctes as _sql_minhash_sig_band_ctes,
+    sql_quality_feat_ctes as _sql_quality_feat_ctes,
 )
 
 _NEARDUP_JACCARD_SQL = f"""
@@ -890,22 +892,12 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_QUALITY_SQL = f"""
-WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS sp FROM documents
-),
-feat AS (
-    SELECT doc_id,
-           CAST(len(sp) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp) AS diversity,
-           CAST(list_sum(list_transform(sp, x -> length(x))) AS DOUBLE) / len(sp) AS avg_tok_len,
-           CAST(len(list_filter(sp, x -> x IN ('the', 'a'))) AS DOUBLE) / len(sp) AS stop_ratio
-    FROM t
-)
+WITH {_sql_quality_feat_ctes()}
 SELECT doc_id, n_tokens,
        {R('diversity', 6)} AS diversity,
        {R('avg_tok_len', 6)} AS avg_tok_len,
        {R('stop_ratio', 6)} AS stop_ratio,
-       {R('0.5 * diversity + 0.3 * (1 - stop_ratio) + 0.2 * least(n_tokens / 100.0, 1.0)', 6)} AS quality
+       {R(_SQL_QUALITY_EXPR, 6)} AS quality
 FROM feat
 """
 
@@ -1235,3 +1227,4 @@ from . import linalg as _linalg  # noqa: E402,F401
 from . import patterns as _patterns  # noqa: E402,F401
 from . import ml_eval as _ml_eval  # noqa: E402,F401  (needs trainset, corpus_eval)
 from . import round5 as _round5  # noqa: E402,F401
+from . import round6 as _round6  # noqa: E402,F401

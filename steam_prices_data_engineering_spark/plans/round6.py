@@ -1,0 +1,673 @@
+"""Round-6 extension operators: exact substring dedup at the chunk grain
+(keep-first, the Lee et al. 2022 §4 exact variant), deterministic
+stratified reservoir sampling with coverage accounting, per-source
+quality-classifier calibration drift, empirical LSH recall/precision
+against an independent exact truth set, hash-shard balance auditing,
+corpus-order n-gram novelty curves, embedding per-label centroid drift,
+hard-negative mining for contrastive training, rolling-origin forecast
+backtesting, bigram entropy rate, group-sequential alpha-spending
+monitoring, and covariate-shift-weighted evaluation.
+
+Same discipline as plans/round5.py: fact-scale work is map-side-combined
+aggregation or hash-key equi joins, bounded grids/panels ride broadcast
+joins, every window is partitioned or runs on a documented bounded
+grain, and shared hash/quality/p-value arithmetic composes from
+functions/sqlfrag.py so the two engines cannot drift.
+
+No counterpart in the reference (a single-threaded pandas ETL,
+/root/reference/Scripts/transformers/steam_prices_transformer.py); these
+are the data-curation and evaluation jobs a 100 TB training-data
+platform runs on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..functions.sqlfrag import (
+    SQL_QUALITY_EXPR,
+    sql_quality_feat_ctes,
+)
+from ..functions.text import quality_score, token_count, tokens
+from ..sources.tables import read_table
+from .registry import register
+
+# ===========================================================================
+# Exact substring dedup at the chunk grain, KEEP-FIRST (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", §4 exact
+# variant, suffix-array-free approximation): split every document into
+# fixed 10-token chunks, and keep a chunk occurrence only when it is the
+# globally FIRST occurrence of that chunk content (corpus order =
+# (doc_id, chunk_start)). Differs from boilerplate_strip_rebuild (which
+# removes ALL copies of any cross-doc repeated chunk): dedup retains one
+# canonical copy, so unique content is never lost. Per-source attrition
+# accounting is the rollup a curation run reports.
+#
+# Scale shape: chunks shuffle as 32-byte md5 keys (never chunk text) to a
+# map-side-combined min-position aggregate; the join back is hash-to-
+# hash; the rollup is a tiny source-grain aggregate.
+# ===========================================================================
+
+_SDK_W = 10  # chunk width in tokens (matches quality.py:_CHUNK_TOKENS)
+# position key: doc token counts are far below 1e6, so doc_id*1e6+start
+# is a total corpus order aligned with (doc_id, chunk_start)
+_SDK_POSK = 1_000_000
+
+_SUBSTRING_KEEPFIRST_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id, source,
+           doc_id * {_SDK_POSK} + s AS pos_key,
+           CAST(least(s + {_SDK_W} - 1, len(t)) - s + 1 AS BIGINT) AS cl,
+           md5(array_to_string(
+               list_slice(t, s, least(s + {_SDK_W} - 1, len(t))), ' '
+           )) AS h
+    FROM (SELECT doc_id, source, t,
+                 unnest(range(1, len(t) + 1, {_SDK_W})) AS s
+          FROM toks)
+),
+first_pos AS (SELECT h, min(pos_key) AS fp FROM chunks GROUP BY h)
+SELECT c.source,
+       CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (c.pos_key <> f.fp) AS BIGINT) AS chunks_removed,
+       CAST(sum(c.cl) AS BIGINT) AS tokens_total,
+       CAST(coalesce(sum(c.cl) FILTER (c.pos_key <> f.fp), 0) AS BIGINT)
+           AS tokens_removed,
+       {R("1.0 - CAST(coalesce(sum(c.cl) FILTER (c.pos_key <> f.fp), 0) AS DOUBLE) / sum(c.cl)", 6)}
+           AS token_retention
+FROM chunks c JOIN first_pos f ON f.h = c.h
+GROUP BY c.source
+"""
+
+
+@register("substring_dedup_keep_first", _SUBSTRING_KEEPFIRST_SQL)
+def substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token attrition of keep-first exact chunk dedup."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_SDK_W))
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") * _SDK_POSK + F.col("s")).alias("pos_key"),
+        (
+            F.least(F.col("s") + (_SDK_W - 1), F.size("t"))
+            - F.col("s")
+            + 1
+        )
+        .cast("long")
+        .alias("cl"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), _SDK_W)).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    first_pos = chunks.groupBy("h").agg(F.min("pos_key").alias("fp"))
+    j = chunks.join(first_pos, "h")
+    removed = F.col("pos_key") != F.col("fp")
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(removed.cast("int")).cast("long").alias("chunks_removed"),
+        F.sum("cl").cast("long").alias("tokens_total"),
+        F.coalesce(F.sum(F.when(removed, F.col("cl"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        dround(
+            F.lit(1.0)
+            - F.coalesce(F.sum(F.when(removed, F.col("cl"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("cl"),
+            6,
+        ).alias("token_retention"),
+    )
+
+
+# ===========================================================================
+# Deterministic stratified reservoir sampling with coverage accounting:
+# the eval-set carve-out. K docs per source by uniform hash rank
+# (md5 over a seeded doc key — order-free, so re-runs and late-arriving
+# partitions agree), plus the coverage proof a sampling job must emit:
+# achieved fill vs target K and sampled-vs-population mean token length
+# (the cheap representativeness check).
+#
+# Scale shape: the rank window is PARTITIONED by source (the stratum);
+# at 100 TB a top-K-per-stratum is exactly this window or its
+# TakeOrdered-per-group equivalent. One doc scan.
+# ===========================================================================
+
+_RSV_K = 5
+_RSV_SEED = "rsv1"
+
+_RESERVOIR_SQL = f"""
+WITH keyed AS (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat_ws('|', '{_RSV_SEED}',
+                                      CAST(doc_id AS VARCHAR))), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (rk <= {_RSV_K}) AS BIGINT) AS n_sampled,
+       {R(f"CAST(count(*) FILTER (rk <= {_RSV_K}) AS DOUBLE) / {_RSV_K}", 6)}
+           AS fill_rate,
+       {R("avg(n_toks)", 4)} AS avg_tokens_all,
+       {R(f"avg(n_toks) FILTER (rk <= {_RSV_K})", 4)} AS avg_tokens_sampled
+FROM keyed
+GROUP BY source
+"""
+
+
+@register("eval_reservoir_sample", _RESERVOIR_SQL)
+def eval_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-rank reservoir of K docs per source + coverage accounting."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(_RSV_SEED), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ),
+        F.col("doc_id"),
+    )
+    keyed = d.select(
+        "source",
+        token_count(F.col("text")).cast("double").alias("n_toks"),
+        F.row_number().over(w).alias("rk"),
+    )
+    hit = F.col("rk") <= _RSV_K
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hit.cast("int")).cast("long").alias("n_sampled"),
+        dround(F.sum(hit.cast("int")).cast("double") / _RSV_K, 6).alias(
+            "fill_rate"
+        ),
+        dround(F.avg("n_toks"), 4).alias("avg_tokens_all"),
+        dround(F.avg(F.when(hit, F.col("n_toks"))), 4).alias(
+            "avg_tokens_sampled"
+        ),
+    )
+
+
+# ===========================================================================
+# Per-source quality-classifier calibration drift: bin the composite
+# quality score (shared sqlfrag weights) into 5 bins, compare the bin's
+# mean score against the empirical rate of a reference label (high
+# lexical diversity), roll up to a per-source expected calibration error
+# (ECE), and report each source's drift from the pooled ECE — the
+# monitoring job that catches a quality classifier whose calibration
+# holds globally but breaks on one domain.
+#
+# Scale shape: one doc scan -> (source, bin) and (bin) aggregates (both
+# map-side combined, bounded grains); the pooled row is a broadcast
+# 1-row cross join.
+# ===========================================================================
+
+_CAL_LABEL = "CASE WHEN diversity >= 0.5 THEN 1.0 ELSE 0.0 END"
+_CAL_BIN = f"least(4, CAST(floor(({SQL_QUALITY_EXPR}) * 5) AS BIGINT))"
+
+_CALIBRATION_DRIFT_SQL = f"""
+WITH {sql_quality_feat_ctes()},
+scored AS (
+    SELECT d.source,
+           {_CAL_BIN} AS bin,
+           ({SQL_QUALITY_EXPR}) AS score,
+           {_CAL_LABEL} AS label
+    FROM feat f JOIN documents d ON d.doc_id = f.doc_id
+),
+per_src_bin AS (
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+           avg(score) AS mean_score, avg(label) AS rate
+    FROM scored GROUP BY source, bin
+),
+src_ece AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           sum(CAST(n AS DOUBLE) * abs(mean_score - rate)) / sum(n) AS ece
+    FROM per_src_bin GROUP BY source
+),
+pool_bin AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           avg(score) AS mean_score, avg(label) AS rate
+    FROM scored GROUP BY bin
+),
+pool AS (
+    SELECT sum(CAST(n AS DOUBLE) * abs(mean_score - rate)) / sum(n)
+               AS pooled_ece
+    FROM pool_bin
+)
+SELECT s.source, s.n_docs,
+       {R('s.ece', 6)} AS ece,
+       {R('p.pooled_ece', 6)} AS pooled_ece,
+       {R('abs(s.ece - p.pooled_ece)', 6)} AS drift
+FROM src_ece s CROSS JOIN pool p
+"""
+
+
+@register("quality_calibration_drift", _CALIBRATION_DRIFT_SQL)
+def quality_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ECE of the quality score vs pooled ECE (drift audit)."""
+    from ..functions.text import distinct_token_ratio
+
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    score = quality_score(text)
+    scored = d.select(
+        "source",
+        F.least(F.lit(4), F.floor(score * 5)).cast("long").alias("bin"),
+        score.alias("score"),
+        F.when(distinct_token_ratio(text) >= 0.5, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    per_src_bin = scored.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("score").alias("mean_score"),
+        F.avg("label").alias("rate"),
+    )
+    src_ece = per_src_bin.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("n").cast("double") * F.abs(F.col("mean_score") - F.col("rate")))
+            / F.sum("n")
+        ).alias("ece"),
+    )
+    pool_bin = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("score").alias("mean_score"),
+        F.avg("label").alias("rate"),
+    )
+    pool = pool_bin.agg(
+        (
+            F.sum(F.col("n").cast("double") * F.abs(F.col("mean_score") - F.col("rate")))
+            / F.sum("n")
+        ).alias("pooled_ece")
+    )
+    return src_ece.crossJoin(F.broadcast(pool)).select(
+        "source",
+        "n_docs",
+        dround(F.col("ece"), 6).alias("ece"),
+        dround(F.col("pooled_ece"), 6).alias("pooled_ece"),
+        dround(F.abs(F.col("ece") - F.col("pooled_ece")), 6).alias("drift"),
+    )
+
+
+# ===========================================================================
+# Empirical LSH recall/precision: the banding scheme's measured operating
+# point against an INDEPENDENT exact truth set — the companion to the
+# theoretical lsh_parameter_curve (plans/round5.py). Truth = the blocked
+# string-shingle exact-Jaccard pairs (operators/dedup.py:
+# ngram_jaccard_pairs, threshold 0.5); predicted = the raw MinHash band
+# candidates BEFORE verification; verified = the production
+# minhash_lsh_pairs output. recall = |truth AND cand| / |truth|;
+# precision = |verified| / |cand|. Every set is pair-blocked (band join /
+# length-band join) — nothing here is all-pairs.
+# ===========================================================================
+
+
+def _lsh_recall_sql() -> str:
+    from ..functions.sqlfrag import (
+        sql_exact_jaccard,
+        sql_minhash_sig_band_ctes,
+    )
+    from .registry import _NEARDUP_JACCARD_SQL
+
+    return f"""
+WITH {sql_minhash_sig_band_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT doc_id_a, doc_id_b FROM cand
+    JOIN shinglehash sa ON sa.doc_id = cand.doc_id_a
+    JOIN shinglehash sb ON sb.doc_id = cand.doc_id_b
+    WHERE {R(sql_exact_jaccard("sa.hs", "sb.hs"), 6)} >= 0.5
+),
+truth AS (SELECT doc_id_a, doc_id_b FROM ({_NEARDUP_JACCARD_SQL}) t),
+hit AS (
+    SELECT t.doc_id_a FROM truth t
+    JOIN cand c ON c.doc_id_a = t.doc_id_a AND c.doc_id_b = t.doc_id_b
+),
+counts AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_verified,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_truth_hit
+)
+SELECT n_truth, n_candidates, n_verified, n_truth_hit,
+       {R('CAST(n_truth_hit AS DOUBLE) / nullif(n_truth, 0)', 6)} AS recall,
+       {R('CAST(n_verified AS DOUBLE) / nullif(n_candidates, 0)', 6)}
+           AS precision
+FROM counts
+"""
+
+
+@register("lsh_recall_empirical", _lsh_recall_sql())
+def lsh_recall_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the MinHash banding vs exact truth."""
+    from ..operators.dedup import (
+        hashed_shingle_table,
+        minhash_banded,
+        minhash_candidates,
+        minhash_lsh_pairs,
+        minhash_sig_table,
+        ngram_jaccard_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    hashed = hashed_shingle_table(d)
+    cand = minhash_candidates(minhash_banded(minhash_sig_table(hashed)))
+    verified = minhash_lsh_pairs(d, threshold=0.5)
+    truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, band_width=100).select(
+        "doc_id_a", "doc_id_b"
+    )
+    hit = truth.join(cand, ["doc_id_a", "doc_id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(
+            verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+        )
+        .crossJoin(
+            hit.agg(F.count(F.lit(1)).cast("long").alias("n_truth_hit"))
+        )
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_verified",
+        "n_truth_hit",
+        dround(
+            F.col("n_truth_hit").cast("double")
+            / F.nullif(F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        dround(
+            F.col("n_verified").cast("double")
+            / F.nullif(F.col("n_candidates"), F.lit(0)),
+            6,
+        ).alias("precision"),
+    )
+
+
+# ===========================================================================
+# Hash-shard balance audit: assign every document to one of 16 shards by
+# uniform hash (the shared md5-hex6 primitive) and report the skew a
+# shard planner needs — per-shard doc/token spread and max/mean ratios.
+# At 100 TB this is the job that validates a proposed output sharding
+# BEFORE the rewrite: one scan, one bounded 16-row aggregate, one 1-row
+# summary.
+# ===========================================================================
+
+_SHARD_N = 16
+_SHARD_SEED = "shard1"
+
+
+def _shard_skew_sql() -> str:
+    from ..functions.sqlfrag import sql_md5_hex6_to_int
+
+    key = sql_md5_hex6_to_int(
+        f"concat_ws('|', '{_SHARD_SEED}', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH sharded AS (
+    SELECT {key} % {_SHARD_N} AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+    FROM documents
+),
+per AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_toks) AS BIGINT) AS toks
+    FROM sharded GROUP BY shard
+)
+SELECT CAST(count(*) AS BIGINT) AS shards_used,
+       CAST(min(docs) AS BIGINT) AS min_docs,
+       CAST(max(docs) AS BIGINT) AS max_docs,
+       {R('avg(CAST(docs AS DOUBLE))', 4)} AS avg_docs,
+       {R('CAST(max(docs) AS DOUBLE) / avg(CAST(docs AS DOUBLE))', 6)}
+           AS doc_skew,
+       {R('CAST(max(toks) AS DOUBLE) / avg(CAST(toks AS DOUBLE))', 6)}
+           AS token_skew
+FROM per
+"""
+
+
+@register("shard_skew_audit", _shard_skew_sql())
+def shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc/token balance of a 16-way hash sharding (planner audit)."""
+    from ..functions.text import md5_hex6_to_int
+
+    d = read_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        F.pmod(
+            md5_hex6_to_int(
+                F.concat_ws(
+                    "|", F.lit(_SHARD_SEED), F.col("doc_id").cast("string")
+                )
+            ),
+            F.lit(_SHARD_N),
+        ).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_toks").cast("long").alias("toks"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("shards_used"),
+        F.min("docs").cast("long").alias("min_docs"),
+        F.max("docs").cast("long").alias("max_docs"),
+        dround(F.avg(F.col("docs").cast("double")), 4).alias("avg_docs"),
+        dround(
+            F.max("docs").cast("double") / F.avg(F.col("docs").cast("double")),
+            6,
+        ).alias("doc_skew"),
+        dround(
+            F.max("toks").cast("double") / F.avg(F.col("toks").cast("double")),
+            6,
+        ).alias("token_skew"),
+    )
+
+
+# ===========================================================================
+# Corpus-order n-gram novelty curve: per corpus decile (by doc_id order),
+# the fraction of that decile's distinct-per-doc shingle occurrences that
+# are the corpus-FIRST occurrence of the shingle. The curve a data-mixing
+# run reads to see diminishing novel-content returns as more of a source
+# is ingested (Heaps'-law decay, at the shingle grain).
+#
+# Scale shape: the doc_id bounds ride a broadcast 1-row aggregate; the
+# first-seen table is a map-side-combined min over the shingle hash; the
+# rollup is a 10-row aggregate.
+# ===========================================================================
+
+
+def _novelty_sql() -> str:
+    from ..functions.sqlfrag import sql_shinglehash_ctes
+
+    return f"""
+WITH {sql_shinglehash_ctes()},
+bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+occ AS (
+    SELECT s.doc_id,
+           least(9, CAST(floor(CAST(s.doc_id - b.mn AS DOUBLE) * 10
+                               / (b.mx - b.mn + 1)) AS BIGINT)) AS decile,
+           unnest(s.hs) AS h
+    FROM shinglehash s CROSS JOIN bounds b
+),
+first_doc AS (SELECT h, min(doc_id) AS fd FROM occ GROUP BY h)
+SELECT o.decile,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(*) FILTER (o.doc_id = f.fd) AS BIGINT) AS n_novel,
+       {R('CAST(count(*) FILTER (o.doc_id = f.fd) AS DOUBLE) / count(*)', 6)}
+           AS novelty_rate
+FROM occ o JOIN first_doc f ON f.h = o.h
+GROUP BY o.decile
+"""
+
+
+@register("ngram_novelty_curve", _novelty_sql())
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence shingle rate per corpus decile (Heaps decay)."""
+    from ..operators.dedup import hashed_shingle_table
+
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    hashed = hashed_shingle_table(d)
+    occ = (
+        hashed.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("doc_id") - F.col("mn")).cast("double")
+                    * 10
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+            )
+            .cast("long")
+            .alias("decile"),
+            F.explode("hs").alias("h"),
+        )
+    )
+    first_doc = occ.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    j = occ.join(first_doc, "h")
+    novel = F.col("doc_id") == F.col("fd")
+    return j.groupBy("decile").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.sum(novel.cast("int")).cast("long").alias("n_novel"),
+        dround(
+            F.sum(novel.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# ===========================================================================
+# Embedding per-label centroid drift: each label's centroid cosine to the
+# global centroid, plus the label's mean member-to-centroid cosine
+# (within-cluster cohesion). The embedding-space health check run after
+# re-embedding a corpus — a label whose centroid swings or whose cohesion
+# collapses flags an upstream encoder/data change.
+#
+# Scale shape: one dim-explode (vectors never shuffle whole), label and
+# global centroids are (label x dim) / dim aggregates (map-side
+# combined), and the member-cohesion pass is an equi join on
+# (label, dim) against the bounded centroid frame. Explicit
+# (sum, sum-sq) arithmetic, dround(6) absorbs fold-order ULPs.
+# ===========================================================================
+
+_CENTROID_DRIFT_SQL = f"""
+WITH d AS (
+    SELECT vec_id, label,
+           unnest(range(1, len(embedding) + 1)) AS dim,
+           unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+),
+lc AS (
+    SELECT label, dim, avg(x) AS c, count(*) AS n
+    FROM d GROUP BY label, dim
+),
+gc AS (SELECT dim, avg(x) AS g FROM d GROUP BY dim),
+drift AS (
+    SELECT lc.label,
+           sum(lc.c * gc.g) / (sqrt(sum(lc.c * lc.c)) * sqrt(sum(gc.g * gc.g)))
+               AS cos_to_global
+    FROM lc JOIN gc ON gc.dim = lc.dim
+    GROUP BY lc.label
+),
+member AS (
+    SELECT d.vec_id, d.label,
+           sum(d.x * lc.c) / (sqrt(sum(d.x * d.x)) * sqrt(sum(lc.c * lc.c)))
+               AS cos_m
+    FROM d JOIN lc ON lc.label = d.label AND lc.dim = d.dim
+    GROUP BY d.vec_id, d.label
+),
+cohesion AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           avg(cos_m) AS mean_member_cos
+    FROM member GROUP BY label
+)
+SELECT c.label, c.n_vecs,
+       {R('dr.cos_to_global', 6)} AS cos_to_global,
+       {R('c.mean_member_cos', 6)} AS mean_member_cos
+FROM cohesion c JOIN drift dr ON dr.label = c.label
+"""
+
+
+@register("embedding_label_centroid_drift", _CENTROID_DRIFT_SQL)
+def embedding_label_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid-vs-global cosine + within-label cohesion."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "x")
+    lc = d.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    gc = d.groupBy("dim").agg(F.avg("x").alias("g"))
+    drift = (
+        lc.join(F.broadcast(gc), "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                )
+            ).alias("cos_to_global")
+        )
+    )
+    member = (
+        d.join(F.broadcast(lc), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("x") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                )
+            ).alias("cos_m")
+        )
+    )
+    cohesion = member.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg("cos_m").alias("mean_member_cos"),
+    )
+    return cohesion.join(drift, "label").select(
+        "label",
+        "n_vecs",
+        dround(F.col("cos_to_global"), 6).alias("cos_to_global"),
+        dround(F.col("mean_member_cos"), 6).alias("mean_member_cos"),
+    )
