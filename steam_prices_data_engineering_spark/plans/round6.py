@@ -671,3 +671,290 @@ def embedding_label_centroid_drift(
         dround(F.col("cos_to_global"), 6).alias("cos_to_global"),
         dround(F.col("mean_member_cos"), 6).alias("mean_member_cos"),
     )
+
+
+# ===========================================================================
+# Hard-negative mining for contrastive training: for each query in a
+# bounded panel, the top-3 most-similar vectors with a DIFFERENT label —
+# the negatives that actually move a contrastive loss (random negatives
+# are trivially separable; see contrastive_negatives in plans/corpus_ops
+# for the random baseline this replaces).
+#
+# Scale shape: the panel broadcasts (the knn_join discipline); the corpus
+# never self-joins; ranking partitions by query over rounded scores with
+# a vec_id tie-break (raw doubles can flip last-ULP between engines).
+# ===========================================================================
+
+_HNM_PANEL = 8
+_HNM_K = 3
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_HNM_PANEL}
+),
+scored AS (
+    SELECT q.q_id, e.vec_id, e.label,
+           {R("list_dot_product(e.embedding::DOUBLE[], q.qv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))", 6)}
+               AS score
+    FROM embeddings e, q
+    WHERE e.label <> q.q_label
+),
+ranked AS (
+    SELECT q_id, vec_id, label, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id AS neg_id, label AS neg_label, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_HNM_K}
+"""
+
+
+@register("hard_negative_mining", _HARD_NEG_SQL)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 different-label cosine neighbors per panel query."""
+    from ..functions.vectors import cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _HNM_PANEL).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            dround(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HNM_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# ===========================================================================
+# Rolling-origin forecast backtest (Hyndman & Athanasopoulos' time-series
+# cross-validation): naive (t-1-from-origin) vs seasonal-naive (t-7)
+# daily-revenue forecasts evaluated over a sliding grid of 8 origins x
+# horizons {{1, 3, 7}}, scored by MAE and the skill ratio. The honest
+# upgrade over a single-split backtest (forecast_backtest_snaive): every
+# origin contributes an error sample per horizon.
+#
+# Scale shape: one map-side-combined day rollup over events; every
+# subsequent join is day-to-day on the calendar-bounded daily frame. The
+# daily CTE is multiply-referenced, so the oracle marks it MATERIALIZED
+# (DuckDB inlines plain CTEs once per reference).
+# ===========================================================================
+
+_RO_HORIZONS = (1, 3, 7)
+_RO_ORIGINS = 8  # origins M-14 .. M-7 (all targets lie inside the data)
+
+_ROLLING_ORIGIN_SQL = f"""
+WITH daily AS MATERIALIZED (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+           sum(value) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT max(d) AS mx FROM daily),
+origins AS (
+    SELECT o.d AS o FROM daily o CROSS JOIN bounds b
+    WHERE o.d BETWEEN b.mx - 14 AND b.mx - 7
+),
+grid AS (
+    SELECT o, h FROM origins
+    CROSS JOIN (VALUES (1), (3), (7)) hs(h)
+),
+evals AS (
+    SELECT g.h,
+           abs(po.rev - act.rev) AS err_naive,
+           abs(ps.rev - act.rev) AS err_snaive
+    FROM grid g
+    JOIN daily act ON act.d = g.o + g.h
+    JOIN daily po ON po.d = g.o
+    JOIN daily ps ON ps.d = g.o + g.h - 7
+)
+SELECT CAST(h AS BIGINT) AS horizon,
+       CAST(count(*) AS BIGINT) AS n_evals,
+       {R('avg(err_naive)', 4)} AS mae_naive,
+       {R('avg(err_snaive)', 4)} AS mae_snaive,
+       {R('1.0 - avg(err_snaive) / nullif(avg(err_naive), 0.0)', 6)}
+           AS skill_vs_naive
+FROM evals GROUP BY h
+"""
+
+
+@register("rolling_origin_backtest", _ROLLING_ORIGIN_SQL)
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE + skill of naive vs seasonal-naive over rolling origins."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    daily = daily.cache()  # session-per-query (origin grid + 3 day joins)
+    bounds = daily.agg(F.max("d").alias("mx"))
+    origins = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("d") >= F.col("mx") - 14) & (F.col("d") <= F.col("mx") - 7)
+        )
+        .select(F.col("d").alias("o"))
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in _RO_HORIZONS], "h long"
+    )
+    grid = origins.crossJoin(F.broadcast(horizons))
+    act = daily.select(F.col("d").alias("ad"), F.col("rev").alias("act"))
+    po = daily.select(F.col("d").alias("pd"), F.col("rev").alias("pn"))
+    ps = daily.select(F.col("d").alias("sd"), F.col("rev").alias("psn"))
+    evals = (
+        grid.join(act, F.col("ad") == F.col("o") + F.col("h"))
+        .join(po, F.col("pd") == F.col("o"))
+        .join(ps, F.col("sd") == F.col("o") + F.col("h") - 7)
+        .select(
+            "h",
+            F.abs(F.col("pn") - F.col("act")).alias("err_naive"),
+            F.abs(F.col("psn") - F.col("act")).alias("err_snaive"),
+        )
+    )
+    return evals.groupBy(F.col("h").cast("long").alias("horizon")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        dround(F.avg("err_naive"), 4).alias("mae_naive"),
+        dround(F.avg("err_snaive"), 4).alias("mae_snaive"),
+        dround(
+            F.lit(1.0)
+            - F.avg("err_snaive") / F.nullif(F.avg("err_naive"), F.lit(0.0)),
+            6,
+        ).alias("skill_vs_naive"),
+    )
+
+
+# ===========================================================================
+# Bigram entropy rate per source: conditional entropy H(next | prev) in
+# nats over token bigrams, against the unigram entropy H(tok) — the
+# sequence-predictability profile of a source (templated/boilerplate
+# sources show a collapsed ratio). Complements the bigram LM quality
+# gates (plans/corpus_eval.py), which score DOCUMENTS under a trained
+# LM; this scores the SOURCE distribution itself.
+#
+# Scale shape: bigram counts are one explode + map-side-combined
+# (source, prev, next) aggregate; both entropies reduce over that count
+# frame. No windows, no joins beyond the bounded source grain.
+# ===========================================================================
+
+_ENTROPY_RATE_SQL = f"""
+WITH t AS (
+    SELECT source, string_split(text, ' ') AS sp FROM documents
+),
+big AS (
+    SELECT source, unnest(
+        list_transform(range(1, len(sp)),
+                       i -> sp[i] || ' ' || sp[i + 1])) AS bg
+    FROM t WHERE len(sp) >= 2
+),
+bc AS (
+    SELECT source, string_split(bg, ' ')[1] AS prev,
+           CAST(count(*) AS DOUBLE) AS c
+    , bg FROM big GROUP BY source, bg
+),
+pc AS (
+    SELECT source, prev, sum(c) AS cp FROM bc GROUP BY source, prev
+),
+hb AS (
+    SELECT bc.source,
+           CAST(sum(bc.c) AS BIGINT) AS n_bigrams,
+           -(sum(bc.c * ln(bc.c / pc.cp)) / sum(bc.c)) AS h_bigram
+    FROM bc JOIN pc ON pc.source = bc.source AND pc.prev = bc.prev
+    GROUP BY bc.source
+),
+uni AS (
+    SELECT source, unnest(sp) AS tok FROM t
+),
+uc AS (
+    SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+    FROM uni GROUP BY source, tok
+),
+hu AS (
+    -- H = -sum(p ln p) = -(sum(c ln c)/N - ln N): same algebra as the
+    -- Spark side so the two engines share one summation shape
+    SELECT source,
+           -(sum(c * ln(c)) / sum(c) - ln(sum(c))) AS h_unigram
+    FROM uc GROUP BY source
+)
+SELECT hb.source, hb.n_bigrams,
+       {R('hb.h_bigram', 6)} AS h_bigram,
+       {R('hu.h_unigram', 6)} AS h_unigram,
+       {R('hb.h_bigram / nullif(hu.h_unigram, 0.0)', 6)} AS entropy_ratio
+FROM hb JOIN hu ON hu.source = hb.source
+"""
+
+
+@register("bigram_entropy_rate", _ENTROPY_RATE_SQL)
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(next|prev) vs H(tok) per source (sequence predictability)."""
+    from ..functions.text import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    big = d.select(
+        "source", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    )
+    bc = big.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).withColumn("prev", F.split(F.col("bg"), " ").getItem(0))
+    pc = bc.groupBy("source", "prev").agg(F.sum("c").alias("cp"))
+    hb = (
+        bc.join(pc, ["source", "prev"])
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(F.col("c") * F.log(F.col("c") / F.col("cp")))
+                / F.sum("c")
+            ).alias("h_bigram"),
+        )
+    )
+    uni = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    uc = uni.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    hu = uc.groupBy("source").agg(
+        (
+            -(
+                F.sum(F.col("c") * F.log("c")) / F.sum("c")
+                - F.log(F.sum("c"))
+            )
+        ).alias("h_unigram")
+    )
+    return hb.join(hu, "source").select(
+        "source",
+        "n_bigrams",
+        dround(F.col("h_bigram"), 6).alias("h_bigram"),
+        dround(F.col("h_unigram"), 6).alias("h_unigram"),
+        dround(
+            F.col("h_bigram") / F.nullif(F.col("h_unigram"), F.lit(0.0)), 6
+        ).alias("entropy_ratio"),
+    )
