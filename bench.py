@@ -160,6 +160,20 @@ BENCH_QUERIES = [
     "mixture_token_allocation",
     "bandit_ucb_replay",
     "gbm_stumps_two_rounds",
+    # round-6 tier: the full 12-query set joins the headline bench the
+    # round it lands, so its regressions are never invisible
+    "substring_dedup_keep_first",
+    "eval_reservoir_sample",
+    "quality_calibration_drift",
+    "lsh_recall_empirical",
+    "shard_skew_audit",
+    "ngram_novelty_curve",
+    "embedding_label_centroid_drift",
+    "hard_negative_mining",
+    "rolling_origin_backtest",
+    "bigram_entropy_rate",
+    "group_sequential_obf",
+    "covariate_shift_eval",
 ]
 
 

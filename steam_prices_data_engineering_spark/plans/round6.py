@@ -958,3 +958,317 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_bigram") / F.nullif(F.col("h_unigram"), F.lit(0.0)), 6
         ).alias("entropy_ratio"),
     )
+
+
+# ===========================================================================
+# Group-sequential A/B monitoring with the O'Brien-Fleming boundary
+# (O'Brien & Fleming 1979; Pocock 1977 framing): the experiment timeline
+# splits into K = 5 equal-width looks; at each look the cumulative
+# two-proportion pooled z-statistic for purchase conversion (arm =
+# user_id parity) is compared against the OBF critical value
+# C * sqrt(K / k) — near-unspendable alpha early, nominal-width at the
+# final look. The frequentist complement to the likelihood-ratio SPRT
+# monitor (plans/round5.py:sprt_sequential_monitor).
+#
+# Scale shape: one map-side-combined (variant, day) rollup over events;
+# look assignment rides a broadcast 1-row bounds frame; the cumulative
+# per-look sums come from a broadcast 5-row look grid joined on
+# day_look <= k and re-aggregated — no window at all, so nothing is
+# dragged to one task. The z and boundary arithmetic are ONE SQL
+# fragment evaluated by F.expr and verbatim by DuckDB (the
+# plans/linalg.py:_det3 discipline).
+# ===========================================================================
+
+_OBF_K = 5
+# OBF critical value for K=5 looks at two-sided alpha=0.05 (Pocock 1982
+# table); DOUBLE-cast so both engines divide at double precision.
+_OBF_C = "CAST(2.04 AS DOUBLE)"
+# pooled two-proportion z over cumulative counts (na,xa | nb,xb); NULL
+# when either arm is empty or the pooled rate is degenerate (mirrored
+# exactly in both engines via this shared fragment)
+_OBF_Z = (
+    "(CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
+    "           AND (xa + xb) < (na + nb)"
+    " THEN ((CAST(xb AS DOUBLE) / nb) - (CAST(xa AS DOUBLE) / na))"
+    "      / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))"
+    "             * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))"
+    "             * (1.0 / na + 1.0 / nb))"
+    " ELSE NULL END)"
+)
+_OBF_BOUND = f"({_OBF_C} * sqrt(CAST({_OBF_K} AS DOUBLE) / k))"
+
+_OBF_SQL = f"""
+WITH dv AS (
+    SELECT user_id % 2 AS variant,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS x
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM dv),
+dl AS (
+    SELECT variant, n, x,
+           least({_OBF_K} - 1,
+                 CAST(floor(CAST((d - b.mn) * {_OBF_K} AS DOUBLE)
+                            / (b.mx - b.mn + 1)) AS BIGINT)) + 1 AS lk
+    FROM dv CROSS JOIN b
+),
+looks AS (
+    SELECT k FROM (VALUES (1), (2), (3), (4), (5)) ks(k)
+),
+cum AS (
+    SELECT l.k,
+           coalesce(sum(n) FILTER (WHERE variant = 0), 0) AS na,
+           coalesce(sum(x) FILTER (WHERE variant = 0), 0) AS xa,
+           coalesce(sum(n) FILTER (WHERE variant = 1), 0) AS nb,
+           coalesce(sum(x) FILTER (WHERE variant = 1), 0) AS xb
+    FROM looks l JOIN dl ON dl.lk <= l.k
+    GROUP BY l.k
+)
+SELECT CAST(k AS BIGINT) AS look,
+       CAST(na AS BIGINT) AS n_ctrl, CAST(xa AS BIGINT) AS x_ctrl,
+       CAST(nb AS BIGINT) AS n_trt, CAST(xb AS BIGINT) AS x_trt,
+       {R(_OBF_Z, 6)} AS z_stat,
+       {R(_OBF_BOUND, 6)} AS obf_bound,
+       CAST(CASE WHEN abs({_OBF_Z}) >= {_OBF_BOUND} THEN 1 ELSE 0 END
+            AS BIGINT) AS crossed
+FROM cum
+"""
+
+
+@register("group_sequential_obf", _OBF_SQL)
+def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-look pooled z vs the O'Brien-Fleming boundary (K=5 looks)."""
+    e = read_table(spark, sf_dir, "events")
+    dv = (
+        e.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("xx"),
+        )
+        .groupBy("variant", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xx").cast("long").alias("x"),
+        )
+    )
+    b = dv.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    dl = dv.crossJoin(F.broadcast(b)).select(
+        "variant",
+        "n",
+        "x",
+        (
+            F.least(
+                F.lit(_OBF_K - 1),
+                F.floor(
+                    ((F.col("d") - F.col("mn")) * _OBF_K).cast("double")
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+            ).cast("long")
+            + 1
+        ).alias("lk"),
+    )
+    looks = spark.range(1, _OBF_K + 1).select(F.col("id").alias("k"))
+    cum = (
+        dl.join(F.broadcast(looks), F.col("lk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("variant") == 0, F.col("n"))), F.lit(0)
+            ).alias("na"),
+            F.coalesce(
+                F.sum(F.when(F.col("variant") == 0, F.col("x"))), F.lit(0)
+            ).alias("xa"),
+            F.coalesce(
+                F.sum(F.when(F.col("variant") == 1, F.col("n"))), F.lit(0)
+            ).alias("nb"),
+            F.coalesce(
+                F.sum(F.when(F.col("variant") == 1, F.col("x"))), F.lit(0)
+            ).alias("xb"),
+        )
+    )
+    z = F.expr(_OBF_Z)
+    bound = F.expr(_OBF_BOUND)
+    return cum.select(
+        F.col("k").cast("long").alias("look"),
+        F.col("na").cast("long").alias("n_ctrl"),
+        F.col("xa").cast("long").alias("x_ctrl"),
+        F.col("nb").cast("long").alias("n_trt"),
+        F.col("xb").cast("long").alias("x_trt"),
+        dround(z, 6).alias("z_stat"),
+        dround(bound, 6).alias("obf_bound"),
+        F.when(F.abs(z) >= bound, 1).otherwise(0).cast("long").alias(
+            "crossed"
+        ),
+    )
+
+
+# ===========================================================================
+# Covariate-shift-weighted evaluation (Shimodaira 2000 importance
+# weighting; Sugiyama et al. 2007): the labeled eval pool (the min-name
+# source's documents) is length-distribution-shifted relative to the
+# full corpus, so its naive mean quality is a biased estimate of the
+# corpus mean. Binned density-ratio weights w(bin) =
+# p_corpus(bin) / p_eval(bin) correct the estimate; the effective sample
+# size (Kish ESS = (sum w)^2 / sum w^2) prices the variance cost. Bins
+# present in the corpus but absent from the eval pool surface as
+# n_eval = 0 rows (coverage violations — the weights cannot fix those).
+#
+# Scale shape: one scored doc scan (cached: the quality HOFs are
+# interpreted) feeds two bounded-bin aggregates; the eval-source scalar
+# and bin totals ride broadcast 1-row frames; the overall row re-
+# aggregates the bounded bin frame. No windows, no fact-fact joins.
+# ===========================================================================
+
+_CSE_BIN_W = 32
+_CSE_NBINS = 8  # bins 0..7 (token counts cap out far below 8*32)
+
+_COVSHIFT_SQL = f"""
+WITH {sql_quality_feat_ctes()},
+scored AS (
+    SELECT d.doc_id, d.source,
+           least({_CSE_NBINS} - 1,
+                 CAST(floor(CAST(f.n_tokens AS DOUBLE) / {_CSE_BIN_W})
+                      AS BIGINT)) AS len_bin,
+           ({SQL_QUALITY_EXPR}) AS q
+    FROM feat f JOIN documents d ON d.doc_id = f.doc_id
+),
+esrc AS (SELECT min(source) AS s FROM documents),
+tgt AS (
+    SELECT len_bin, CAST(count(*) AS BIGINT) AS n_t
+    FROM scored GROUP BY len_bin
+),
+ev AS (
+    SELECT len_bin, CAST(count(*) AS BIGINT) AS n_e,
+           sum(q) AS sq, avg(q) AS mq
+    FROM scored, esrc WHERE source = s GROUP BY len_bin
+),
+tots AS (
+    SELECT (SELECT sum(n_t) FROM tgt) AS nt,
+           (SELECT sum(n_e) FROM ev) AS ne
+),
+bins AS (
+    SELECT t.len_bin, t.n_t, coalesce(e.n_e, 0) AS n_e,
+           CASE WHEN e.n_e IS NOT NULL THEN
+               (CAST(t.n_t AS DOUBLE) / tt.nt)
+               / (CAST(e.n_e AS DOUBLE) / tt.ne)
+           END AS w,
+           e.sq, e.mq
+    FROM tgt t LEFT JOIN ev e ON e.len_bin = t.len_bin
+    CROSS JOIN tots tt
+)
+SELECT len_bin, CAST(n_t AS BIGINT) AS n_target,
+       CAST(n_e AS BIGINT) AS n_eval,
+       {R('w', 6)} AS weight,
+       {R('mq', 6)} AS mean_q_eval,
+       CAST(NULL AS DOUBLE) AS shifted_mean_q,
+       CAST(NULL AS DOUBLE) AS ess
+FROM bins
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS len_bin,
+       CAST(sum(n_t) AS BIGINT) AS n_target,
+       CAST(sum(n_e) AS BIGINT) AS n_eval,
+       CAST(NULL AS DOUBLE) AS weight,
+       {R('sum(sq) / nullif(sum(n_e), 0)', 6)} AS mean_q_eval,
+       {R('sum(w * sq) / nullif(sum(w * n_e), 0)', 6)} AS shifted_mean_q,
+       {R('(sum(w * n_e) * sum(w * n_e)) / nullif(sum(w * w * n_e), 0)', 4)}
+           AS ess
+FROM bins
+"""
+
+
+@register("covariate_shift_eval", _COVSHIFT_SQL)
+def covariate_shift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted eval-pool quality vs naive, with Kish ESS."""
+    d = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(_CSE_NBINS - 1),
+            F.floor(token_count(text).cast("double") / _CSE_BIN_W),
+        )
+        .cast("long")
+        .alias("len_bin"),
+        quality_score(text).alias("q"),
+    )
+    scored = scored.cache()  # session-per-query (tgt + ev aggregates)
+    esrc = d.agg(F.min("source").alias("s"))
+    tgt = scored.groupBy("len_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    ev = (
+        scored.crossJoin(F.broadcast(esrc))
+        .filter(F.col("source") == F.col("s"))
+        .groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_e"),
+            F.sum("q").alias("sq"),
+            F.avg("q").alias("mq"),
+        )
+    )
+    tots = tgt.agg(F.sum("n_t").alias("nt")).crossJoin(
+        ev.agg(F.sum("n_e").alias("ne"))
+    )
+    bins = (
+        tgt.join(ev, "len_bin", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "len_bin",
+            "n_t",
+            F.coalesce(F.col("n_e"), F.lit(0)).alias("n_e"),
+            F.when(
+                F.col("n_e").isNotNull(),
+                (F.col("n_t").cast("double") / F.col("nt"))
+                / (F.col("n_e").cast("double") / F.col("ne")),
+            ).alias("w"),
+            "sq",
+            "mq",
+        )
+    )
+    per_bin = bins.select(
+        "len_bin",
+        F.col("n_t").cast("long").alias("n_target"),
+        F.col("n_e").cast("long").alias("n_eval"),
+        dround(F.col("w"), 6).alias("weight"),
+        dround(F.col("mq"), 6).alias("mean_q_eval"),
+        F.lit(None).cast("double").alias("shifted_mean_q"),
+        F.lit(None).cast("double").alias("ess"),
+    )
+    overall = bins.agg(
+        F.sum("n_t").cast("long").alias("n_target"),
+        F.sum("n_e").cast("long").alias("n_eval"),
+        dround(
+            F.sum("sq") / F.nullif(F.sum("n_e"), F.lit(0)), 6
+        ).alias("mean_q_eval"),
+        dround(
+            F.sum(F.col("w") * F.col("sq"))
+            / F.nullif(F.sum(F.col("w") * F.col("n_e")), F.lit(0)),
+            6,
+        ).alias("shifted_mean_q"),
+        dround(
+            (
+                F.sum(F.col("w") * F.col("n_e"))
+                * F.sum(F.col("w") * F.col("n_e"))
+            )
+            / F.nullif(
+                F.sum(F.col("w") * F.col("w") * F.col("n_e")), F.lit(0)
+            ),
+            4,
+        ).alias("ess"),
+    ).select(
+        F.lit(-1).cast("long").alias("len_bin"),
+        "n_target",
+        "n_eval",
+        F.lit(None).cast("double").alias("weight"),
+        "mean_q_eval",
+        "shifted_mean_q",
+        "ess",
+    )
+    return per_bin.unionByName(overall)

@@ -182,6 +182,19 @@ REPRESENTATIVES = [
     "mixture_token_allocation",
     "bandit_ucb_replay",
     "gbm_stumps_two_rounds",
+    # round-6 tier (group-keyed outputs; the always-1-row global
+    # aggregates — the LSH recall counts row, the shard-skew summary and
+    # the covariate-shift grand-total row — are excluded per the
+    # datasheet precedent above)
+    "substring_dedup_keep_first",
+    "eval_reservoir_sample",
+    "quality_calibration_drift",
+    "ngram_novelty_curve",
+    "embedding_label_centroid_drift",
+    "hard_negative_mining",
+    "rolling_origin_backtest",
+    "bigram_entropy_rate",
+    "group_sequential_obf",
 ]
 
 
