@@ -174,6 +174,19 @@ BENCH_QUERIES = [
     "bigram_entropy_rate",
     "group_sequential_obf",
     "covariate_shift_eval",
+    # round-6 part B
+    "neyman_allocation",
+    "embedding_anisotropy",
+    "confident_learning_noise",
+    "rm3_query_expansion",
+    "kneser_ney_bigram_ppl",
+    # round-6 part C
+    "psi_value_drift",
+    "raking_ipf_weights",
+    "data_constrained_scaling",
+    "hits_event_graph",
+    "hill_tail_index",
+    "shard_order_autocorr",
 ]
 
 

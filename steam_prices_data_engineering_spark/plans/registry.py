@@ -1228,3 +1228,5 @@ from . import patterns as _patterns  # noqa: E402,F401
 from . import ml_eval as _ml_eval  # noqa: E402,F401  (needs trainset, corpus_eval)
 from . import round5 as _round5  # noqa: E402,F401
 from . import round6 as _round6  # noqa: E402,F401
+from . import round6b as _round6b  # noqa: E402,F401
+from . import round6c as _round6c  # noqa: E402,F401

@@ -195,6 +195,18 @@ REPRESENTATIVES = [
     "rolling_origin_backtest",
     "bigram_entropy_rate",
     "group_sequential_obf",
+    # round-6 part B (the always-1-row anisotropy summary is excluded
+    # per the datasheet precedent; rm3 has its own dim-backed test below)
+    "neyman_allocation",
+    "confident_learning_noise",
+    "kneser_ney_bigram_ppl",
+    # round-6 part C (all keyed grains or explicit empty frames)
+    "psi_value_drift",
+    "raking_ipf_weights",
+    "data_constrained_scaling",
+    "hits_event_graph",
+    "hill_tail_index",
+    "shard_order_autocorr",
 ]
 
 
@@ -212,6 +224,19 @@ def empty_dir(spark, tmp_path_factory):
 def test_query_survives_empty_tables(spark, empty_dir, name):
     df = registry.queries()[name](spark, empty_dir)
     assert df.count() == 0
+
+
+def test_rm3_falls_back_to_query_terms_on_empty(spark, empty_dir):
+    """With no corpus there is no pseudo-relevant set, so the RM3 mix
+    must degrade to exactly the original query terms at the uniform
+    query-model weight — not crash and not return nothing."""
+    rows = registry.queries()["rm3_query_expansion"](
+        spark, empty_dir
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.in_query for r in rows)
+    for r in rows:
+        assert r.rm3_weight > 0.0
 
 
 def test_dim_backed_pipeline_keeps_dim_rows_on_empty_facts(spark, empty_dir):

@@ -216,6 +216,32 @@ def test_projection_prunes_scan_columns(spark):
         "mixture_token_allocation",
         "bandit_ucb_replay",
         "gbm_stumps_two_rounds",
+        # round-6 tier (plans/round6.py): all pure-relational
+        "substring_dedup_keep_first",
+        "eval_reservoir_sample",
+        "quality_calibration_drift",
+        "lsh_recall_empirical",
+        "shard_skew_audit",
+        "ngram_novelty_curve",
+        "embedding_label_centroid_drift",
+        "hard_negative_mining",
+        "rolling_origin_backtest",
+        "bigram_entropy_rate",
+        "group_sequential_obf",
+        "covariate_shift_eval",
+        # round-6 part B (plans/round6b.py): all pure-relational
+        "neyman_allocation",
+        "embedding_anisotropy",
+        "confident_learning_noise",
+        "rm3_query_expansion",
+        "kneser_ney_bigram_ppl",
+        # round-6 part C (plans/round6c.py); hits_event_graph excluded —
+        # its returned frame is a driver-coordinated local result
+        "psi_value_drift",
+        "raking_ipf_weights",
+        "data_constrained_scaling",
+        "hill_tail_index",
+        "shard_order_autocorr",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -807,6 +833,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "vocab_coverage_sweep": "post-limit top-K frame",
     "mixture_token_allocation": "language grain (bounded vocabulary)",
     "bandit_ucb_replay": "hour x arm grain (calendar x vocabulary bounded)",
+    # round-6 additions
+    "neyman_allocation": "source grain (bounded vocabulary)",
+    "hill_tail_index": "post-limit top-K frame",
 }
 
 

@@ -1,0 +1,232 @@
+"""Semantic contracts of the round-6 part-C tier (plans/round6c.py):
+PSI bins/terms, IPF margin convergence, the Muennighoff decay formula,
+HITS normalization + independent recomputation, the Hill estimator over
+explicitly sorted order stats, and the shard-order agreement audit —
+each reproduced by an independent pure-Python recomputation at sf0.001
+(the oracle gate can't catch a formula mis-derived the same way in both
+engines)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from steam_prices_data_engineering_spark.plans import registry
+from steam_prices_data_engineering_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5i(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+
+def _pctl(sorted_vals, p):
+    """Spark `percentile` / DuckDB `quantile_cont` (n-1)*p interpolation."""
+    idx = (len(sorted_vals) - 1) * p
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    return sorted_vals[lo] + (idx - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def _dround(x, d=6):
+    return math.floor(x * 10**d + 0.5) / 10**d
+
+
+def test_psi_bins_and_terms_match_python(spark):
+    got = {
+        r.bin: r
+        for r in registry.queries()["psi_value_drift"](spark, SF).collect()
+    }
+    ev = [
+        (int(math.floor(r.ts.timestamp())), r.value)
+        for r in read_table(spark, SF, "events")
+        .select("ts", "value")
+        .collect()
+    ]
+    secs = [s for s, _ in ev]
+    mid = int(math.floor((min(secs) + max(secs)) / 2.0))
+    ref = sorted(v for s, v in ev if s <= mid)
+    cur = [v for s, v in ev if s > mid]
+    edges = [_dround(_pctl(ref, i / 10.0)) for i in range(1, 10)]
+
+    def binof(v):
+        return 1 + sum(1 for e in edges if v > e)
+
+    cr = Counter(binof(v) for v in ref)
+    cc = Counter(binof(v) for v in cur)
+    bins = set(cr) | set(cc)
+    assert set(got) == bins
+    psi_total = 0.0
+    for b in bins:
+        g = got[b]
+        pr, pc = cr.get(b, 0) / len(ref), cc.get(b, 0) / len(cur)
+        assert g.n_ref == cr.get(b, 0)
+        assert g.n_cur == cc.get(b, 0)
+        assert abs(g.p_ref - pr) < 1e-5
+        assert abs(g.p_cur - pc) < 1e-5
+        term = (pc - pr) * math.log(max(pc, 1e-6) / max(pr, 1e-6))
+        assert abs(g.psi_term - term) < 1e-5
+        psi_total += term
+    assert psi_total >= 0.0  # PSI is a sum of non-negative terms
+
+
+def test_ipf_weights_converge_margins(spark):
+    rows = registry.queries()["raking_ipf_weights"](spark, SF).collect()
+    cells = {(r.lang, r.source): r for r in rows}
+    n = {k: r.n_docs for k, r in cells.items()}
+    total = sum(n.values())
+    langs = {k[0] for k in n}
+    sources = {k[1] for k in n}
+    # independent IPF
+    w = {k: 1.0 for k in n}
+    tl, ts = total / len(langs), total / len(sources)
+    for _ in range(3):
+        for lg in langs:
+            z = sum(w[k] * n[k] for k in n if k[0] == lg)
+            for k in n:
+                if k[0] == lg:
+                    w[k] *= tl / z
+        for s in sources:
+            z = sum(w[k] * n[k] for k in n if k[1] == s)
+            for k in n:
+                if k[1] == s:
+                    w[k] *= ts / z
+    for k, r in cells.items():
+        assert abs(r.raking_weight - w[k]) < 1e-5
+        assert abs(r.raw_share - n[k] / total) < 1e-5
+        assert abs(r.weighted_share - w[k] * n[k] / total) < 1e-5
+    # after the final source-adjust the SOURCE margins are exact
+    for s in sources:
+        share = sum(r.weighted_share for k, r in cells.items() if k[1] == s)
+        assert abs(share - 1.0 / len(sources)) < 1e-4
+    # and the lang margins are close (IPF converges geometrically)
+    for lg in langs:
+        share = sum(r.weighted_share for k, r in cells.items() if k[0] == lg)
+        assert abs(share - 1.0 / len(langs)) < 0.02
+
+
+def test_data_constrained_scaling_matches_formula(spark):
+    rows = registry.queries()["data_constrained_scaling"](
+        spark, SF
+    ).collect()
+    docs = read_table(spark, SF, "documents").collect()
+    uniq = {}
+    for r in docs:
+        uniq[(r.source, hashlib.md5(r.text.encode()).hexdigest())] = len(
+            r.text.split(" ")
+        )
+    u = defaultdict(int)
+    for (src, _h), t in uniq.items():
+        u[src] += t
+    R = 15.39
+    assert {(r.source, r.epochs) for r in rows} == {
+        (s, m) for s in u for m in (1, 2, 4, 8, 16)
+    }
+    for r in rows:
+        uu = u[r.source]
+        assert r.unique_tokens == uu
+        assert r.budget_tokens == uu * r.epochs
+        eff = uu * (1.0 + R * (1.0 - math.exp(-(r.epochs - 1.0) / R)))
+        assert abs(r.effective_tokens - eff) < 0.5
+        assert abs(r.effective_fraction - eff / (uu * r.epochs)) < 1e-5
+        if r.epochs == 1:
+            assert abs(r.effective_fraction - 1.0) < 1e-9
+    # value per budget token strictly decreases with epochs
+    by_src = defaultdict(dict)
+    for r in rows:
+        by_src[r.source][r.epochs] = r.effective_fraction
+    for fr in by_src.values():
+        assert fr[1] > fr[2] > fr[4] > fr[8] > fr[16]
+
+
+def test_hits_matches_python_power_iteration(spark):
+    got = {
+        r.node: r
+        for r in registry.queries()["hits_event_graph"](spark, SF).collect()
+    }
+    ev = sorted(
+        read_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    edges = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            edges[(a.event_type, b.event_type)] += 1
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    h = {v: 1.0 for v in nodes}
+    for _ in range(4):
+        a = {v: 0.0 for v in nodes}
+        for (s, t), n in edges.items():
+            a[t] += n * h[s]
+        za = sum(a.values())
+        a = {v: x / za for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for (s, t), n in edges.items():
+            h[s] += n * a[t]
+        zh = sum(h.values())
+        h = {v: x / zh for v, x in h.items()}
+    assert set(got) == set(nodes)
+    assert abs(sum(r.authority for r in got.values()) - 1.0) < 1e-4
+    assert abs(sum(r.hub for r in got.values()) - 1.0) < 1e-4
+    for v in nodes:
+        assert abs(got[v].authority - a[v]) < 1e-5
+        assert abs(got[v].hub - h[v]) < 1e-5
+
+
+def test_hill_matches_sorted_order_stats(spark):
+    row = registry.queries()["hill_tail_index"](spark, SF).collect()[0]
+    xs = sorted(
+        (
+            (r.o_totalprice, r.o_orderkey)
+            for r in read_table(spark, SF, "orders")
+            .select("o_totalprice", "o_orderkey")
+            .collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = [x for x, _ in xs[:100]]
+    xk = xs[100][0]
+    hm = sum(math.log(x / xk) for x in top) / 100
+    assert row.k == 100
+    assert abs(row.x_kplus1 - xk) < 1e-3
+    assert abs(row.hill_mean_log - hm) < 1e-5
+    assert abs(row.tail_alpha - 1.0 / hm) < 1e-4
+
+
+def test_shard_order_autocorr_matches_python(spark):
+    got = {
+        r.shard: r
+        for r in registry.queries()["shard_order_autocorr"](
+            spark, SF
+        ).collect()
+    }
+    per = defaultdict(list)  # shard -> [(h, doc_id, source)]
+    for r in (
+        read_table(spark, SF, "documents")
+        .select("doc_id", "source")
+        .collect()
+    ):
+        h = _md5i(f"shard1|{r.doc_id}")
+        per[h % 16].append((h, r.doc_id, r.source))
+    for shard, rows in per.items():
+        if len(rows) <= 1:
+            assert shard not in got
+            continue
+        rows.sort()
+        same = sum(
+            1 for a, b in zip(rows, rows[1:]) if a[2] == b[2]
+        )
+        cnt = Counter(s for _, _, s in rows)
+        n = len(rows)
+        exp = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+        g = got[shard]
+        assert g.n_docs == n
+        assert g.n_same == same
+        assert abs(g.agree_rate - same / (n - 1)) < 1e-5
+        assert abs(g.expected_rate - exp) < 1e-5
+        if exp > 0:
+            assert abs(g.order_bias_ratio - (same / (n - 1)) / exp) < 1e-4
