@@ -506,16 +506,17 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pd = pd.cache()  # session-per-query (doc filter + weight join)
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select(
+    fd = pd.select("doc_id").distinct()
+    # join the <=15-doc feedback set BEFORE tokenizing: only feedback
+    # docs pay the explode (the corpus-wide explode measured 6.0 s vs
+    # ~3 s at sf0.1)
+    tok = d.join(F.broadcast(fd), "doc_id").select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("dl"),
         F.explode(tokens(F.col("text"))).alias("term"),
     )
-    fd = pd.select("doc_id").distinct()
-    tf = (
-        tok.join(F.broadcast(fd), "doc_id")
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
     )
     rel = (
         tf.join(F.broadcast(pd), "doc_id")
@@ -677,6 +678,7 @@ def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
+    tb = tb.cache()  # session-per-query (ctx/cont/n1dd + the eval join)
     ctx = tb.groupBy("v").agg(
         F.sum("c").alias("cv"),
         F.count(F.lit(1)).cast("double").alias("n1v"),
