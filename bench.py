@@ -187,6 +187,11 @@ BENCH_QUERIES = [
     "hits_event_graph",
     "hill_tail_index",
     "shard_order_autocorr",
+    # round-6 part D
+    "good_turing_unseen_mass",
+    "quantile_normalize_scores",
+    "cohen_kappa_labels",
+    "jackknife_source_influence",
 ]
 
 

@@ -207,6 +207,11 @@ REPRESENTATIVES = [
     "hits_event_graph",
     "hill_tail_index",
     "shard_order_autocorr",
+    # round-6 part D (kappa's always-1-row summary excluded per the
+    # datasheet precedent)
+    "good_turing_unseen_mass",
+    "quantile_normalize_scores",
+    "jackknife_source_influence",
 ]
 
 

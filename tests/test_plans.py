@@ -242,6 +242,11 @@ def test_projection_prunes_scan_columns(spark):
         "data_constrained_scaling",
         "hill_tail_index",
         "shard_order_autocorr",
+        # round-6 part D (plans/round6d.py): all pure-relational
+        "good_turing_unseen_mass",
+        "quantile_normalize_scores",
+        "cohen_kappa_labels",
+        "jackknife_source_influence",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

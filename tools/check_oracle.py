@@ -69,7 +69,12 @@ def compare(name, spark_df, duck_rows, duck_cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # accept bare names, comma-joined lists, and an optional --only flag
+    only = set()
+    for arg in sys.argv[2:]:
+        if arg == "--only":
+            continue
+        only.update(x for x in arg.split(",") if x)
 
     import duckdb
 
@@ -85,6 +90,11 @@ def main():
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must never pass vacuously as "0 failures"
+        print(f"unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
