@@ -243,6 +243,26 @@ def main() -> None:
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
 
+    # Flagged-retry pass: a mid-run steal burst inflates a CONTIGUOUS
+    # stretch of queries that the start-of-run canary cannot normalize
+    # (observed: 57 false flags in one run whose canary happened to land
+    # in a quiet moment). Re-time would-be-flagged queries once more at
+    # the end and keep the min — a real code regression survives the
+    # retry; a transient spike does not.
+    def _time_one(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    try:
+        flagged, _ = _diff_against_previous_round(
+            timings, float(sf) if sf else None, canary
+        )
+    except Exception:  # noqa: BLE001
+        flagged = {}
+    if flagged:
+        _retry_flagged(flagged, timings, _time_one)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -409,6 +429,19 @@ def _normalized_regressions(
             file=out,
         )
     return regressions
+
+
+def _retry_flagged(
+    flagged: dict,
+    timings: dict,
+    time_one,
+    budget: int = 24,
+) -> None:
+    """Re-time each flagged query once and keep the min (transient-spike
+    de-noising; see main). `time_one(name) -> seconds`. The budget bounds
+    the extra work when a run is pathologically noisy."""
+    for name in list(flagged)[:budget]:
+        timings[name] = round(min(timings[name], time_one(name)), 3)
 
 
 def _diff_against_previous_round(

@@ -87,3 +87,29 @@ def test_detail_guard_redirects_loaded_rerun(tmp_path):
     p.write_text(json.dumps({"queries": {}}))
     assert _detail_path_guarding_idle_record(str(p), 0.544) == str(p)
     assert LOADED_CANARY_RATIO == 1.2
+
+
+def test_retry_flagged_keeps_min_and_respects_budget():
+    from bench import _retry_flagged
+
+    timings = {"a": 2.0, "b": 3.0, "c": 4.0}
+    calls = []
+
+    def time_one(name):
+        calls.append(name)
+        return {"a": 0.9, "b": 5.0, "c": 1.0}[name]
+
+    _retry_flagged({"a": 2.1, "b": 1.9}, timings, time_one, budget=24)
+    # retried queries keep the MIN of old and new; unflagged untouched
+    assert timings == {"a": 0.9, "b": 3.0, "c": 4.0}
+    assert calls == ["a", "b"]
+
+
+def test_retry_flagged_budget_bounds_work():
+    from bench import _retry_flagged
+
+    flagged = {f"q{i}": 2.0 for i in range(40)}
+    timings = {f"q{i}": 2.0 for i in range(40)}
+    calls = []
+    _retry_flagged(flagged, timings, lambda n: calls.append(n) or 1.0, budget=24)
+    assert len(calls) == 24
