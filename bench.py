@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     "quantile_normalize_scores",
     "cohen_kappa_labels",
     "jackknife_source_influence",
+    # round-6 part E
+    "winnowing_fingerprint_density",
+    "topk_token_churn",
+    "burrows_delta_stylometry",
 ]
 
 

@@ -212,6 +212,10 @@ REPRESENTATIVES = [
     "good_turing_unseen_mass",
     "quantile_normalize_scores",
     "jackknife_source_influence",
+    # round-6 part E
+    "winnowing_fingerprint_density",
+    "topk_token_churn",
+    "burrows_delta_stylometry",
 ]
 
 

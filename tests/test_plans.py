@@ -247,6 +247,10 @@ def test_projection_prunes_scan_columns(spark):
         "quantile_normalize_scores",
         "cohen_kappa_labels",
         "jackknife_source_influence",
+        # round-6 part E (plans/round6e.py): all pure-relational
+        "winnowing_fingerprint_density",
+        "topk_token_churn",
+        "burrows_delta_stylometry",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -841,6 +845,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     # round-6 additions
     "neyman_allocation": "source grain (bounded vocabulary)",
     "hill_tail_index": "post-limit top-K frame",
+    "topk_token_churn": "post-limit top-K frame",
 }
 
 
