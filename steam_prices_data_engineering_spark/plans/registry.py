@@ -156,7 +156,8 @@ _PRIORITY: tuple[str, ...] = (
 # forecast_backtest_snaive, golden_record_consolidation,
 # xcorr_error_revenue, frequent_event_sequences,
 # winsorized_stats_by_flag, histogram_extendedprice, robust_stats_mad)
-# — round-7 rotation pool, plus any round-6 additions.
+# — round-7 rotation pool, plus the 30 round-6 additions
+# (plans/round6{,b,c,d,e}.py): 47 candidates total for round 7.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

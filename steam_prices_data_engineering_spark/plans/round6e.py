@@ -406,7 +406,10 @@ def burrows_delta_stylometry(
             )
         ).alias("sd"),
     )
-    z = rate.join(F.broadcast(zstat), "tok").select(
+    # hint-free: zstat is the bounded 20-row function-word grain here,
+    # but the repo-wide census bans hints on token-keyed aggregates —
+    # AQE broadcasts a measured-tiny frame on its own
+    z = rate.join(zstat, "tok").select(
         "source",
         "tok",
         F.when(
