@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     "winnowing_fingerprint_density",
     "topk_token_churn",
     "burrows_delta_stylometry",
+    # round-6 part F
+    "chinchilla_optimal_allocation",
+    "heaps_law_fit",
+    "kanon_generalization_sweep",
 ]
 
 

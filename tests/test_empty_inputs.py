@@ -216,6 +216,10 @@ REPRESENTATIVES = [
     "winnowing_fingerprint_density",
     "topk_token_churn",
     "burrows_delta_stylometry",
+    # round-6 part F (chinchilla's constant-grid frame excluded per the
+    # datasheet precedent — it reports 5 NULL-supply rows on empty)
+    "heaps_law_fit",
+    "kanon_generalization_sweep",
 ]
 
 

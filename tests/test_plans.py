@@ -251,6 +251,10 @@ def test_projection_prunes_scan_columns(spark):
         "winnowing_fingerprint_density",
         "topk_token_churn",
         "burrows_delta_stylometry",
+        # round-6 part F (plans/round6f.py): all pure-relational
+        "chinchilla_optimal_allocation",
+        "heaps_law_fit",
+        "kanon_generalization_sweep",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
