@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "chinchilla_optimal_allocation",
     "heaps_law_fit",
     "kanon_generalization_sweep",
+    # round-6 part G
+    "join_cardinality_audit",
+    "zonemap_pruning_audit",
 ]
 
 

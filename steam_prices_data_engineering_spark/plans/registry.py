@@ -1234,3 +1234,4 @@ from . import round6c as _round6c  # noqa: E402,F401
 from . import round6d as _round6d  # noqa: E402,F401
 from . import round6e as _round6e  # noqa: E402,F401
 from . import round6f as _round6f  # noqa: E402,F401
+from . import round6g as _round6g  # noqa: E402,F401

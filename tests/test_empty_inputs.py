@@ -220,6 +220,9 @@ REPRESENTATIVES = [
     # datasheet precedent — it reports 5 NULL-supply rows on empty)
     "heaps_law_fit",
     "kanon_generalization_sweep",
+    # round-6 part G
+    "join_cardinality_audit",
+    "zonemap_pruning_audit",
 ]
 
 

@@ -255,6 +255,9 @@ def test_projection_prunes_scan_columns(spark):
         "chinchilla_optimal_allocation",
         "heaps_law_fit",
         "kanon_generalization_sweep",
+        # round-6 part G (plans/round6g.py): all pure-relational
+        "join_cardinality_audit",
+        "zonemap_pruning_audit",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
