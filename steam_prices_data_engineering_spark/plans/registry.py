@@ -71,93 +71,82 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-6 ROTATION (per VERDICT.md r5 task 1): rounds 1-5 drove 246
-# distinct queries green (CORRECTNESS_r01..r05), leaving 67 registered
-# queries never driver-sampled: the 22 round-5 additions
-# (plans/round5.py) plus 45 older ones. This round's first 50 LEAD
-# with all 22 round-5 queries, then fill from the older tail spanning
-# every remaining family (pinned by
-# tests/test_queries.py::test_driver_sample_spans_families). After
-# this round 17 pre-round-6 queries remain never-driver-sampled
-# (plus whatever round 6 adds) — the round-7 rotation pool. Every
+# ROUND-7 ROTATION (per VERDICT.md r6 task 1): rounds 1-6 drove 296
+# distinct queries green (CORRECTNESS_r01..r06), leaving 52 registered
+# queries never driver-sampled: the 35 round-6 additions
+# (plans/round6{,b,c,d,e,f,g}.py) plus a 17-query pre-round-6 tail.
+# This round's first 50 LEAD with all 35 round-6 queries, then take 15
+# of the 17-query tail (pinned by
+# tests/test_queries.py::test_driver_sample_spans_families). Every
 # displaced query stays under the full local gate
 # (tools/check_oracle.py) and the full-oracle pytest sweep.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 22 round-5 additions: zero driver rows before this round --
-    "sprt_sequential_monitor",      # sequential experimentation (SPRT)
-    "wasserstein_1d_drift",         # 1-D Wasserstein drift
-    "cluster_eval_nmi_purity",      # clustering agreement (NMI/purity)
-    "rank_agreement_rbo",           # rank-biased overlap
-    "ips_offline_policy_value",     # off-policy eval (IPS/SNIPS)
-    "association_rules_confidence", # association rules
-    "data_pruning_surprisal",       # LM-surprisal pruning
-    "template_slot_entropy",        # template detection
-    "embedding_outlier_zscore",     # embedding outlier audit
-    "woe_iv_binning",               # WoE / IV binning
-    "lang_sampling_temperature",    # temperature-scaled sampling
-    "source_overlap_matrix",        # cross-source near-dup overlap
-    "attribution_markov_removal",   # Markov removal-effect attribution
-    "ab_benjamini_hochberg",        # BH-FDR multiple testing
-    "vocab_coverage_sweep",         # vocab-coverage sweep
-    "quantile_sketch_rollup",       # mergeable quantile-sketch rollup
-    "cem_att_estimate",             # CEM matching ATT
-    "regression_discontinuity",     # sharp RDD
-    "lsh_parameter_curve",          # LSH (b, r) planner
-    "mixture_token_allocation",     # mixture token allocation
-    "bandit_ucb_replay",            # offline bandit replay (UCB1)
-    "gbm_stumps_two_rounds",        # gradient-boosted stumps
-    # -- 28 of the 45 older never-sampled, spanning every family --
-    # behavioral / sessions / attribution
-    "attribution_position_based",
-    "session_ids_batch",
-    "funnel_time_bounded",
-    "interarrival_burstiness",
-    # corpus eval / quality gates
-    "auc_quality_gate",
-    "vocab_growth_curve",
-    "quality_calibration_bins",
-    # corpus ops / embeddings
-    "doc_chunk_overlap",
-    "embedding_quantize_int8",
-    # windowed time series
-    "moving_avg_user_value",
-    # concentration / experimentation
-    "gini_spend_concentration",
-    "ab_stratified_ate",
-    # insights / time-series diagnostics
-    "ab_power_mde",
-    "acf_daily_revenue",
-    "cusum_changepoint",
-    "forecast_conformal_interval",
-    # patterns / robust stats
-    "pareto_frontier_parts",
-    "weighted_median_price",
-    "dbscan_grid_clusters",
-    # data quality / governance
-    "ledger_hash_chain",
-    "column_profile_report",
-    "l_diversity_report",
-    # graph / linalg / scale / semistructured / SQL / ANN singletons
-    "linkpred_neighbor_jaccard",
-    "jl_projection_distortion",
-    "join_explosion_audit",
-    "events_variant_props_bands",
-    "sql_session_variables",
-    "simsearch_lsh_buckets",
+    # -- the 35 round-6 additions: zero driver rows before this round --
+    # plans/round6.py
+    "substring_dedup_keep_first",     # exact substring dedup, keep-first
+    "eval_reservoir_sample",          # stratified reservoir eval sampling
+    "quality_calibration_drift",      # quality-classifier calibration drift
+    "lsh_recall_empirical",           # empirical LSH recall/precision
+    "shard_skew_audit",               # shard balance audit
+    "ngram_novelty_curve",            # n-gram novelty curve
+    "embedding_label_centroid_drift", # embedding label-centroid drift
+    "hard_negative_mining",           # hard-negative mining
+    "rolling_origin_backtest",        # rolling-origin forecast backtest
+    "bigram_entropy_rate",            # bigram entropy rate
+    "group_sequential_obf",           # group-sequential monitoring (OBF)
+    "covariate_shift_eval",           # covariate-shift-weighted eval
+    # plans/round6b.py
+    "neyman_allocation",              # Neyman-optimal stratified allocation
+    "embedding_anisotropy",           # embedding anisotropy audit
+    "confident_learning_noise",       # confident-learning label noise
+    "rm3_query_expansion",            # RM3 pseudo-relevance expansion
+    "kneser_ney_bigram_ppl",          # Kneser-Ney bigram perplexity
+    # plans/round6c.py
+    "psi_value_drift",                # PSI drift monitoring
+    "raking_ipf_weights",             # raking / IPF weights
+    "data_constrained_scaling",       # data-constrained scaling laws
+    "hits_event_graph",               # HITS hubs/authorities
+    "hill_tail_index",                # Hill tail-index
+    "shard_order_autocorr",           # shard-order shuffle audit
+    # plans/round6d.py
+    "good_turing_unseen_mass",        # Good-Turing unseen mass
+    "quantile_normalize_scores",      # quantile normalization
+    "cohen_kappa_labels",             # Cohen's kappa
+    "jackknife_source_influence",     # delete-one-group jackknife
+    # plans/round6e.py
+    "winnowing_fingerprint_density",  # winnowing fingerprints
+    "topk_token_churn",               # top-K vocabulary churn
+    "burrows_delta_stylometry",       # Burrows' Delta stylometry
+    # plans/round6f.py
+    "chinchilla_optimal_allocation",  # Chinchilla compute allocation
+    "heaps_law_fit",                  # Heaps'-law vocabulary fit
+    "kanon_generalization_sweep",     # k-anonymity ladder sweep
+    # plans/round6g.py
+    "join_cardinality_audit",         # join-cardinality audit
+    "zonemap_pruning_audit",          # zone-map pruning audit
+    # -- 15 of the 17-query pre-round-6 never-sampled tail --
+    "cohort_retention_daily",         # behavioral retention
+    "event_transition_matrix",        # behavioral transitions
+    "timeseries_forward_fill",        # windowed time series (gap fill)
+    "timeseries_twap",                # time-weighted average price
+    "timeseries_range_frame_avg",     # RANGE-frame window
+    "seasonal_anomaly_hours",         # seasonal anomaly monitoring
+    "source_vocab_overlap",           # corpus comparison
+    "effective_vocab_by_source",      # lexical diversity
+    "pareto_spend_share",             # Pareto concentration
+    "mutual_info_features",           # feature ranking
+    "forecast_backtest_snaive",       # forecast backtesting
+    "golden_record_consolidation",    # record linkage consolidation
+    "winsorized_stats_by_flag",       # robust stats (winsorized)
+    "xcorr_error_revenue",            # cross-correlation
+    "frequent_event_sequences",       # sequence mining
 )
-# Deliberately under the FULL LOCAL GATE only this round: every r1-r5
-# driver-green query. Every one is hash-checked by
-# tools/check_oracle.py and tests/test_queries.py each run. After this
-# round the never-driver-sampled pre-round-6 tail is 17 queries
-# (cohort_retention_daily, event_transition_matrix,
-# timeseries_forward_fill, timeseries_twap, seasonal_anomaly_hours,
-# source_vocab_overlap, effective_vocab_by_source,
-# timeseries_range_frame_avg, pareto_spend_share, mutual_info_features,
-# forecast_backtest_snaive, golden_record_consolidation,
-# xcorr_error_revenue, frequent_event_sequences,
-# winsorized_stats_by_flag, histogram_extendedprice, robust_stats_mad)
-# — round-7 rotation pool, plus the 30 round-6 additions
-# (plans/round6{,b,c,d,e}.py): 47 candidates total for round 7.
+# Deliberately under the FULL LOCAL GATE only this round: every r1-r6
+# driver-green query, plus the 2 parked tail queries
+# (histogram_extendedprice, robust_stats_mad) — the ONLY registered
+# queries still without a driver row after round 7; rotate them in
+# first in round 8. Every displaced query is hash-checked by
+# tools/check_oracle.py and tests/test_queries.py each run.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
