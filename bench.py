@@ -266,12 +266,19 @@ def main() -> None:
         return time.time() - t0
 
     try:
+        # quiet probe: the full ratio table prints once, from the final
+        # diff below — not twice per run (ADVICE r6).
         flagged, _ = _diff_against_previous_round(
-            timings, float(sf) if sf else None, canary
+            timings, float(sf) if sf else None, canary, quiet=True
         )
     except Exception:  # noqa: BLE001
         flagged = {}
     if flagged:
+        # Drop every .cache() block the first timing left behind: a retry
+        # that hits a warm cache de-flags a regression INSIDE the cached
+        # stage (the min-of-2 flattering, extended — ADVICE r6). Cold
+        # retries can only lower a timing honestly.
+        spark.catalog.clearCache()
         _retry_flagged(flagged, timings, _time_one)
 
     total = round(sum(timings.values()), 3)
@@ -407,7 +414,17 @@ def _normalized_regressions(
     when BOTH rounds recorded one, so uniform machine-speed drift —
     hypervisor steal is invisible in loadavg on this VM — stops writing
     false `regressions` entries into the round record (VERDICT r5
-    task 2). Flags fire on the NORMALIZED ratio only."""
+    task 2).
+
+    A query flags only when BOTH the raw AND the normalized ratio exceed
+    REGRESSION_RATIO (VERDICT r6 task 2): scheduling-bound sub-second
+    queries do not speed up with a fast machine-moment, so when the
+    canary lands in one (ratio < 1) dividing by it inflates their raw
+    1.0-1.3x deltas past the threshold — round 6 recorded 12 such false
+    flags at canary_ratio 0.681 with a worst RAW ratio of 1.31x. The
+    dual gate keeps both honest directions: a slower machine (canary
+    > 1) still cannot hide drift-only raw inflation, and a faster one
+    cannot manufacture flags out of unchanged wall times."""
     out = out if out is not None else sys.stderr
     scale = (
         canary_now / canary_prev
@@ -430,9 +447,9 @@ def _normalized_regressions(
         raw = now / before
         norm = raw / scale
         flag = ""
-        if norm > REGRESSION_RATIO:
+        if norm > REGRESSION_RATIO and raw > REGRESSION_RATIO:
             regressions[name] = round(norm, 2)
-            flag = f"  <-- REGRESSION >{REGRESSION_RATIO}x (normalized)"
+            flag = f"  <-- REGRESSION >{REGRESSION_RATIO}x (raw AND normalized)"
         suffix = f", {norm:.2f}x norm" if scale != 1.0 else ""
         print(
             f"  {name}: {now:.3f}s vs {before:.3f}s ({raw:.2f}x{suffix})"
@@ -456,7 +473,10 @@ def _retry_flagged(
 
 
 def _diff_against_previous_round(
-    timings: dict[str, float], sf: float | None, canary_now: float | None
+    timings: dict[str, float],
+    sf: float | None,
+    canary_now: float | None,
+    quiet: bool = False,
 ) -> tuple[dict[str, float], float | None]:
     """Compare per-query times against the newest BENCH_r*.json on disk.
 
@@ -518,10 +538,15 @@ def _diff_against_previous_round(
         return {}, None
     prev_q = prev.get("queries", {})
     canary_prev = prev.get("canary_sec")
-    print(f"bench: vs {os.path.basename(prev_path)}", file=sys.stderr)
-    regressions = _normalized_regressions(
-        timings, prev_q, canary_now, canary_prev
-    )
+    out = open(os.devnull, "w") if quiet else sys.stderr
+    try:
+        print(f"bench: vs {os.path.basename(prev_path)}", file=out)
+        regressions = _normalized_regressions(
+            timings, prev_q, canary_now, canary_prev, out=out
+        )
+    finally:
+        if quiet:
+            out.close()
     canary_ratio = (
         round(canary_now / canary_prev, 3)
         if canary_now and canary_prev

@@ -51,14 +51,58 @@ def test_missing_canary_falls_back_to_raw_ratio():
     assert flags == {"q1": 1.7}
 
 
-def test_idle_rerun_on_faster_machine_never_flags_slower_baseline():
-    """Canary ratio < 1 (now FASTER) scales ratios UP — a query that kept
-    its wall time while the machine got 2x faster is a real regression."""
+def test_fast_canary_moment_cannot_manufacture_flags():
+    """The round-6 false-flag mode (VERDICT r6 task 2): canary ratio < 1
+    (this machine-moment FASTER than baseline) used to scale unchanged
+    wall times past the threshold — scheduling-bound sub-second queries
+    do not speed up with the machine, so an unchanged 1.0x raw is NOT a
+    regression. The dual gate requires raw > 1.5 too."""
     flags = _normalized_regressions(
         {"q1": 1.0}, {"q1": 1.0}, 0.160, 0.320, out=io.StringIO()
     )
-    assert flags == {"q1": 2.0}
+    assert flags == {}
     assert REGRESSION_RATIO < 2.0
+
+
+def test_r6_scenario_zero_false_flags_real_slowdown_still_flags():
+    """Replay of the recorded round-6 run (canary_ratio 0.681, worst RAW
+    common-query ratio 1.31x on sub-second queries): the 12 entries it
+    wrote to `regressions` must all vanish, while a genuine 2x slowdown
+    in the same run still flags (raw 2.0 > 1.5, norm 2.0/0.681 > 1.5)."""
+    canary_prev, canary_now = 1.000, 0.681  # ratio 0.681: fast moment
+    prev = {
+        "events_session_window": 0.37,
+        "record_linkage_blocking": 0.52,
+        "skew_profile_report": 0.61,
+        "sprt_sequential_monitor": 0.37,
+        "real_regression": 1.00,
+    }
+    now = {
+        # raw 1.0-1.31x — the r6 false-flag band
+        "events_session_window": 0.37 * 1.22,
+        "record_linkage_blocking": 0.52 * 1.31,
+        "skew_profile_report": 0.61 * 1.25,
+        "sprt_sequential_monitor": 0.37 * 1.30,
+        # a genuine 2x code regression
+        "real_regression": 2.00,
+    }
+    flags = _normalized_regressions(
+        now, prev, canary_now, canary_prev, out=io.StringIO()
+    )
+    assert flags == {"real_regression": round(2.0 / 0.681, 2)}
+
+
+def test_slow_canary_moment_still_masks_drift_only_inflation():
+    """Injected canary 1.5 (machine 1.5x slower): drift-only raw 1.5-1.7x
+    stays unflagged (norm ~1.0-1.13), a genuine 3x still flags."""
+    flags = _normalized_regressions(
+        {"drift_only": 1.7, "real": 3.0},
+        {"drift_only": 1.0, "real": 1.0},
+        0.480,
+        0.320,
+        out=io.StringIO(),
+    )
+    assert flags == {"real": 2.0}
 
 
 def test_new_and_unchanged_queries_not_flagged():

@@ -45,59 +45,102 @@ def test_query_matches_oracle(spark, duck, name):
     cols = [d[0] for d in rel.description]
     rows = rel.fetchall()
     err = compare(name, df, rows, cols)
+    if err is not None:
+        # Flake forensics (CLAUDE.md watch item, VERDICT r6 task 6): the one
+        # in-suite rolling_origin_backtest failure lost its traceback to
+        # output truncation. Persist both frames so any recurrence is
+        # diagnosable offline before anyone touches the query.
+        capture = f"/tmp/oracle_diff_{name}.txt"
+        try:
+            with open(capture, "w") as fh:
+                fh.write(f"query: {name}\nerror: {err}\n\n-- spark rows --\n")
+                for r in df.collect():
+                    fh.write(repr(tuple(r)) + "\n")
+                fh.write("\n-- oracle rows (cols: " + ", ".join(cols) + ") --\n")
+                for r in rows:
+                    fh.write(repr(tuple(r)) + "\n")
+            err = f"{err} [frames captured: {capture}]"
+        except Exception as cap_exc:  # capture must never mask the real diff
+            err = f"{err} [capture failed: {cap_exc}]"
     assert err is None, f"{name}: {err}"
 
 
 def test_driver_sample_spans_families():
     """The driver's CORRECTNESS gate samples the first 50 exported queries;
-    pin that the sample covers one representative of every operator family
-    (the round-1 gap: the first 50 were the inline §2a set only)."""
+    pin that the round-7 sample is EXACTLY the never-driver-sampled set
+    (VERDICT.md r6 task 1): all 35 round-6 additions + 15 of the 17-query
+    pre-round-6 tail. The 2 parked stragglers (histogram_extendedprice,
+    robust_stats_mad) rotate in first in round 8."""
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
-    must_have = {
-        # ROUND-6 rotation (VERDICT.md r5 task 1): ALL 22 round-5
-        # additions — never driver-sampled before this round — MUST lead.
-        "sprt_sequential_monitor",       # sequential experimentation
-        "wasserstein_1d_drift",          # distribution drift
-        "cluster_eval_nmi_purity",       # clustering agreement
-        "rank_agreement_rbo",            # ranking agreement
-        "ips_offline_policy_value",      # off-policy evaluation
-        "association_rules_confidence",  # association rules
-        "data_pruning_surprisal",        # LM-surprisal pruning
-        "template_slot_entropy",         # template detection
-        "embedding_outlier_zscore",      # embedding outlier audit
-        "woe_iv_binning",                # WoE / IV binning
-        "lang_sampling_temperature",     # temperature sampling
-        "source_overlap_matrix",         # cross-source overlap
-        "attribution_markov_removal",    # Markov removal-effect
-        "ab_benjamini_hochberg",         # BH-FDR
-        "vocab_coverage_sweep",          # vocab coverage
-        "quantile_sketch_rollup",        # mergeable quantile sketch
-        "cem_att_estimate",              # CEM matching
-        "regression_discontinuity",      # sharp RDD
-        "lsh_parameter_curve",           # LSH parameter planner
-        "mixture_token_allocation",      # mixture token allocation
-        "bandit_ucb_replay",             # offline bandit replay
-        "gbm_stumps_two_rounds",         # gradient boosting
-        # one representative per remaining never-sampled family
-        "attribution_position_based",    # behavioral attribution
-        "auc_quality_gate",              # quality-gate eval
-        "doc_chunk_overlap",             # chunk-grain dedup signal
-        "moving_avg_user_value",         # windowed time series
-        "gini_spend_concentration",      # concentration metrics
-        "ab_power_mde",                  # experiment design
-        "pareto_frontier_parts",         # skyline
-        "ledger_hash_chain",             # ledger integrity
-        "linkpred_neighbor_jaccard",     # link prediction
-        "jl_projection_distortion",      # JL projection
-        "join_explosion_audit",          # ops diagnostics
-        "events_variant_props_bands",    # semistructured
-        "sql_session_variables",         # SQL surface
-        "simsearch_lsh_buckets",         # ANN (SRP-LSH)
+    round6_tier = {
+        # plans/round6.py — span/substring dedup, sampling, calibration,
+        # LSH eval, shard audit, novelty, embeddings, forecasting, LM,
+        # sequential testing, covariate shift
+        "substring_dedup_keep_first",
+        "eval_reservoir_sample",
+        "quality_calibration_drift",
+        "lsh_recall_empirical",
+        "shard_skew_audit",
+        "ngram_novelty_curve",
+        "embedding_label_centroid_drift",
+        "hard_negative_mining",
+        "rolling_origin_backtest",
+        "bigram_entropy_rate",
+        "group_sequential_obf",
+        "covariate_shift_eval",
+        # plans/round6b.py — allocation, embedding audit, label noise,
+        # retrieval expansion, LM smoothing
+        "neyman_allocation",
+        "embedding_anisotropy",
+        "confident_learning_noise",
+        "rm3_query_expansion",
+        "kneser_ney_bigram_ppl",
+        # plans/round6c.py — drift, weighting, scaling laws, graph, tails
+        "psi_value_drift",
+        "raking_ipf_weights",
+        "data_constrained_scaling",
+        "hits_event_graph",
+        "hill_tail_index",
+        "shard_order_autocorr",
+        # plans/round6d.py — unseen mass, normalization, agreement, jackknife
+        "good_turing_unseen_mass",
+        "quantile_normalize_scores",
+        "cohen_kappa_labels",
+        "jackknife_source_influence",
+        # plans/round6e.py — fingerprints, churn, stylometry
+        "winnowing_fingerprint_density",
+        "topk_token_churn",
+        "burrows_delta_stylometry",
+        # plans/round6f.py — compute allocation, Heaps fit, k-anonymity
+        "chinchilla_optimal_allocation",
+        "heaps_law_fit",
+        "kanon_generalization_sweep",
+        # plans/round6g.py — plan audits
+        "join_cardinality_audit",
+        "zonemap_pruning_audit",
     }
-    missing = must_have - set(first50)
-    assert not missing, missing
-    # the rotation's point: ZERO overlap with rounds 1-5.
+    tail15 = {
+        # the pre-round-6 never-sampled tail (15 of 17)
+        "cohort_retention_daily",
+        "event_transition_matrix",
+        "timeseries_forward_fill",
+        "timeseries_twap",
+        "timeseries_range_frame_avg",
+        "seasonal_anomaly_hours",
+        "source_vocab_overlap",
+        "effective_vocab_by_source",
+        "pareto_spend_share",
+        "mutual_info_features",
+        "forecast_backtest_snaive",
+        "golden_record_consolidation",
+        "winsorized_stats_by_flag",
+        "xcorr_error_revenue",
+        "frequent_event_sequences",
+    }
+    assert len(round6_tier) == 35 and len(tail15) == 15
+    assert set(first50) == round6_tier | tail15
+    # the rotation's point: ZERO overlap with rounds 1-6.
     import json
     import os
 
@@ -108,6 +151,7 @@ def test_driver_sample_spans_families():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         p = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(p):
@@ -116,6 +160,7 @@ def test_driver_sample_spans_families():
     assert not stale, f"re-sampled queries: {sorted(stale)}"
     # every exported query still present exactly once overall
     assert len(registry.queries()) == len(set(registry.queries()))
+
 
 
 def _old_round2_sample_doc():
