@@ -263,24 +263,19 @@ def minhash_candidates(banded: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-dup: signature -> bands -> band-equality join ->
-    exact Jaccard verify. Fully deterministic (see module docstring).
+def verified_jaccard_pairs(
+    cand: DataFrame, hashed: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    hashed-shingle table: (doc_id_a, doc_id_b) x (doc_id, hs) ->
+    (doc_id_a, doc_id_b, jaccard >= threshold).
 
-    Scale: the only shuffles are (a) the explode of 4 band rows per doc and
-    (b) the equi-join on (band_idx, band_key) — standard LSH cost model.
-    Composed from the shared stages above (hashed_shingle_table ->
-    minhash_sig_table -> minhash_banded -> minhash_candidates), which the
-    sketch-error evaluator reuses verbatim so it measures THIS pipeline.
-    """
-    hashed = hashed_shingle_table(docs)
-    sig = minhash_sig_table(hashed)
-    banded = minhash_banded(sig)
-    cand = minhash_candidates(banded)
-    # Verification computes exact Jaccard over the HASHED shingle sets
-    # (cached above): identical semantics to string shingles up to 2^-31
-    # hash collisions, and both engines hash identically so the oracle
-    # match is exact regardless.
+    Verification computes exact Jaccard over the HASHED shingle sets:
+    identical semantics to string shingles up to 2^-31 hash collisions,
+    and both engines hash identically so the oracle match is exact
+    regardless. Exposed so evaluators that already built the candidate
+    frame (lsh_recall_empirical) verify it WITHOUT rebuilding the
+    signature/band/candidate chain a second time."""
     sh_a = hashed.select(
         F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("sh_a")
     )
@@ -293,6 +288,30 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup: signature -> bands -> band-equality join ->
+    exact Jaccard verify. Fully deterministic (see module docstring).
+
+    Scale: the only shuffles are (a) the explode of 4 band rows per doc and
+    (b) the equi-join on (band_idx, band_key) — standard LSH cost model.
+    Composed from the shared stages above (hashed_shingle_table ->
+    minhash_sig_table -> minhash_banded -> minhash_candidates), which the
+    sketch-error evaluator reuses verbatim so it measures THIS pipeline.
+    Pass a staged `hashed` frame to share the cached shingle stage with
+    sibling pipelines instead of re-deriving it.
+    """
+    if hashed is None:
+        hashed = hashed_shingle_table(docs)
+    sig = minhash_sig_table(hashed)
+    banded = minhash_banded(sig)
+    cand = minhash_candidates(banded)
+    return verified_jaccard_pairs(cand, hashed, threshold)
 
 
 def simhash_from_hashes(hashes: F.Column, bits: int = 16) -> F.Column:

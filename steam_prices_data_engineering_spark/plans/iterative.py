@@ -54,7 +54,7 @@ FROM reach GROUP BY u
 CC_DRIVER_MAX_EDGES = 2_000_000
 
 
-def _cc_union_find(rows, node_type) -> list[tuple]:
+def _cc_union_find(rows) -> list[tuple]:
     """Min-label union-find over collected (u, v) edge rows — the exact
     fixpoint the propagation loop converges to (label = min node id in
     the component)."""
@@ -100,7 +100,7 @@ def cc_labels(edges: DataFrame) -> DataFrame:
     )
     n_edges = bidir.count()  # materializes the persist either way
     if n_edges <= CC_DRIVER_MAX_EDGES:
-        pairs = _cc_union_find(bidir.collect(), node_dt)
+        pairs = _cc_union_find(bidir.collect())
         bidir.unpersist()
         from pyspark.sql.types import StructField, StructType
 

@@ -363,23 +363,45 @@ FROM counts
 
 @register("lsh_recall_empirical", _lsh_recall_sql())
 def lsh_recall_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall/precision of the MinHash banding vs exact truth."""
+    """Measured recall/precision of the MinHash banding vs exact truth.
+
+    Stage-reuse contract (VERDICT r6 task 3): the shingle/signature
+    pipeline is built ONCE — `hashed` is the shared cached stage, `cand`
+    is derived from it once and cached (three consumers: the candidate
+    count, the truth-hit join, and the exact-Jaccard verify), and the
+    verify step runs on the SAME frames via verified_jaccard_pairs
+    instead of minhash_lsh_pairs re-deriving signature -> bands ->
+    candidates from scratch (the r6 shape rebuilt that chain three
+    times; 3.87 s -> target ~2.5 s idle at sf0.1). Only the exact-truth
+    stage re-shingles: it is a genuinely different computation (string
+    n-grams with lang/length-band blocking, the inverted-index form).
+    spread() before the verify join: `cand` is cached with shuffles in
+    its plan, so AQE coalesces it to ~1 partition and the per-pair array
+    intersection would otherwise run on one core (the documented
+    cached-probe-side collapse)."""
     from ..operators.dedup import (
         hashed_shingle_table,
         minhash_banded,
         minhash_candidates,
-        minhash_lsh_pairs,
         minhash_sig_table,
         ngram_jaccard_pairs,
+        verified_jaccard_pairs,
     )
+    from ..sources.tables import spread
 
     d = read_table(spark, sf_dir, "documents")
     hashed = hashed_shingle_table(d)
-    cand = minhash_candidates(minhash_banded(minhash_sig_table(hashed)))
-    verified = minhash_lsh_pairs(d, threshold=0.5)
+    cand = minhash_candidates(
+        minhash_banded(minhash_sig_table(hashed))
+    ).cache()  # session-per-query; bounded: surviving candidate pairs
+    verified = verified_jaccard_pairs(spread(cand), hashed, threshold=0.5)
     truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, band_width=100).select(
         "doc_id_a", "doc_id_b"
     )
+    # truth is deliberately NOT cached: its two consumers (the count and
+    # the hit join) share identical shuffle subtrees that ReuseExchange
+    # dedupes within the single action, and a cache barrier here measured
+    # SLOWER (4.3 s vs 3.4 s at sf0.1) by serializing the materialization.
     hit = truth.join(cand, ["doc_id_a", "doc_id_b"])
     counts = (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))

@@ -504,13 +504,27 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("score") / F.sum("score").over(wq)).alias("pd"),
     )
-    pd = pd.cache()  # session-per-query (doc filter + weight join)
+    # Materialize the BM25 sub-stage ONCE, at build time (VERDICT r6
+    # task 4): the r6 shape fed pd into TWO broadcast exchanges (the
+    # doc-id filter and the weight join) whose build threads raced to
+    # populate the cold cache, re-executing the full BM25 chain — rm3
+    # measured ~2x the standalone BM25 wall time. The feedback frame is
+    # bounded (panel x fb_k <= 15 rows), so ONE collect here is a
+    # driver-coordination point in the kmeans-seed sense, not a
+    # fact-scale fetch; re-injecting the collected rows as a local
+    # relation removes the cache AND both broadcast-exchange jobs, and
+    # the isin() literal pushes the doc filter INTO the parquet scan,
+    # where a broadcast-join residual cannot go. Float64 round-trips
+    # bit-exactly through collect/createDataFrame, so the oracle
+    # comparison is unaffected.
+    pd_rows = [(r["q_id"], r["doc_id"], r["pd"]) for r in pd.collect()]
+    pd = spark.createDataFrame(pd_rows, "q_id int, doc_id long, pd double")
+    fb_doc_ids = sorted({r[1] for r in pd_rows})
     d = read_table(spark, sf_dir, "documents")
-    fd = pd.select("doc_id").distinct()
-    # join the <=15-doc feedback set BEFORE tokenizing: only feedback
-    # docs pay the explode (the corpus-wide explode measured 6.0 s vs
-    # ~3 s at sf0.1)
-    tok = d.join(F.broadcast(fd), "doc_id").select(
+    # filter to the <=15-doc feedback set BEFORE tokenizing: only
+    # feedback docs pay the explode (the corpus-wide explode measured
+    # 6.0 s vs ~3 s at sf0.1)
+    tok = d.filter(F.col("doc_id").isin(fb_doc_ids)).select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("dl"),
         F.explode(tokens(F.col("text"))).alias("term"),

@@ -234,8 +234,8 @@ SELECT n AS n_docs,
            AS p_expected,
        {R('''(nagree / n - ((na / n) * (nb / n)
               + (1 - na / n) * (1 - nb / n)))
-             / (1 - ((na / n) * (nb / n)
-              + (1 - na / n) * (1 - nb / n)))''', 6)} AS kappa
+             / nullif(1 - ((na / n) * (nb / n)
+              + (1 - na / n) * (1 - nb / n)), 0.0)''', 6)} AS kappa
 FROM agg
 """
 
@@ -277,7 +277,13 @@ def cohen_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pb, 6).alias("p_b_hi"),
         dround(po, 6).alias("p_observed"),
         dround(pe, 6).alias("p_expected"),
-        dround((po - pe) / (1 - pe), 6).alias("kappa"),
+        # nullif guard (ADVICE r6): on a degenerate corpus where both
+        # rules label every doc identically, p_expected = 1 and Spark's
+        # double 0/0 yields NULL while DuckDB yields inf — the same
+        # engine divergence the jackknife and BH-FDR queries guard.
+        dround((po - pe) / F.nullif(F.lit(1) - pe, F.lit(0.0)), 6).alias(
+            "kappa"
+        ),
     )
 
 

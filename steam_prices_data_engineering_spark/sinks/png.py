@@ -358,13 +358,20 @@ def render_choropleth_png(
     values_by_iso3: dict[str, float | None],
     width: int = WORLD_W,
     height: int = WORLD_H,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> bytes:
-    """Equirectangular world choropleth: each known country's polygon
+    """Equirectangular choropleth: each known country's polygon
     outline (COUNTRY_POLYGONS, scanline even-odd fill; bounding-box
     fallback for atlas misses) filled with the blue-white-red colormap of
     its value (grey for NULL), darkened 1-px coast border, ocean
     elsewhere. Unknown iso-3 keys are ignored (the reference's behavior
-    for countries absent from the geo frame)."""
+    for countries absent from the geo frame). `bbox` =
+    (lon_min, lon_max, lat_min, lat_max) crops the viewport (the
+    per-continent facet); default is the whole world, bit-identical to
+    the pre-bbox renderer."""
+    vb_lon0, vb_lon1, vb_lat0, vb_lat1 = bbox or (-180.0, 180.0, -90.0, 90.0)
+    lon_span = (vb_lon1 - vb_lon0) or 1.0
+    lat_span = (vb_lat1 - vb_lat0) or 1.0
     vals = [v for v in values_by_iso3.values() if v is not None]
     lo = min(vals) if vals else 0.0
     hi = max(vals) if vals else 1.0
@@ -381,11 +388,11 @@ def render_choropleth_png(
         rings = COUNTRY_POLYGONS.get(iso3)
         if rings is not None:
             for y in range(height):
-                lat = 90.0 - (y + 0.5) / height * 180.0
+                lat = vb_lat1 - (y + 0.5) / height * lat_span
                 base = y * width
                 for lon0, lon1 in _row_spans(rings, lat):
-                    x0 = max(0, int((lon0 + 180.0) / 360.0 * width))
-                    x1 = min(width, int((lon1 + 180.0) / 360.0 * width) + 1)
+                    x0 = max(0, int((lon0 - vb_lon0) / lon_span * width))
+                    x1 = min(width, int((lon1 - vb_lon0) / lon_span * width) + 1)
                     # Sub-pixel span at small render sizes: keep the
                     # country visible with at least one pixel.
                     if x1 <= x0 and x0 < width:
@@ -399,10 +406,10 @@ def render_choropleth_png(
         if box is None:
             continue
         lon_min, lon_max, lat_min, lat_max = box
-        x0 = int((lon_min + 180.0) / 360.0 * width)
-        x1 = int((lon_max + 180.0) / 360.0 * width)
-        y0 = int((90.0 - lat_max) / 180.0 * height)
-        y1 = int((90.0 - lat_min) / 180.0 * height)
+        x0 = int((lon_min - vb_lon0) / lon_span * width)
+        x1 = int((lon_max - vb_lon0) / lon_span * width)
+        y0 = int((vb_lat1 - lat_max) / lat_span * height)
+        y1 = int((vb_lat1 - lat_min) / lat_span * height)
         # Sub-pixel box at small render sizes: paint at least one pixel.
         x1 = max(x1, min(x0 + 1, width))
         y1 = max(y1, min(y0 + 1, height))
@@ -448,3 +455,88 @@ def world_map_png(deviation_df: DataFrame, value_col: str, key_col: str, path: s
     values = {r[key_col]: r[value_col] for r in rows if r[key_col] is not None}
     png = render_choropleth_png(values)
     return save_png(png, path)
+
+
+def _facet_bbox(
+    iso3s, pad_deg: float = 3.0
+) -> tuple[float, float, float, float]:
+    """Union bounding box of the atlas shapes for a set of iso-3 keys,
+    padded and clamped — the viewport for one facet's cropped render."""
+    lon0, lon1, lat0, lat1 = 180.0, -180.0, 90.0, -90.0
+    found = False
+    for iso3 in iso3s:
+        rings = COUNTRY_POLYGONS.get(iso3)
+        if rings is not None:
+            for ring in rings:
+                for x, y in ring:
+                    lon0, lon1 = min(lon0, x), max(lon1, x)
+                    lat0, lat1 = min(lat0, y), max(lat1, y)
+            found = True
+            continue
+        box = COUNTRY_BOXES.get(iso3)
+        if box is not None:
+            lon0, lon1 = min(lon0, box[0]), max(lon1, box[1])
+            lat0, lat1 = min(lat0, box[2]), max(lat1, box[3])
+            found = True
+    if not found:
+        return (-180.0, 180.0, -90.0, 90.0)
+    return (
+        max(-180.0, lon0 - pad_deg),
+        min(180.0, lon1 + pad_deg),
+        max(-90.0, lat0 - pad_deg),
+        min(90.0, lat1 + pad_deg),
+    )
+
+
+def facet_map_pngs(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    facet_col: str,
+    out_dir: str,
+    width: int = 360,
+    height: int = 180,
+) -> DataFrame:
+    """Partitioned rendering (the S8 sink under groupBy-parallelism):
+    one cropped choropleth PER FACET (e.g. continent), each rendered
+    INSIDE its executor task via applyInPandas and written atomically
+    through save_png's tmp+rename. The driver never sees pixel buffers —
+    only the bounded (facet, path, n_keys, png_size) manifest comes
+    back, which is the shape that scales to thousands of facet tiles on
+    a real cluster (each task renders and uploads its own artifact, the
+    reference's buffer-then-upload per figure, external_resources.py:64).
+
+    The input must already be the bounded deviation aggregate (countries
+    x facets, dozens of rows) — this is an artifact sink, not a fact
+    operator."""
+    import pandas as pd
+
+    schema = (
+        f"{facet_col} string, path string, n_keys long, png_size long"
+    )
+
+    def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        facet = str(pdf[facet_col].iloc[0])
+        values = {
+            str(k): (None if pd.isna(v) else float(v))
+            for k, v in zip(pdf[key_col], pdf[value_col])
+            if not pd.isna(k)
+        }
+        png = render_choropleth_png(
+            values, width, height, bbox=_facet_bbox(values)
+        )
+        path = save_png(png, os.path.join(out_dir, f"{facet}.png"))
+        return pd.DataFrame(
+            {
+                facet_col: [facet],
+                "path": [path],
+                "n_keys": [len(values)],
+                "png_size": [len(png)],
+            }
+        )
+
+    return (
+        df.select(facet_col, key_col, value_col)
+        .groupBy(facet_col)
+        .applyInPandas(render, schema)
+    )

@@ -242,3 +242,41 @@ def test_snapshot_diff_identical_snapshots_all_unchanged(spark, tmp_path):
     out = registry.queries()["snapshot_diff_report"](spark, str(d)).collect()
     assert len(out) == 1 and out[0].change_type == "unchanged"
     assert out[0].n_keys == src.count()
+
+
+def test_cohen_kappa_degenerate_agreement_is_null_in_both_engines(
+    spark, degenerate_dir
+):
+    """100%-identical docs drive both labeling rules to the same label
+    for every doc: p_expected = 1 and kappa is 0/0. The nullif guard
+    (ADVICE r6) must make BOTH engines return NULL — Spark's unguarded
+    double 0/0 is NULL but DuckDB's is not, the exact divergence the
+    jackknife and BH-FDR queries already guard."""
+    import duckdb
+
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from tools.check_oracle import TABLES, compare
+
+    row = (
+        registry.queries()["cohen_kappa_labels"](spark, degenerate_dir)
+        .collect()[0]
+    )
+    assert row["p_expected"] == 1.0
+    assert row["kappa"] is None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degenerate_dir}/{t}.parquet/*.parquet')"
+        )
+    rel = con.execute(registry.oracle_sql()["cohen_kappa_labels"])
+    cols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
+    df = registry.queries()["cohen_kappa_labels"](spark, degenerate_dir)
+    assert compare("cohen_kappa_labels", df, rows, cols) is None
+    con.close()

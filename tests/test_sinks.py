@@ -271,3 +271,66 @@ def test_zorder_interleave_matches_reference_morton(spark):
     assert len({r.z for r in rows}) == 256
     for r in rows:
         assert r.z == morton(r.a, r.b), (r.a, r.b, r.z)
+
+
+def test_facet_map_pngs_partitioned_rendering(spark, tmp_path):
+    """Per-continent facet artifact (round 7): the sink renders one
+    CROPPED choropleth per facet group inside applyInPandas tasks —
+    partitioned rendering, the driver sees only the (facet, path,
+    n_keys, png_size) manifest. Each artifact decodes, its viewport is
+    the facet's padded bbox (the probe country's label anchor must be
+    non-ocean INSIDE ITS OWN facet's viewport), and the manifest's
+    png_size matches the bytes on disk."""
+    import struct
+    import zlib
+
+    from steam_prices_data_engineering_spark.plans import registry
+    from steam_prices_data_engineering_spark.sinks.png import (
+        COUNTRY_LABEL_POINTS,
+        _facet_bbox,
+    )
+    from steam_prices_data_engineering_spark.sinks.png import (
+        facet_map_pngs,
+    )
+
+    df = registry.queries()["world_map_job2_deviation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    out_dir = str(tmp_path / "facets")
+    manifest = facet_map_pngs(
+        df, "usd_dif", "iso_a3", "continent", out_dir
+    ).collect()
+    facets = {r["continent"]: r for r in manifest}
+    assert len(facets) >= 2  # the geo dim spans several continents
+    by_facet: dict = {}
+    for r in df.select("continent", "iso_a3").collect():
+        by_facet.setdefault(r["continent"], set()).add(r["iso_a3"])
+    ocean = (210, 228, 240)
+    for cont, row in facets.items():
+        blob = open(row["path"], "rb").read()
+        assert blob.startswith(b"\x89PNG\r\n\x1a\n"), cont
+        assert row["png_size"] == len(blob), cont
+        w, h, depth, ctype = struct.unpack(">IIBB", blob[16:26])
+        assert (w, h) == (360, 180) and depth == 8 and ctype == 2
+        idat_off = blob.index(b"IDAT") + 4
+        idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
+        raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
+        assert len(raw) == h * (1 + 3 * w), cont
+        keys = by_facet[cont]
+        assert row["n_keys"] == len(keys), cont
+        lon0, lon1, lat0, lat1 = _facet_bbox(keys)
+
+        def pixel(lon, lat):
+            x = int((lon - lon0) / (lon1 - lon0) * w)
+            y = int((lat1 - lat) / (lat1 - lat0) * h)
+            off = y * (1 + 3 * w) + 1 + 3 * x
+            return tuple(raw[off : off + 3])
+
+        probed = 0
+        for iso3 in keys:
+            anchor = COUNTRY_LABEL_POINTS.get(iso3)
+            if anchor is None:
+                continue
+            assert pixel(*anchor) != ocean, f"{cont}/{iso3}"
+            probed += 1
+        assert probed > 0, cont
