@@ -203,6 +203,15 @@ BENCH_QUERIES = [
     # round-6 part G
     "join_cardinality_audit",
     "zonemap_pruning_audit",
+    # round-7 tier: joins the headline bench the round it lands
+    "streaming_enriched_tumbling_agg",
+    "pii_pattern_audit",
+    "fleiss_kappa_rules",
+    "theil_sen_daily_trend",
+    "dedup_keeper_policy_eval",
+    "spearman_scorer_agreement",
+    "stratified_three_way_split",
+    "sequence_packing_efficiency",
 ]
 
 

@@ -52,3 +52,4 @@ from . import round6d as _round6d  # noqa: E402,F401
 from . import round6e as _round6e  # noqa: E402,F401
 from . import round6f as _round6f  # noqa: E402,F401
 from . import round6g as _round6g  # noqa: E402,F401
+from . import round7 as _round7  # noqa: E402,F401  (needs insights, retrieval)

@@ -142,11 +142,12 @@ _PRIORITY: tuple[str, ...] = (
     "frequent_event_sequences",       # sequence mining
 )
 # Deliberately under the FULL LOCAL GATE only this round: every r1-r6
-# driver-green query, plus the 2 parked tail queries
-# (histogram_extendedprice, robust_stats_mad) — the ONLY registered
-# queries still without a driver row after round 7; rotate them in
-# first in round 8. Every displaced query is hash-checked by
-# tools/check_oracle.py and tests/test_queries.py each run.
+# driver-green query, the 2 parked tail queries
+# (histogram_extendedprice, robust_stats_mad), and the 8 round-7
+# additions (plans/round7.py) — the 10 queries without a driver row
+# after round 7; they lead the round-8 rotation. Every displaced query
+# is hash-checked by tools/check_oracle.py and tests/test_queries.py
+# each run.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -50,7 +50,16 @@ from .registry import register
 # SemDeDup
 # ---------------------------------------------------------------------------
 
-_SEM_K = 8  # seed centroids = vec_id < K
+# Seed-centroid count scales with the corpus: K = max(8, ceil(sqrt(N)/2)).
+# The two stages trade off in K — seed assignment costs N * K distance
+# folds, the within-cluster verify costs N^2 / 2K pair cosines — so the
+# total is minimized at K ∝ sqrt(N), giving BOTH stages ~N^1.5 (the
+# standard IVF cell-count law). A fixed K = 8 was quadratic in the pair
+# stage: the round-7 100x decade probe measured 0.9 s -> 41.8 s (46x
+# per decade); K ∝ N (fixed cluster size) just moved the quadratic into
+# the assignment stage. Both engines derive K from the same count() so
+# parity holds at every scale.
+_SEM_K_MIN = 8
 _SEM_TAU = 0.35  # cosine threshold (fixture embeddings are near-random;
 # real text embeddings would sit at ~0.95+ — the parameter, not the shape)
 
@@ -60,9 +69,15 @@ WITH vl AS (
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
 ),
+kf AS (
+    SELECT greatest({_SEM_K_MIN},
+                    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) / 2) AS BIGINT))
+           AS n_seeds
+    FROM vl
+),
 seeds AS (
     SELECT CAST(vec_id AS INTEGER) AS cluster, v AS sv
-    FROM vl WHERE vec_id < {_SEM_K}
+    FROM vl CROSS JOIN kf WHERE vec_id < kf.n_seeds
 ),
 dist AS (
     SELECT vl.vec_id, s.cluster,
@@ -96,18 +111,26 @@ FROM asg g LEFT JOIN mx ON mx.vec_id = g.vec_id
 @register("semdedup_prune", _SEMDEDUP_SQL)
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: assign each vector to its
-    nearest of K=8 fixed seed centroids (squared distance, ties to the
-    lowest cluster), then within each cluster prune any vector whose
-    cosine to a LOWER-id cluster-mate reaches tau=0.35. Emits every
-    vector with its cluster, the max offending cosine (NULL if none)
-    and the keep flag — the corpus-curation decision column."""
+    nearest of K = max(8, ceil(sqrt(N)/2)) seed centroids (squared distance,
+    ties to the lowest cluster), then within each cluster prune any
+    vector whose cosine to a LOWER-id cluster-mate reaches tau=0.35.
+    Emits every vector with its cluster, the max offending cosine (NULL
+    if none) and the keep flag — the corpus-curation decision column.
+    K ~ sqrt(N) balances the N*K assignment stage against the N^2/2K
+    pair stage at ~N^1.5 each (see the constant block above — fixed K=8
+    measured 46x per decade at the 100x probe). The count() here is a
+    bounded driver-coordination action on the cached vector table (the
+    kmeans-seed discipline), mirrored by the kf CTE in the oracle."""
+    import math
+
     e = read_table(spark, sf_dir, "embeddings")
     vl = e.select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
         norm(F.col("embedding")).alias("nrm"),
     ).cache()  # session-per-query
-    seeds = vl.filter(F.col("vec_id") < _SEM_K).select(
+    n_seeds = max(_SEM_K_MIN, math.ceil(math.sqrt(vl.count()) / 2))
+    seeds = vl.filter(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("sv")
     )
     dist = vl.crossJoin(F.broadcast(seeds)).select(

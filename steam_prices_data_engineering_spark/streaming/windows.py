@@ -156,3 +156,43 @@ def streaming_sliding_counts(
         )
     )
     return run_to_memory_sink(agg, "stream_slide")
+
+
+def streaming_static_enriched_counts(
+    spark,
+    events_path: str,
+    dim: DataFrame,
+    duration: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream left-joined
+    to a STATIC dimension (user_id = c_custkey) before a tumbling
+    aggregate — the standard enrich-then-window topology. The static
+    side is stateless (re-read per micro-batch, broadcast-sized dim);
+    stream state is only the windowed aggregate, bounded by the
+    watermark. With one availableNow replay nothing is late, so the
+    batch LEFT JOIN + GROUP BY oracle applies (the
+    streaming_tumbling_counts equivalence contract)."""
+    stream = events_stream(spark, events_path, watermark)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left"
+    )
+    agg = (
+        joined.groupBy(
+            F.window("ts", duration).alias("w"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory_sink(agg, "stream_enrich")

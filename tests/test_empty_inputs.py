@@ -223,6 +223,15 @@ REPRESENTATIVES = [
     # round-6 part G
     "join_cardinality_audit",
     "zonemap_pruning_audit",
+    # round-7 tier (the 1-row NULL-stat reporters — fleiss_kappa_rules,
+    # theil_sen_daily_trend, dedup_keeper_policy_eval — are covered by
+    # test_round7_null_stat_reports_on_empty instead, per the
+    # datasheet/chinchilla precedent)
+    "streaming_enriched_tumbling_agg",
+    "pii_pattern_audit",
+    "spearman_scorer_agreement",
+    "stratified_three_way_split",
+    "sequence_packing_efficiency",
 ]
 
 
@@ -284,3 +293,20 @@ def test_datasheet_reports_empty_corpus_as_one_zero_row(spark, empty_dir):
     rows = registry.queries()["corpus_datasheet"](spark, empty_dir).collect()
     assert len(rows) == 1
     assert rows[0].n_docs == 0 and rows[0].n_tokens in (0, None)
+
+
+def test_round7_null_stat_reports_on_empty(spark, empty_dir):
+    """The round-7 1-row reporters follow the group-sequential/datasheet
+    precedent on an empty corpus: exactly one summary row, counts 0,
+    stats NULL — never an exception, never NaN."""
+    r = registry.queries()["fleiss_kappa_rules"](spark, empty_dir).collect()
+    assert len(r) == 1 and r[0].n_docs == 0 and r[0].fleiss_kappa is None
+    r = registry.queries()["theil_sen_daily_trend"](
+        spark, empty_dir
+    ).collect()
+    assert len(r) == 1 and r[0].n_days == 0 and r[0].slope_med is None
+    r = registry.queries()["dedup_keeper_policy_eval"](
+        spark, empty_dir
+    ).collect()
+    assert len(r) == 1 and r[0].n_multi_groups == 0
+    assert r[0].avg_quality_keep_best is None

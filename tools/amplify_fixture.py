@@ -8,14 +8,26 @@ Amplification must preserve each query's CANDIDATE-SET GROWTH LAW, not
 just its row count: naively replicating documents verbatim makes every
 doc a 10-way exact-duplicate group, which manufactures a quadratic
 pair blowup (45 extra pairs per doc) that no real corpus growth
-produces. So every replica k > 0 is PERTURBED out of dup range:
+produces. The first cut of this tool appended ONE replica token per
+text — measured: containment/Jaccard sets still overlapped ~98%
+across replicas and `containment_dedup_pairs` blew up 512 -> 736k
+pairs at 100x. A replica must diverge in the SET/SHINGLE metric every
+dedup operator measures, while keeping WITHIN-replica structure (the
+real dup/neighbor pairs) intact:
 
-- documents: doc_id += k*10_000_000; one replica-unique token appended
-  to the text (shingle sets diverge, so near-dup structure grows ~10x
-  like a real corpus, not ~45x like a copy farm); n_chars recomputed.
-- embeddings: vec_id += k*10_000_000; first component nudged by
-  k*1e-3 (cosine neighbors stay neighbors, exact-duplicate vectors are
-  not manufactured across replicas).
+- documents: doc_id += k*10_000_000; for k > 0 every SECOND token gets
+  a replica-unique suffix. Cross-replica token-set Jaccard drops to
+  ~1/3 and every 3-token shingle window contains a tagged position, so
+  cross-replica shingle Jaccard ~0 — replicas are not near-dups of
+  each other. Within a replica all docs are tagged at the same
+  positions, so aligned near-dup pairs keep their similarity: pair
+  counts grow ~10x like a real corpus.
+- embeddings: vec_id += k*10_000_000; for k > 0 a k-keyed
+  pseudo-random SIGN-FLIP mask over dimensions. A diagonal +-1 matrix
+  is orthogonal: WITHIN-replica pairwise cosines are preserved
+  EXACTLY (the ANN/semantic-dedup structure), while cross-replica
+  cosines collapse toward 0 (masks differ on ~half the mass) — no
+  manufactured semantic duplicates.
 - events: event_id += k*10_000_000, user_id += k*1_000_000 (new users,
   so sessions/windows scale linearly), ts += k days.
 - orders/lineitem: orderkey += k*100_000_000 on BOTH tables (FK kept
@@ -49,20 +61,40 @@ TABLES_VERBATIM = ["region", "nation", "customer", "supplier", "part"]
 # original rows, untouched so the 1x subset is bit-identical).
 AMPLIFY_SQL = {
     "documents": """
+        WITH sp AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, lang, source
+            FROM src
+        )
         SELECT doc_id + {k} * 10000000 AS doc_id,
-               CASE WHEN {k} = 0 THEN text
-                    ELSE text || ' zq{k}rep' END AS text,
+               CASE WHEN {k} = 0
+                    THEN array_to_string(toks, ' ')
+                    ELSE array_to_string(
+                        list_transform(range(1, len(toks) + 1),
+                            i -> CASE WHEN i % 2 = 0
+                                 THEN toks[i] || 'q{k}'
+                                 ELSE toks[i] END),
+                        ' ')
+               END AS text,
                lang, source,
-               CAST(CASE WHEN {k} = 0 THEN n_chars
-                    ELSE n_chars + {taglen} END AS BIGINT) AS n_chars
-        FROM src
+               CAST(length(CASE WHEN {k} = 0
+                    THEN array_to_string(toks, ' ')
+                    ELSE array_to_string(
+                        list_transform(range(1, len(toks) + 1),
+                            i -> CASE WHEN i % 2 = 0
+                                 THEN toks[i] || 'q{k}'
+                                 ELSE toks[i] END),
+                        ' ')
+               END) AS BIGINT) AS n_chars
+        FROM sp
     """,
     "embeddings": """
         SELECT vec_id + {k} * 10000000 AS vec_id,
                CASE WHEN {k} = 0 THEN embedding
-                    ELSE list_prepend(
-                        CAST(embedding[1] + {k} * 0.001 AS FLOAT),
-                        embedding[2:len(embedding)])
+                    ELSE list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(CASE WHEN
+                                (i * 1103515245 + {k} * 12345) % 97 < 48
+                              THEN -embedding[i]
+                              ELSE embedding[i] END AS FLOAT))
                END AS embedding,
                label
         FROM src
