@@ -310,14 +310,20 @@ def quality_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Empirical LSH recall/precision: the banding scheme's measured operating
-# point against an INDEPENDENT exact truth set — the companion to the
-# theoretical lsh_parameter_curve (plans/round5.py). Truth = the blocked
-# string-shingle exact-Jaccard pairs (operators/dedup.py:
-# ngram_jaccard_pairs, threshold 0.5); predicted = the raw MinHash band
-# candidates BEFORE verification; verified = the production
-# minhash_lsh_pairs output. recall = |truth AND cand| / |truth|;
-# precision = |verified| / |cand|. Every set is pair-blocked (band join /
-# length-band join) — nothing here is all-pairs.
+# point against the EXACT truth set — the companion to the theoretical
+# lsh_parameter_curve (plans/round5.py). Truth = the UNBLOCKED exact-
+# Jaccard pairs over the SAME hashed-shingle sets the bands sketch
+# (threshold 0.5), computed in inverted-index form from the shared
+# cached shingle stage — exactly the similarity the LSH approximates,
+# with no length-band blocking to hide recall misses behind (the r6
+# shape measured recall against the lang/length-blocked string-shingle
+# truth AND paid a full second shingle pipeline for it; VERDICT r6
+# task 3). predicted = the raw MinHash band candidates BEFORE
+# verification; verified = the production exact-Jaccard verify on those
+# candidates. recall = |truth AND cand| / |truth|; precision =
+# |verified| / |cand|. The truth join key is the shingle hash itself,
+# so only pairs sharing a shingle materialize — never all-pairs (pairs
+# with zero shared shingles have Jaccard 0 < 0.5 by construction).
 # ===========================================================================
 
 
@@ -326,7 +332,6 @@ def _lsh_recall_sql() -> str:
         sql_exact_jaccard,
         sql_minhash_sig_band_ctes,
     )
-    from .registry import _NEARDUP_JACCARD_SQL
 
     return f"""
 WITH {sql_minhash_sig_band_ctes()},
@@ -342,7 +347,19 @@ verified AS (
     JOIN shinglehash sb ON sb.doc_id = cand.doc_id_b
     WHERE {R(sql_exact_jaccard("sa.hs", "sb.hs"), 6)} >= 0.5
 ),
-truth AS (SELECT doc_id_a, doc_id_b FROM ({_NEARDUP_JACCARD_SQL}) t),
+ex AS (
+    SELECT doc_id, len(hs) AS sz, unnest(hs) AS h0 FROM shinglehash
+),
+tp AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.sz AS sza, b.sz AS szb, CAST(count(*) AS DOUBLE) AS inter
+    FROM ex a JOIN ex b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+),
+truth AS (
+    SELECT doc_id_a, doc_id_b FROM tp
+    WHERE {R('inter / (sza + szb - inter)', 6)} >= 0.5
+),
 hit AS (
     SELECT t.doc_id_a FROM truth t
     JOIN cand c ON c.doc_id_a = t.doc_id_a AND c.doc_id_b = t.doc_id_b
@@ -365,26 +382,27 @@ FROM counts
 def lsh_recall_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of the MinHash banding vs exact truth.
 
-    Stage-reuse contract (VERDICT r6 task 3): the shingle/signature
-    pipeline is built ONCE — `hashed` is the shared cached stage, `cand`
-    is derived from it once and cached (three consumers: the candidate
-    count, the truth-hit join, and the exact-Jaccard verify), and the
-    verify step runs on the SAME frames via verified_jaccard_pairs
-    instead of minhash_lsh_pairs re-deriving signature -> bands ->
-    candidates from scratch (the r6 shape rebuilt that chain three
-    times; 3.87 s -> target ~2.5 s idle at sf0.1). Only the exact-truth
-    stage re-shingles: it is a genuinely different computation (string
-    n-grams with lang/length-band blocking, the inverted-index form).
-    spread() before the verify join: `cand` is cached with shuffles in
-    its plan, so AQE coalesces it to ~1 partition and the per-pair array
-    intersection would otherwise run on one core (the documented
-    cached-probe-side collapse)."""
+    Stage-reuse contract (VERDICT r6 task 3): the shingle pipeline is
+    built ONCE — `hashed` is the shared cached stage; `cand` derives
+    from it once and is cached (three consumers: the candidate count,
+    the truth-hit join, the exact-Jaccard verify); the verify runs on
+    the SAME frames via verified_jaccard_pairs; and the exact TRUTH set
+    is the unblocked exact-Jaccard over the SAME hashed shingles in
+    inverted-index form (explode + equi-join on the shingle hash +
+    count = |A∩B|) — the r6 shape instead re-shingled the corpus with
+    the string-n-gram pipeline, a full second chain. spread() before
+    the verify join: `cand` is cached with shuffles in its plan, so AQE
+    coalesces it to ~1 partition and the per-pair array intersection
+    would otherwise run on one core (the documented cached-probe-side
+    collapse).
+
+    One documents scan in the whole plan (census-tested): every stage
+    derives from the cached `hashed` frame."""
     from ..operators.dedup import (
         hashed_shingle_table,
         minhash_banded,
         minhash_candidates,
         minhash_sig_table,
-        ngram_jaccard_pairs,
         verified_jaccard_pairs,
     )
     from ..sources.tables import spread
@@ -395,13 +413,33 @@ def lsh_recall_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_banded(minhash_sig_table(hashed))
     ).cache()  # session-per-query; bounded: surviving candidate pairs
     verified = verified_jaccard_pairs(spread(cand), hashed, threshold=0.5)
-    truth = ngram_jaccard_pairs(d, n=3, threshold=0.5, band_width=100).select(
-        "doc_id_a", "doc_id_b"
+    ex = hashed.select(
+        "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h0")
     )
+    exa = ex.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sza"), "h0"
+    )
+    exb = ex.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("szb"), "h0"
+    )
+    inter = (
+        exa.join(exb, "h0")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    truth = inter.filter(
+        dround(
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter")),
+            6,
+        )
+        >= 0.5
+    ).select("doc_id_a", "doc_id_b")
     # truth is deliberately NOT cached: its two consumers (the count and
     # the hit join) share identical shuffle subtrees that ReuseExchange
     # dedupes within the single action, and a cache barrier here measured
-    # SLOWER (4.3 s vs 3.4 s at sf0.1) by serializing the materialization.
+    # SLOWER by serializing the materialization.
     hit = truth.join(cand, ["doc_id_a", "doc_id_b"])
     counts = (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))

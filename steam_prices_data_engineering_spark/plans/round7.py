@@ -348,7 +348,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .insights import _daily_revenue
 
     daily = _daily_revenue(spark, sf_dir)
-    daily = daily.cache()  # bounded day grain; pairs + intercept scans
+    daily = daily.cache()  # session-per-query (bounded day grain; pairs + intercept scans)
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     pairs = a.join(b, F.col("db") > F.col("da")).select(
@@ -452,7 +452,7 @@ def dedup_keeper_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = d.select(
         "doc_id", dround(quality_score(F.col("text")), 6).alias("q")
     )
-    dq = dq.cache()  # doc grain; members build + two keeper lookups
+    dq = dq.cache()  # session-per-query (doc grain; members build + two keeper lookups)
     sp = d.select("doc_id", tokens(F.col("text")).alias("sp"))
     ch = sp.select(
         "doc_id",
@@ -480,7 +480,7 @@ def dedup_keeper_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
         )
     )
-    members = members.cache()  # chunk grain; g1 + the g2 refinement
+    members = members.cache()  # session-per-query (chunk grain; g1 + g2 refinement)
     g1 = members.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ"),
         F.min("k").alias("keep_a"),
@@ -656,7 +656,7 @@ def stratified_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hk"),
     )
-    hashed = hashed.cache()  # ranked scan + per-source counts
+    hashed = hashed.cache()  # session-per-query (ranked scan + per-source counts)
     w = Window.partitionBy("source").orderBy("hk", "doc_id")
     ranked = hashed.select(
         "source", F.row_number().over(w).cast("long").alias("rn")

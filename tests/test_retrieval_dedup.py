@@ -159,3 +159,22 @@ def test_bm25_panel_broadcasts_and_scans_corpus_twice_max(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", explained, re.M)) == 2
+
+
+def test_lsh_recall_single_documents_scan(spark):
+    """Stage-reuse census (VERDICT r6 task 3): every stage of
+    lsh_recall_empirical — candidates, verify, the exact truth index —
+    derives from the ONE cached hashed-shingle frame, so the whole plan
+    contains exactly one parquet scan. The r6 shape re-shingled the
+    corpus for the truth set (a second scan + a second hash chain)."""
+    import re
+
+    from steam_prices_data_engineering_spark.plans import registry
+
+    df = registry.queries()["lsh_recall_empirical"](spark, SF_DIR)
+    explained = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", explained, re.M)) == 1

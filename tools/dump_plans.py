@@ -377,6 +377,29 @@ SHOWCASE: list[tuple[str, str]] = [
         "joins (unbounded vocab grain — AQE sizes them); scalars ride "
         "broadcast 1-row frames.",
     ),
+    (
+        "lsh_recall_empirical",
+        "Round-7 stage reuse: ONE parquet scan feeds everything — the "
+        "cached hashed-shingle frame derives the signature/band "
+        "candidates, the exact-Jaccard verify, AND the unblocked "
+        "truth inverted index (explode + shingle-hash equi join); no "
+        "second shingle chain, no string shingles (census-tested: "
+        "exactly one Scan parquet node).",
+    ),
+    (
+        "dedup_keeper_policy_eval",
+        "Keeper policies: chunks shuffle on their 32-char md5 only "
+        "(never chunk text); the keep-best refinement joins at the "
+        "GROUP grain (g1 x members on hash + qmax equality); the "
+        "report is a 1-row aggregate. No pair join anywhere.",
+    ),
+    (
+        "stratified_three_way_split",
+        "Exact split: the only fact-scale ops are one hash projection "
+        "and a SOURCE-PARTITIONED rank window; per-stratum cut points "
+        "ride a broadcast source-grain frame. No global sort, no "
+        "partition-less window.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
