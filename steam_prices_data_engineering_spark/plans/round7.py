@@ -345,23 +345,45 @@ FROM sl s CROSS JOIN ic i
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen median slope + median-residual intercept of daily
     revenue."""
+    from ..sources.tables import spread
     from .insights import _daily_revenue
 
     daily = _daily_revenue(spark, sf_dir)
     daily = daily.cache()  # session-per-query (bounded day grain; pairs + intercept scans)
-    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    # spread() the probe side of the day-pair join: the cached day grain
+    # (shuffle in its plan) AQE-collapses to one partition, and the
+    # BroadcastNestedLoopJoin would compute all O(days^2) slopes on ONE
+    # core (measured 11.4 s -> ~2 s at sf0.1's 2405-day span; the
+    # documented cached-probe-side collapse).
+    a = spread(daily).select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     pairs = a.join(b, F.col("db") > F.col("da")).select(
         dround(
             (F.col("rb") - F.col("ra")) / (F.col("db") - F.col("da")), 6
         ).alias("slope")
+    ).cache()  # session-per-query (bounded O(days^2) grain; the
+    # selection primitive makes several passes — bin stats, counts,
+    # detail — and each would otherwise re-run the day-pair join)
+    # Exact median by binned order-statistic SELECTION, not Spark's
+    # `percentile` aggregate: the slope set is O(days^2) mostly-distinct
+    # doubles (2.9M at sf0.1) and the percentile value-count map merged
+    # on one reducer measured ~9 s of the query's 11.4 s; selection is
+    # value-identical (same (n-1)*q interpolation) and fully parallel
+    # (operators/ranking.py:exact_quantile_cont).
+    from ..operators.ranking import exact_quantile_cont
+
+    sl = exact_quantile_cont(pairs, F.col("slope"), 0.5).select(
+        F.col("n").alias("n_pairs"),
+        dround(F.col("value"), 6).alias("slope_med"),
     )
-    sl = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        dround(F.percentile("slope", 0.5), 6).alias("slope_med"),
-    )
+    # sl appears EXACTLY ONCE in the final plan: its selection DAG is a
+    # chain of broadcast-exchange jobs, and a second reference (the r7
+    # first cut broadcast it into the intercept AND the final select)
+    # re-executes the whole chain — measured ~12 s vs ~4 s.
     ic = daily.crossJoin(F.broadcast(sl)).agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("slope_med").alias("slope_med"),
         dround(
             F.percentile(
                 F.col("rev") - F.col("slope_med") * F.col("d"), 0.5
@@ -369,9 +391,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept_med"),
     )
-    return ic.crossJoin(F.broadcast(sl)).select(
-        "n_days", "n_pairs", "slope_med", "intercept_med"
-    )
+    return ic.select("n_days", "n_pairs", "slope_med", "intercept_med")
 
 
 # ===========================================================================

@@ -120,3 +120,48 @@ def test_ntile_scores_property_matches_global_ntile(spark, vals, k):
         .cast("long").alias("b"),
     )
     assert sorted(got.collect()) == sorted(ref.collect())
+
+
+def test_exact_quantile_cont_matches_percentile_small_and_large(spark):
+    """Both code paths (direct percentile at n <= 100k; bracket-then-
+    exact above) return the exact (n-1)*q interpolated value — compared
+    against F.percentile on the same data, q in {0.1, 0.5, 0.9}."""
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.operators.ranking import (
+        exact_quantile_cont,
+    )
+
+    # heavy-tailed values (cube of a hash-derived uniform) so the
+    # bracket path faces the distribution that broke min-max binning
+    big = spark.range(0, 250_000).select(
+        (
+            F.pow(
+                (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6), 16, 10)
+                 .cast("double") / 16777216.0) - 0.5,
+                3,
+            )
+            * 1e6
+        ).alias("v")
+    )
+    small = big.limit(5_000)
+    for frame in (small, big):
+        frame = frame.cache()
+        for q in (0.1, 0.5, 0.9):
+            got = exact_quantile_cont(frame, F.col("v"), q).collect()[0]
+            exp = frame.agg(F.percentile("v", q)).collect()[0][0]
+            assert got["value"] == exp, (q, got["value"], exp)
+        assert got["n"] == frame.count()
+        frame.unpersist()
+
+
+def test_exact_quantile_cont_empty_input_null_row(spark):
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.operators.ranking import (
+        exact_quantile_cont,
+    )
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    r = exact_quantile_cont(empty, F.col("v"), 0.5).collect()
+    assert len(r) == 1 and r[0]["value"] is None and r[0]["n"] == 0
