@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "spearman_scorer_agreement",
     "stratified_three_way_split",
     "sequence_packing_efficiency",
+    "knn_shapley_valuation",
 ]
 
 

@@ -232,6 +232,7 @@ REPRESENTATIVES = [
     "spearman_scorer_agreement",
     "stratified_three_way_split",
     "sequence_packing_efficiency",
+    "knn_shapley_valuation",
 ]
 
 

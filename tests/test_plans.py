@@ -852,6 +852,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     # round-6 additions
     "neyman_allocation": "source grain (bounded vocabulary)",
     "hill_tail_index": "post-limit top-K frame",
+    "knn_shapley_valuation": "post-limit top-10 frame (value_rank)",
     "topk_token_churn": "post-limit top-K frame",
 }
 

@@ -188,3 +188,55 @@ def test_packing_bound_arithmetic(spark):
             r.sum_tokens / (r.packed_batches * 512), 6
         )
         assert r.naive_utilization <= r.packed_utilization + 1e-9
+
+
+def test_knn_shapley_matches_python_replay(spark):
+    """Exact KNN-Shapley recursion replayed in pure python (same dround,
+    same rank tie-breaks, same suffix order) — top-10 identical."""
+    from steam_prices_data_engineering_spark.plans.round7b import (
+        _KSV_K,
+        _KSV_PANEL,
+        _KSV_TOP,
+    )
+
+    rows = read_table(spark, SF, "embeddings").collect()
+    val = [(r.vec_id, list(r.embedding), r.label) for r in rows
+           if r.vec_id < _KSV_PANEL]
+    trn = [(r.vec_id, list(r.embedding), r.label) for r in rows
+           if r.vec_id >= _KSV_PANEL]
+    n = len(trn)
+    acc = defaultdict(float)
+    for _vid, vv, vy in val:
+        ranked = sorted(
+            (
+                pyround(
+                    sum((float(a) - float(b)) ** 2 for a, b in zip(tv, vv)),
+                    6,
+                ),
+                tid,
+                ty,
+            )
+            for tid, tv, ty in trn
+        )
+        m = [1.0 if ty == vy else 0.0 for _d, _tid, ty in ranked]
+        # match the engine's association exactly: the window computes a
+        # suffix CUMSUM of the terms in rank-descending order, then adds
+        # m_last/n once outside the sum
+        terms = [
+            (m[i] - m[i + 1]) / max(_KSV_K, i + 1) if i < n - 1 else 0.0
+            for i in range(n)
+        ]
+        s = [0.0] * n
+        c = 0.0
+        for i in range(n - 1, -1, -1):
+            c += terms[i]
+            s[i] = m[n - 1] / n + c
+        for i, (_d, tid, _ty) in enumerate(ranked):
+            acc[tid] += s[i]
+    values = {tid: pyround(v / len(val), 6) for tid, v in acc.items()}
+    exp = sorted(values.items(), key=lambda kv: (-kv[1], kv[0]))[:_KSV_TOP]
+    got = registry.queries()["knn_shapley_valuation"](spark, SF).collect()
+    assert [(r.vec_id, r.shapley_value) for r in got] == exp
+    assert [r.value_rank for r in got] == list(range(1, len(exp) + 1))
+    # efficiency sanity: values are bounded by the utility range
+    assert all(-1.0 <= v <= 1.0 for _t, v in values.items())
