@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "stratified_three_way_split",
     "sequence_packing_efficiency",
     "knn_shapley_valuation",
+    "fairness_gate_audit",
+    "coreset_kcenter_selection",
 ]
 
 

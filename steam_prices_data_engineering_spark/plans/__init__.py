@@ -54,3 +54,4 @@ from . import round6f as _round6f  # noqa: E402,F401
 from . import round6g as _round6g  # noqa: E402,F401
 from . import round7 as _round7  # noqa: E402,F401  (needs insights, retrieval)
 from . import round7b as _round7b  # noqa: E402,F401
+from . import round7c as _round7c  # noqa: E402,F401

@@ -240,3 +240,63 @@ def test_knn_shapley_matches_python_replay(spark):
     assert [r.value_rank for r in got] == list(range(1, len(exp) + 1))
     # efficiency sanity: values are bounded by the utility range
     assert all(-1.0 <= v <= 1.0 for _t, v in values.items())
+
+
+def test_fairness_gate_audit_gaps_consistent(spark):
+    """Group rates weighted by group size must reproduce the pooled
+    rate (so every parity gap is measured against the true pooled
+    value), and all rates live in [0, 1]."""
+    rows = registry.queries()["fairness_gate_audit"](spark, SF).collect()
+    assert rows
+    n_tot = sum(r.n_docs for r in rows)
+    # accept_rate is rounded per group; allow rounding slack only
+    pooled_from_groups = (
+        sum(r.accept_rate * r.n_docs for r in rows) / n_tot
+    )
+    pooled = rows[0].accept_rate - rows[0].parity_gap
+    assert abs(pooled_from_groups - pooled) < 1e-4
+    for r in rows:
+        for v in (r.accept_rate, r.tpr, r.fpr):
+            if v is not None:
+                assert -1e-9 <= v <= 1 + 1e-9
+        assert abs((r.accept_rate - r.parity_gap) - pooled) < 1e-9
+
+
+def test_coreset_kcenter_matches_python_replay(spark):
+    """Farthest-first traversal replayed exactly (same dround per
+    pairwise distance, same least() composition, same argmax
+    tie-break); selection distances are non-increasing."""
+    from steam_prices_data_engineering_spark.plans.round7c import _KC_K
+
+    rows = read_table(spark, SF, "embeddings").collect()
+    pts = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    first = min(pts)
+    centers = [first]
+    md = {
+        vid: pyround(
+            sum((a - b) ** 2 for a, b in zip(v, pts[first])), 6
+        )
+        for vid, v in pts.items()
+    }
+    expected = [(0, first, None)]
+    for t in range(1, _KC_K):
+        far = max(md.items(), key=lambda kv: (kv[1], -kv[0]))
+        expected.append((t, far[0], far[1]))
+        centers.append(far[0])
+        for vid, v in pts.items():
+            d = pyround(
+                sum((a - b) ** 2 for a, b in zip(v, pts[far[0]])), 6
+            )
+            if d < md[vid]:
+                md[vid] = d
+    got = sorted(
+        (
+            (r.center_idx, r.vec_id, r.sel_dist)
+            for r in registry.queries()["coreset_kcenter_selection"](
+                spark, SF
+            ).collect()
+        )
+    )
+    assert got == expected
+    dists = [d for _i, _v, d in got if d is not None]
+    assert dists == sorted(dists, reverse=True)
