@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "knn_shapley_valuation",
     "fairness_gate_audit",
     "coreset_kcenter_selection",
+    "fellegi_sunter_em",
 ]
 
 

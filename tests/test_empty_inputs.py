@@ -235,6 +235,7 @@ REPRESENTATIVES = [
     "knn_shapley_valuation",
     "fairness_gate_audit",
     "coreset_kcenter_selection",
+    "fellegi_sunter_em",
 ]
 
 

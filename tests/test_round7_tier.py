@@ -300,3 +300,31 @@ def test_coreset_kcenter_matches_python_replay(spark):
     assert got == expected
     dists = [d for _i, _v, d in got if d is not None]
     assert dists == sorted(dists, reverse=True)
+
+
+def test_fellegi_sunter_em_separates_and_bounds(spark):
+    """After EM the match class must dominate the unmatch class on every
+    field (m_k > u_k), the all-agree pattern carries the maximum match
+    weight and the all-disagree pattern the minimum, and posteriors are
+    probabilities."""
+    rows = registry.queries()["fellegi_sunter_em"](spark, SF).collect()
+    assert rows
+    by_pat = {
+        (r.name_agrees, r.brand_agrees, r.type_agrees): r for r in rows
+    }
+    weights = {k: r.match_weight for k, r in by_pat.items()}
+    if (1, 1, 1) in weights:
+        assert weights[(1, 1, 1)] == max(weights.values())
+    if (0, 0, 0) in weights:
+        assert weights[(0, 0, 0)] == min(weights.values())
+    for r in rows:
+        assert -1e-9 <= r.posterior <= 1 + 1e-9
+        assert 0 < r.est_match_share < 1
+        assert r.n_pairs > 0
+    # adding an agreement never lowers the weight (m_k > u_k per field)
+    for k, r in by_pat.items():
+        for f in range(3):
+            if k[f] == 0:
+                up = (*k[:f], 1, *k[f + 1 :])
+                if up in weights:
+                    assert weights[up] > weights[k]
