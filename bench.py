@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "fairness_gate_audit",
     "coreset_kcenter_selection",
     "fellegi_sunter_em",
+    "knn_shapley_truncation_error",
 ]
 
 

@@ -314,3 +314,8 @@ def test_round7_null_stat_reports_on_empty(spark, empty_dir):
     ).collect()
     assert len(r) == 1 and r[0].n_multi_groups == 0
     assert r[0].avg_quality_keep_best is None
+    r = registry.queries()["knn_shapley_truncation_error"](
+        spark, empty_dir
+    ).collect()
+    assert len(r) == 1 and r[0].n_train == 0
+    assert r[0].max_abs_delta is None

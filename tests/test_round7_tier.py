@@ -328,3 +328,26 @@ def test_fellegi_sunter_em_separates_and_bounds(spark):
                 up = (*k[:f], 1, *k[f + 1 :])
                 if up in weights:
                     assert weights[up] > weights[k]
+
+
+def test_knn_shapley_truncation_error_bounds(spark):
+    """The truncation audit's invariants: overlap in [0, 10], deltas
+    non-negative with mean <= max, n_train matches the train split, and
+    a cut M >= the train count must reproduce the exact values
+    (deltas 0, overlap 10)."""
+    from steam_prices_data_engineering_spark.plans.round7b import (
+        _KSV_M,
+        _KSV_PANEL,
+    )
+
+    r = registry.queries()["knn_shapley_truncation_error"](
+        spark, SF
+    ).collect()[0]
+    n_emb = read_table(spark, SF, "embeddings").count()
+    assert r.m_cut == _KSV_M
+    assert r.n_train == n_emb - _KSV_PANEL
+    assert 0 <= r.top10_overlap <= 10
+    assert 0 <= r.mean_abs_delta <= r.max_abs_delta + 1e-9
+    if _KSV_M >= r.n_train:
+        assert r.top10_overlap == 10
+        assert r.max_abs_delta == 0.0
