@@ -18,11 +18,16 @@ session startup.
 
 Regression gate: after timing, the harness diffs against the newest
 BENCH_r*.json in the repo (the previous round's record) and reports
-per-query ratios on STDERR (stdout stays exactly one JSON line). Queries
-slower than the REGRESSION_RATIO threshold are also listed in the JSON
-under "regressions" so a round-over-round slowdown is self-documenting.
+per-query ratios on STDERR (stdout stays exactly one JSON line). A query
+flags only when BOTH its raw and canary-normalized ratios exceed
+REGRESSION_RATIO; flagged entries land in the JSON under "regressions"
+so a round-over-round slowdown is self-documenting.
 Machine-load caveat: sibling processes skew wall time 2-3x on this VM —
-check uptime before believing a regression.
+check uptime before believing a regression. Noise-tail caveat: queries
+whose plans embed createDataFrame grids (LogicalRDD panels) never get a
+warm second rep (cross-call cache match fails — CLAUDE.md), so
+scheduler variance lands raw on them; sub-second grid queries dominate
+the flag tail in loaded runs.
 """
 
 from __future__ import annotations
