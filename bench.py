@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "coreset_kcenter_selection",
     "fellegi_sunter_em",
     "knn_shapley_truncation_error",
+    "quantile_sketch_error_eval",
 ]
 
 

@@ -388,3 +388,81 @@ def exact_quantile_cont(
     return spark.createDataFrame(
         [(float(value), n)], "value double, n long"
     )
+
+
+def exact_quantiles_cont(
+    df: DataFrame, value_col: Column, qs: Sequence[float]
+) -> DataFrame:
+    """Multi-q form of exact_quantile_cont: ONE sketch pass brackets
+    every requested quantile, one conditional-sum pass counts below
+    each bracket, one filtered collect fetches all brackets' members —
+    the per-q work never re-scans the input. Returns a frame
+    (q double, value double, n long), one row per requested q.
+    Same caller contract: pass a CACHED frame when the input is
+    expensive; interpolation replicates Spark's weighted form."""
+    spark = df.sparkSession
+    val = value_col.cast("double").alias("_qv")
+    slim = df.select(val)
+    n = slim.count()
+    out_schema = "q double, value double, n long"
+    if n == 0:
+        return spark.createDataFrame(
+            [(float(q), None, 0) for q in qs], out_schema
+        )
+    if n <= 100_000:
+        arr = slim.agg(
+            F.percentile(
+                F.col("_qv"), F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("ev")
+        ).collect()[0]["ev"]
+        return spark.createDataFrame(
+            [(float(q), float(arr[i]), n) for i, q in enumerate(qs)],
+            out_schema,
+        )
+    w = 5e-4
+    acc = 10_000
+    probe_qs: list[float] = []
+    for q in qs:
+        probe_qs += [max(0.0, q - w), min(1.0, q + w)]
+    br = slim.agg(
+        F.percentile_approx(
+            F.col("_qv"),
+            F.array(*[F.lit(p) for p in probe_qs]),
+            F.lit(acc),
+        ).alias("b")
+    ).collect()[0]["b"]
+    lo = [float(br[2 * i]) for i in range(len(qs))]
+    hi = [float(br[2 * i + 1]) for i in range(len(qs))]
+    cnts = slim.agg(
+        *[
+            F.sum(F.when(F.col("_qv") < lo[i], 1).otherwise(0))
+            .cast("long")
+            .alias(f"_cb{i}")
+            for i in range(len(qs))
+        ]
+    ).collect()[0]
+    cond = None
+    for i in range(len(qs)):
+        c = (F.col("_qv") >= lo[i]) & (F.col("_qv") <= hi[i])
+        cond = c if cond is None else (cond | c)
+    members = [r["_qv"] for r in slim.filter(cond).collect()]
+    rows = []
+    for i, q in enumerate(qs):
+        mid = sorted(v for v in members if lo[i] <= v <= hi[i])
+        p_lo = int(math.floor((n - 1) * q))
+        p_hi = int(math.ceil((n - 1) * q))
+        i_lo = p_lo - cnts[f"_cb{i}"]
+        i_hi = p_hi - cnts[f"_cb{i}"]
+        if not (0 <= i_lo <= i_hi < len(mid)):
+            v = slim.agg(
+                F.percentile(F.col("_qv"), float(q))
+            ).collect()[0][0]
+            rows.append((float(q), float(v), n))
+            continue
+        pos = (n - 1) * q
+        if i_lo == i_hi:
+            v = mid[i_lo]
+        else:
+            v = (p_hi - pos) * mid[i_lo] + (pos - p_lo) * mid[i_hi]
+        rows.append((float(q), float(v), n))
+    return spark.createDataFrame(rows, out_schema)

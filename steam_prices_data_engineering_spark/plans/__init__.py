@@ -56,3 +56,4 @@ from . import round7 as _round7  # noqa: E402,F401  (needs insights, retrieval)
 from . import round7b as _round7b  # noqa: E402,F401
 from . import round7c as _round7c  # noqa: E402,F401
 from . import round7d as _round7d  # noqa: E402,F401
+from . import round7e as _round7e  # noqa: E402,F401

@@ -143,8 +143,8 @@ _PRIORITY: tuple[str, ...] = (
 )
 # Deliberately under the FULL LOCAL GATE only this round: every r1-r6
 # driver-green query, the 2 parked tail queries
-# (histogram_extendedprice, robust_stats_mad), and the 13 round-7
-# additions (plans/round7{,b,c,d}.py) — the 15 queries without a driver row
+# (histogram_extendedprice, robust_stats_mad), and the 14 round-7
+# additions (plans/round7{,b,c,d,e}.py) — the 16 queries without a driver row
 # after round 7; they lead the round-8 rotation. Every displaced query
 # is hash-checked by tools/check_oracle.py and tests/test_queries.py
 # each run.

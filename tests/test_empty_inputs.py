@@ -319,3 +319,8 @@ def test_round7_null_stat_reports_on_empty(spark, empty_dir):
     ).collect()
     assert len(r) == 1 and r[0].n_train == 0
     assert r[0].max_abs_delta is None
+    rows = registry.queries()["quantile_sketch_error_eval"](
+        spark, empty_dir
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.n == 0 and r.rank_dev_ok is True for r in rows)

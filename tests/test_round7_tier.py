@@ -351,3 +351,28 @@ def test_knn_shapley_truncation_error_bounds(spark):
     if _KSV_M >= r.n_train:
         assert r.top10_overlap == 10
         assert r.max_abs_delta == 0.0
+
+
+def test_quantile_sketch_error_eval_gates_true_and_exact(spark):
+    """All five rank gates hold at fixture scale, and the exact
+    companions equal F.percentile recomputed directly."""
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.plans.round7e import (
+        _QSE_QS,
+    )
+
+    rows = {
+        r.q: r
+        for r in registry.queries()["quantile_sketch_error_eval"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == set(float(q) for q in _QSE_QS)
+    li = read_table(spark, SF, "lineitem")
+    n = li.count()
+    for q, r in rows.items():
+        assert r.rank_dev_ok is True
+        assert r.n == n
+        exp = li.agg(F.percentile("l_extendedprice", q)).collect()[0][0]
+        assert r.exact_value == pyround(exp, 6)
