@@ -823,6 +823,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subsequent join is day-to-day on the calendar-bounded daily frame. The
 # daily CTE is multiply-referenced, so the oracle marks it MATERIALIZED
 # (DuckDB inlines plain CTEs once per reference).
+#
+# Determinism (the r6 WATCH flake, root-caused in r7): the day revenue
+# was a FLOAT sum whose partition-order association varies with AQE's
+# run-to-run partitioning; one horizon's MAE sat exactly on a dround(4)
+# half-boundary (228.00875) and flipped between 228.0087/228.0088
+# depending on the summation order (captured by the oracle-diff hook).
+# All accumulation is now INTEGER micro-units (per-event dround-style
+# quantization floor(v*1e6+0.5) as LONG; long sums are order-free in
+# both engines); the single float division happens once, at the end.
 # ===========================================================================
 
 _RO_HORIZONS = (1, 3, 7)
@@ -831,7 +840,7 @@ _RO_ORIGINS = 8  # origins M-14 .. M-7 (all targets lie inside the data)
 _ROLLING_ORIGIN_SQL = f"""
 WITH daily AS MATERIALIZED (
     SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
-           sum(value) AS rev
+           sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS rev
     FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 bounds AS (SELECT max(d) AS mx FROM daily),
@@ -854,9 +863,11 @@ evals AS (
 )
 SELECT CAST(h AS BIGINT) AS horizon,
        CAST(count(*) AS BIGINT) AS n_evals,
-       {R('avg(err_naive)', 4)} AS mae_naive,
-       {R('avg(err_snaive)', 4)} AS mae_snaive,
-       {R('1.0 - avg(err_snaive) / nullif(avg(err_naive), 0.0)', 6)}
+       {R('sum(err_naive) / (count(err_naive) * 1000000.0)', 4)} AS mae_naive,
+       {R('sum(err_snaive) / (count(err_snaive) * 1000000.0)', 4)}
+           AS mae_snaive,
+       {R('1.0 - CAST(sum(err_snaive) AS DOUBLE)'
+          ' / nullif(CAST(sum(err_naive) AS DOUBLE), 0.0)', 6)}
            AS skill_vs_naive
 FROM evals GROUP BY h
 """
@@ -873,7 +884,11 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d")
         )
-        .agg(F.sum("value").alias("rev"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            ).alias("rev")
+        )
     )
     daily = daily.cache()  # session-per-query (origin grid + 3 day joins)
     bounds = daily.agg(F.max("d").alias("mx"))
@@ -903,11 +918,20 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return evals.groupBy(F.col("h").cast("long").alias("horizon")).agg(
         F.count(F.lit(1)).cast("long").alias("n_evals"),
-        dround(F.avg("err_naive"), 4).alias("mae_naive"),
-        dround(F.avg("err_snaive"), 4).alias("mae_snaive"),
+        dround(
+            F.sum("err_naive")
+            / (F.count("err_naive") * F.lit(1000000.0)),
+            4,
+        ).alias("mae_naive"),
+        dround(
+            F.sum("err_snaive")
+            / (F.count("err_snaive") * F.lit(1000000.0)),
+            4,
+        ).alias("mae_snaive"),
         dround(
             F.lit(1.0)
-            - F.avg("err_snaive") / F.nullif(F.avg("err_naive"), F.lit(0.0)),
+            - F.sum("err_snaive").cast("double")
+            / F.nullif(F.sum("err_naive").cast("double"), F.lit(0.0)),
             6,
         ).alias("skill_vs_naive"),
     )
