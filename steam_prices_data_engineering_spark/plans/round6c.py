@@ -605,7 +605,8 @@ WITH sharded AS MATERIALIZED (
 lagged AS (
     SELECT h % {_SOA_N} AS shard, source,
            lag(source) OVER (PARTITION BY h % {_SOA_N}
-                             ORDER BY h, doc_id) AS prev_source
+                             ORDER BY h, doc_id NULLS FIRST,
+                                      source NULLS FIRST) AS prev_source
     FROM sharded
 ),
 obs AS (
@@ -637,7 +638,21 @@ WHERE o.n_docs > 1
 @register("shard_order_autocorr", _soa_sql())
 def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 same-source rate vs random-permutation expectation, per
-    shard."""
+    shard.
+
+    Determinism notes (the CORRECTNESS_r07 red row, root-caused r8):
+    every compared value is a ratio of EXACT integers (counts, and sums
+    of integer-valued doubles, which are exact below 2^53), so float
+    re-association cannot flip a dround boundary here. The one genuine
+    cross-engine channel is the lag window's tie order: ``(h, doc_id)``
+    is total only while doc_id is unique and non-NULL, and the engines
+    disagree on NULL placement (Spark ASC = NULLS FIRST, DuckDB ASC =
+    NULLS LAST) and break exact ties by scan/partition order. The order
+    is therefore pinned total and NULL-explicit — ``h, doc_id NULLS
+    FIRST, source NULLS FIRST`` — in BOTH engines; full-row ties that
+    remain share the same source, which leaves lag(source) invariant.
+    Pinned by tests/test_round6c_tier.py::test_shard_order_tie_proof.
+    """
     from ..functions.text import md5_hex6_to_int
 
     d = read_table(spark, sf_dir, "documents")
@@ -652,7 +667,11 @@ def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sharded = sharded.cache()  # session-per-query (lag + composition)
     shard = F.pmod(F.col("h"), F.lit(_SOA_N))
-    wlag = Window.partitionBy(shard).orderBy("h", "doc_id")
+    wlag = Window.partitionBy(shard).orderBy(
+        F.col("h").asc(),
+        F.col("doc_id").asc_nulls_first(),
+        F.col("source").asc_nulls_first(),
+    )
     lagged = sharded.select(
         shard.alias("shard"),
         "source",

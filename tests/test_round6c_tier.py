@@ -230,3 +230,80 @@ def test_shard_order_autocorr_matches_python(spark):
         assert abs(g.expected_rate - exp) < 1e-5
         if exp > 0:
             assert abs(g.order_bias_ratio - (same / (n - 1)) / exp) < 1e-4
+
+
+def test_shard_order_tie_proof(spark, tmp_path):
+    """Duplicate (h, doc_id) ties with DIFFERENT sources plus NULL
+    doc_ids: the lag order must be the PINNED total order (h, doc_id
+    NULLS FIRST, source NULLS FIRST) in BOTH engines, never scan order
+    (the CORRECTNESS_r07 red-row class — engines disagree on NULL
+    placement and break exact ties by partition/scan order). The
+    doc_id=7 trio is written in source order (web, books, web): a
+    scan-order lag yields 0 same-adjacent pairs inside the trio, the
+    pinned order (books, web, web) yields 1 — scan-order tie-breaking
+    fails this test. All filler docs use a third source so boundary
+    pairs contribute 0 under either order."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    rows = [
+        (7, "t", "en", "web", 1),
+        (7, "t", "en", "books", 1),
+        (7, "t", "en", "web", 1),
+        (None, "t", "en", "books", 1),
+        (None, "t", "en", "web", 1),
+    ]
+    rows += [(i, "t", "en", "wiki", 1) for i in range(100, 140)]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.shard: r
+        for r in registry.queries()["shard_order_autocorr"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # python oracle under the pinned order
+    per = defaultdict(list)
+    for doc_id, _, _, source, _ in rows:
+        key = "shard1" if doc_id is None else f"shard1|{doc_id}"
+        h = _md5i(key)
+        per[h % 16].append(
+            (h, doc_id is not None, doc_id or 0, source)
+        )
+    for shard, rs in per.items():
+        if len(rs) <= 1:
+            assert shard not in got
+            continue
+        rs.sort()
+        same = sum(1 for a, b in zip(rs, rs[1:]) if a[3] == b[3])
+        assert got[shard].n_same == same, f"shard {shard}"
+        assert got[shard].n_docs == len(rs)
+
+    # cross-engine parity on the same hostile fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            registry.oracle_sql()["shard_order_autocorr"]
+        ).fetchall()
+    }
+    assert set(duck) == set(got)
+    for shard, r in got.items():
+        assert duck[shard] == (
+            r.shard,
+            r.n_docs,
+            r.n_same,
+            r.agree_rate,
+            r.expected_rate,
+            r.order_bias_ratio,
+        ), f"shard {shard}"

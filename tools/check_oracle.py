@@ -63,7 +63,24 @@ def compare(name, spark_df, duck_rows, duck_cols):
             if first is None:
                 first = (a, b)
     if n_bad:
-        return f"VALUE MISMATCH {n_bad}/{len(s_rows)} rows; first: spark={first[0]} duck={first[1]}"
+        err = f"VALUE MISMATCH {n_bad}/{len(s_rows)} rows; first: spark={first[0]} duck={first[1]}"
+        # same capture discipline as tests/test_queries.py: persist both
+        # full sorted frames so any mismatch (including driver-side
+        # recurrences reproduced locally) is diagnosable offline.
+        capture = f"/tmp/oracle_diff_{name}.txt"
+        try:
+            with open(capture, "w") as fh:
+                fh.write(f"query: {name}\nerror: {err}\n")
+                fh.write(f"\n-- spark rows (cols: {', '.join(s_cols)}) --\n")
+                for r in s_rows:
+                    fh.write(repr(r) + "\n")
+                fh.write(f"\n-- oracle rows (cols: {', '.join(s_cols)}) --\n")
+                for r in d_rows:
+                    fh.write(repr(r) + "\n")
+            err = f"{err} [frames captured: {capture}]"
+        except Exception as cap_exc:  # capture must never mask the diff
+            err = f"{err} [capture failed: {cap_exc}]"
+        return err
     return None
 
 
