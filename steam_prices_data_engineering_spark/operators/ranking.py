@@ -339,8 +339,24 @@ def exact_quantile_cont(
     """
     spark = df.sparkSession
     val = value_col.cast("double").alias("_qv")
-    slim = df.select(val)
-    n = slim.count()
+    # NULLs are excluded to match percentile/percentile_approx null
+    # semantics (they'd otherwise inflate n and mis-place p_lo/p_hi in
+    # the bracket rank arithmetic). NaN inputs remain a documented
+    # precondition violation (engines disagree on NaN ordering).
+    slim = df.select(val).filter(F.col("_qv").isNotNull())
+    w = 5e-4
+    acc = 10_000
+    q0, q1 = max(0.0, q - w), min(1.0, q + w)
+    # ONE fused pass computes n + the bracket sketch (was two passes);
+    # the sketch is wasted work only on the small-n path, where it is
+    # as cheap as the count itself.
+    head = slim.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile_approx(
+            F.col("_qv"), F.array(F.lit(q0), F.lit(q1)), F.lit(acc)
+        ).alias("b"),
+    ).collect()[0]
+    n = head["n"]
     if n == 0:
         return spark.createDataFrame(
             [(None, 0)], "value double, n long"
@@ -353,14 +369,7 @@ def exact_quantile_cont(
             F.count(F.lit(1)).cast("long").alias("n"),
         )
         return picked
-    w = 5e-4
-    acc = 10_000
-    q0, q1 = max(0.0, q - w), min(1.0, q + w)
-    br = slim.agg(
-        F.percentile_approx(
-            F.col("_qv"), F.array(F.lit(q0), F.lit(q1)), F.lit(acc)
-        ).alias("b")
-    ).collect()[0]["b"]
+    br = head["b"]
     v_lo_b, v_hi_b = float(br[0]), float(br[1])
     cnt_below = slim.filter(F.col("_qv") < v_lo_b).count()
     mid = sorted(
@@ -391,56 +400,98 @@ def exact_quantile_cont(
 
 
 def exact_quantiles_cont(
-    df: DataFrame, value_col: Column, qs: Sequence[float]
-) -> DataFrame:
-    """Multi-q form of exact_quantile_cont: ONE sketch pass brackets
-    every requested quantile, one conditional-sum pass counts below
-    each bracket, one filtered collect fetches all brackets' members —
-    the per-q work never re-scans the input. Returns a frame
-    (q double, value double, n long), one row per requested q.
-    Same caller contract: pass a CACHED frame when the input is
-    expensive; interpolation replicates Spark's weighted form."""
+    df: DataFrame,
+    value_col: Column,
+    qs: Sequence[float],
+    probe_extra: Sequence[float] = (),
+    extra_aggs=None,
+):
+    """Multi-q form of exact_quantile_cont: ONE fused pass computes n +
+    a sketch bracketing every requested quantile, one conditional-sum
+    pass counts below each bracket, one filtered collect fetches all
+    brackets' members — the per-q work never re-scans the input.
+    Returns a frame (q double, value double, n long), one row per
+    requested q. Same caller contract: pass a CACHED frame when the
+    input is expensive; interpolation replicates Spark's weighted form;
+    NULLs are excluded (percentile semantics); NaNs are a precondition
+    violation.
+
+    Piggyback hooks (so a caller auditing the sketch never pays its own
+    extra passes — the round7e quantile-sketch gate):
+      probe_extra: additional quantile points APPENDED to the single
+        GK sketch call; their sketch values are returned.
+      extra_aggs: callable (value_column, probe_values) -> list of
+        named aggregate Columns fused into the below-counts pass; the
+        collected Row is returned (None when the pass didn't run).
+    With either hook the return is a tuple
+    (frame, probe_values | None, extra_row | None).
+    """
     spark = df.sparkSession
     val = value_col.cast("double").alias("_qv")
-    slim = df.select(val)
-    n = slim.count()
+    slim = df.select(val).filter(F.col("_qv").isNotNull())
     out_schema = "q double, value double, n long"
-    if n == 0:
-        return spark.createDataFrame(
-            [(float(q), None, 0) for q in qs], out_schema
-        )
-    if n <= 100_000:
-        arr = slim.agg(
-            F.percentile(
-                F.col("_qv"), F.array(*[F.lit(float(q)) for q in qs])
-            ).alias("ev")
-        ).collect()[0]["ev"]
-        return spark.createDataFrame(
-            [(float(q), float(arr[i]), n) for i, q in enumerate(qs)],
-            out_schema,
-        )
     w = 5e-4
     acc = 10_000
     probe_qs: list[float] = []
     for q in qs:
         probe_qs += [max(0.0, q - w), min(1.0, q + w)]
-    br = slim.agg(
+    n_bracket = len(probe_qs)
+    probe_qs += [float(p) for p in probe_extra]
+    head = slim.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
         F.percentile_approx(
             F.col("_qv"),
             F.array(*[F.lit(p) for p in probe_qs]),
             F.lit(acc),
-        ).alias("b")
-    ).collect()[0]["b"]
+        ).alias("b"),
+    ).collect()[0]
+    n = head["n"]
+    extras_wanted = bool(probe_extra) or extra_aggs is not None
+
+    def _ret(frame, pv=None, extra_row=None):
+        return (frame, pv, extra_row) if extras_wanted else frame
+
+    if n == 0:
+        return _ret(
+            spark.createDataFrame(
+                [(float(q), None, 0) for q in qs], out_schema
+            )
+        )
+    pv = (
+        [float(head["b"][n_bracket + j]) for j in range(len(probe_extra))]
+        if probe_extra
+        else None
+    )
+    if n <= 100_000:
+        aggs = [
+            F.percentile(
+                F.col("_qv"), F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("ev")
+        ]
+        if extra_aggs is not None:
+            aggs += list(extra_aggs(F.col("_qv"), pv))
+        row = slim.agg(*aggs).collect()[0]
+        arr = row["ev"]
+        return _ret(
+            spark.createDataFrame(
+                [(float(q), float(arr[i]), n) for i, q in enumerate(qs)],
+                out_schema,
+            ),
+            pv,
+            row,
+        )
+    br = head["b"]
     lo = [float(br[2 * i]) for i in range(len(qs))]
     hi = [float(br[2 * i + 1]) for i in range(len(qs))]
-    cnts = slim.agg(
-        *[
-            F.sum(F.when(F.col("_qv") < lo[i], 1).otherwise(0))
-            .cast("long")
-            .alias(f"_cb{i}")
-            for i in range(len(qs))
-        ]
-    ).collect()[0]
+    count_aggs = [
+        F.sum(F.when(F.col("_qv") < lo[i], 1).otherwise(0))
+        .cast("long")
+        .alias(f"_cb{i}")
+        for i in range(len(qs))
+    ]
+    if extra_aggs is not None:
+        count_aggs += list(extra_aggs(F.col("_qv"), pv))
+    cnts = slim.agg(*count_aggs).collect()[0]
     cond = None
     for i in range(len(qs)):
         c = (F.col("_qv") >= lo[i]) & (F.col("_qv") <= hi[i])
@@ -465,4 +516,4 @@ def exact_quantiles_cont(
         else:
             v = (p_hi - pos) * mid[i_lo] + (pos - p_lo) * mid[i_hi]
         rows.append((float(q), float(v), n))
-    return spark.createDataFrame(rows, out_schema)
+    return _ret(spark.createDataFrame(rows, out_schema), pv, cnts)

@@ -71,83 +71,76 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-7 ROTATION (per VERDICT.md r6 task 1): rounds 1-6 drove 296
-# distinct queries green (CORRECTNESS_r01..r06), leaving 52 registered
-# queries never driver-sampled: the 35 round-6 additions
-# (plans/round6{,b,c,d,e,f,g}.py) plus a 17-query pre-round-6 tail.
-# This round's first 50 LEAD with all 35 round-6 queries, then take 15
-# of the 17-query tail (pinned by
-# tests/test_queries.py::test_driver_sample_spans_families). Every
-# displaced query stays under the full local gate
-# (tools/check_oracle.py) and the full-oracle pytest sweep.
+# ROUND-8 ROTATION (per VERDICT.md r7 task 2): rounds 1-7 drove 346
+# distinct queries (345 green), leaving exactly 16 never driver-sampled:
+# the 14 round-7 additions (plans/round7{,b,c,d,e}.py) plus the 2 parked
+# tail queries. This round's first 50 LEAD with those 16, then the
+# round-8 additions (plans/round8.py — new this round, zero driver
+# rows), then `shard_order_autocorr` (the single r7 hash-red row,
+# tie-proof-fixed this round — re-verify), and fill with one
+# representative per operator family from the r1-r7 green set (pinned by
+# tests/test_queries.py::test_driver_sample_spans_families). After a
+# green r8 every registered query has a driver row.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 35 round-6 additions: zero driver rows before this round --
-    # plans/round6.py
-    "substring_dedup_keep_first",     # exact substring dedup, keep-first
-    "eval_reservoir_sample",          # stratified reservoir eval sampling
-    "quality_calibration_drift",      # quality-classifier calibration drift
-    "lsh_recall_empirical",           # empirical LSH recall/precision
-    "shard_skew_audit",               # shard balance audit
-    "ngram_novelty_curve",            # n-gram novelty curve
-    "embedding_label_centroid_drift", # embedding label-centroid drift
-    "hard_negative_mining",           # hard-negative mining
-    "rolling_origin_backtest",        # rolling-origin forecast backtest
-    "bigram_entropy_rate",            # bigram entropy rate
-    "group_sequential_obf",           # group-sequential monitoring (OBF)
-    "covariate_shift_eval",           # covariate-shift-weighted eval
-    # plans/round6b.py
-    "neyman_allocation",              # Neyman-optimal stratified allocation
-    "embedding_anisotropy",           # embedding anisotropy audit
-    "confident_learning_noise",       # confident-learning label noise
-    "rm3_query_expansion",            # RM3 pseudo-relevance expansion
-    "kneser_ney_bigram_ppl",          # Kneser-Ney bigram perplexity
-    # plans/round6c.py
-    "psi_value_drift",                # PSI drift monitoring
-    "raking_ipf_weights",             # raking / IPF weights
-    "data_constrained_scaling",       # data-constrained scaling laws
-    "hits_event_graph",               # HITS hubs/authorities
-    "hill_tail_index",                # Hill tail-index
-    "shard_order_autocorr",           # shard-order shuffle audit
-    # plans/round6d.py
-    "good_turing_unseen_mass",        # Good-Turing unseen mass
-    "quantile_normalize_scores",      # quantile normalization
-    "cohen_kappa_labels",             # Cohen's kappa
-    "jackknife_source_influence",     # delete-one-group jackknife
-    # plans/round6e.py
-    "winnowing_fingerprint_density",  # winnowing fingerprints
-    "topk_token_churn",               # top-K vocabulary churn
-    "burrows_delta_stylometry",       # Burrows' Delta stylometry
-    # plans/round6f.py
-    "chinchilla_optimal_allocation",  # Chinchilla compute allocation
-    "heaps_law_fit",                  # Heaps'-law vocabulary fit
-    "kanon_generalization_sweep",     # k-anonymity ladder sweep
-    # plans/round6g.py
-    "join_cardinality_audit",         # join-cardinality audit
-    "zonemap_pruning_audit",          # zone-map pruning audit
-    # -- 15 of the 17-query pre-round-6 never-sampled tail --
-    "cohort_retention_daily",         # behavioral retention
-    "event_transition_matrix",        # behavioral transitions
-    "timeseries_forward_fill",        # windowed time series (gap fill)
-    "timeseries_twap",                # time-weighted average price
-    "timeseries_range_frame_avg",     # RANGE-frame window
-    "seasonal_anomaly_hours",         # seasonal anomaly monitoring
-    "source_vocab_overlap",           # corpus comparison
-    "effective_vocab_by_source",      # lexical diversity
-    "pareto_spend_share",             # Pareto concentration
-    "mutual_info_features",           # feature ranking
-    "forecast_backtest_snaive",       # forecast backtesting
-    "golden_record_consolidation",    # record linkage consolidation
-    "winsorized_stats_by_flag",       # robust stats (winsorized)
-    "xcorr_error_revenue",            # cross-correlation
-    "frequent_event_sequences",       # sequence mining
+    # -- the 16 never-driver-sampled queries (round-7 tier + 2 parked) --
+    "pii_pattern_audit",              # PII-pattern audit (round 7)
+    "fleiss_kappa_rules",             # Fleiss' kappa (round 7)
+    "theil_sen_daily_trend",          # Theil-Sen robust trend (round 7)
+    "dedup_keeper_policy_eval",       # dedup keeper-policy eval (round 7)
+    "spearman_scorer_agreement",      # Spearman rank agreement (round 7)
+    "stratified_three_way_split",     # stratified 3-way split (round 7)
+    "sequence_packing_efficiency",    # sequence packing (round 7)
+    "streaming_enriched_tumbling_agg",# stream-static join + agg (round 7)
+    "knn_shapley_valuation",          # KNN-Shapley valuation (round 7b)
+    "knn_shapley_truncation_error",   # valuation truncation audit (7b)
+    "fairness_gate_audit",            # group-fairness gate audit (7c)
+    "coreset_kcenter_selection",      # k-center coreset (7c)
+    "fellegi_sunter_em",              # Fellegi-Sunter EM linkage (7d)
+    "quantile_sketch_error_eval",     # quantile-sketch gate (7e)
+    "histogram_extendedprice",        # equi-width histogram (parked r6/r7)
+    "robust_stats_mad",               # median/MAD robust stats (parked)
+    # -- round-8 additions (plans/round8.py): zero driver rows --
+    # (inserted here as the round-8 tier lands)
+    # -- the single r7 hash-red row, fixed this round: re-verify --
+    "shard_order_autocorr",           # shard-order shuffle audit (tie-proof)
+    # -- one representative per operator family (all r1-r7 green) --
+    "steam_job1_prices_etl",          # reference pipeline 1 (S1-S3, O11)
+    "world_map_job2_deviation",       # reference pipeline 2 (geo joins)
+    "flagship_nation_price_dev",      # flagship grouped/global mean
+    "dedup_exact_groups",             # exact dedup
+    "neardup_minhash_lsh",            # MinHash-LSH near-dup
+    "semdedup_prune",                 # semantic dedup (r7 K~sqrt(N) law)
+    "containment_dedup_pairs",        # containment dedup (r7 excursion)
+    "simsearch_topk_cosine",          # exact ANN baseline
+    "simsearch_ivf_pq_topk",          # composed IVF-PQ ANN
+    "multimodal_audio_windows",       # multimodal Arrow-UDF plumbing
+    "events_session_window",          # session windows
+    "streaming_multires_rollup",      # chained stateful streaming
+    "text_stats_by_lang",             # text analysis
+    "bpe_train_merges",               # BPE tokenizer training
+    "doc_unigram_lm_quality",         # LM quality filtering
+    "bm25_search_topk",               # lexical retrieval
+    "dsir_importance_select",         # data selection
+    "bloom_prefilter_decontam",       # decontamination
+    "ols_normal_equations",           # in-engine linear algebra
+    "pca_power_iteration",            # iterative linalg
+    "logreg_newton_irls",             # in-engine ML
+    "attribution_shapley",            # attribution
+    "survival_km_curve",              # survival analysis
+    "gdpr_delete_cascade",            # governance
+    "bucketed_join_no_shuffle",       # storage layout
+    "zorder_cell_stats",              # z-order layout
+    "event_pattern_match",            # CEP
+    "hll_sketch_rollup",              # mergeable sketches
+    "kcore_neardup_graph",            # graph analytics
+    "textrank_keywords",              # keywords (r7 excursion re-verify)
+    "stateful_user_totals",           # stateful UDF surface
+    "incremental_agg_merge",          # incremental view maintenance
+    "spatial_cell_join",              # geospatial join
 )
-# Deliberately under the FULL LOCAL GATE only this round: every r1-r6
-# driver-green query, the 2 parked tail queries
-# (histogram_extendedprice, robust_stats_mad), and the 14 round-7
-# additions (plans/round7{,b,c,d,e}.py) — the 16 queries without a driver row
-# after round 7; they lead the round-8 rotation. Every displaced query
-# is hash-checked by tools/check_oracle.py and tests/test_queries.py
-# each run.
+# Deliberately under the FULL LOCAL GATE only this round: every other
+# r1-r7 driver-green query. All are hash-checked by
+# tools/check_oracle.py and tests/test_queries.py each run.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

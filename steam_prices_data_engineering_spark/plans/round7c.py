@@ -161,15 +161,41 @@ def fairness_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the moment of selection (a non-increasing sequence whose last
 # value bounds the coverage radius).
 #
-# Scale shape: the kmeans literal-centers discipline — each step is one
-# pass over the cached vector table computing least() of dround(6)
-# distances to the t collected centers (K*dim literals), and the argmax
+# Scale shape: the kmeans literal-centers discipline — a RUNNING
+# min-distance column `md` carried as one persisted generation per step
+# (the iterative.py:cc_labels unpersist-after-child discipline), so step
+# t folds in ONLY the new center's distance: K-1 interpreted
+# zip_with/aggregate folds total instead of the K(K-1)/2 a recompute-all
+# traversal pays (the r7 verdict's avoidable-O(K^2) finding). The argmax
 # is a deterministic TakeOrdered-1 (never a global sort); only K center
-# vectors ever reach the driver. The oracle unrolls the same K steps as
-# materialized CTEs with scalar-subquery center selection.
+# vectors ever reach the driver. The oracle unrolls the same K running
+# least() steps as materialized CTEs. At a real 100 TB corpus K should
+# follow a coverage-budget rule (e.g. K ~ sqrt(N), the semantic_dedup.py
+# law) rather than a literal 8; the traversal cost is K passes either
+# way.
 # ===========================================================================
 
 _KC_K = 8
+
+
+def _kc_d2(cent: list[float]):
+    """dround(6) squared distance from column `v` to a literal center —
+    ONE interpreted fold per call. The fold is a single F.expr string
+    (one py4j round-trip): 64 F.lit calls + Column lambdas per step cost
+    more driver time than the 6k-row fold itself (measured ~1.3 s of the
+    3.0 s traversal). Every literal carries the D suffix — bare decimal
+    literals parse as DECIMAL and silently promote the whole column (the
+    CLAUDE.md decimal-literal gotcha; probed: an all-SQL dround here
+    returned DECIMAL(_,9), diverging from double math past 2^53/1e6) —
+    and the dround stays the proven Column form on top."""
+    lits = ",".join(f"{x!r}D" for x in cent)
+    return dround(
+        F.expr(
+            f"aggregate(zip_with(v, array({lits}), "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        ),
+        6,
+    )
 
 
 def _kc_sql() -> str:
@@ -233,37 +259,34 @@ def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "center_idx long, vec_id long, label int, sel_dist double"
         )
-    centers = [[float(x) for x in first[0]["v"]]]
     picked = [(0, int(first[0]["vec_id"]), None)]
 
-    def min_dist(cents):
-        md = None
-        for cent in cents:
-            lit = F.array(*[F.lit(x) for x in cent])
-            d2 = dround(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), lit, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, term: acc + term,
-                ),
-                6,
-            )
-            md = d2 if md is None else F.least(md, d2)
-        return md
-
+    # running min-distance generation: md = min dround-distance to the
+    # selected set; each step folds in ONLY the new center (one
+    # interpreted fold), then the superseded parent unpersists AFTER the
+    # next argmax collect has materialized the child.
+    cur = e.select(
+        "vec_id", "v", _kc_d2([float(x) for x in first[0]["v"]]).alias("md")
+    ).cache()
+    prev = None
     for t in range(1, _KC_K):
         far = (
-            e.select("vec_id", "v", min_dist(centers).alias("md"))
-            .orderBy(F.desc("md"), F.asc("vec_id"))
-            .limit(1)
-            .collect()
+            cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()
         )
+        if prev is not None:  # child materialized by the collect above
+            prev.unpersist()
+        prev = cur
         if not far:
             break
-        centers.append([float(x) for x in far[0]["v"]])
         picked.append((t, int(far[0]["vec_id"]), float(far[0]["md"])))
+        if t < _KC_K - 1:
+            cur = cur.select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("md"), _kc_d2([float(x) for x in far[0]["v"]])
+                ).alias("md"),
+            ).cache()
 
     sel = spark.createDataFrame(
         picked, "center_idx long, vec_id long, sel_dist double"

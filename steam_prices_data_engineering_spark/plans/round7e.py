@@ -69,60 +69,65 @@ def quantile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x")
     )
     li = li.cache()  # session-per-query (sketch + exact + rank counts)
-    qs_arr = "array({})".format(
-        ", ".join(f"{q}D" for q in _QSE_QS)
-    )
     # exact companions via the bracket-then-exact SELECTION, not the
     # percentile value map: l_extendedprice is ~97% distinct (583k/600k
     # at sf0.1) and the exact-percentile aggregate measured ~9 s here —
     # the precise cost class this query exists to audit.
+    #
+    # The gate PIGGYBACKS on the selection's own passes (r8, after the
+    # r7 verdict's avoidable-5x finding): the sketch values at the q
+    # grid ride the selection's single GK call (probe_extra) and the
+    # below/le rank counts fuse into its below-counts pass (extra_aggs)
+    # — zero extra scans, and the 1-row results are COLLECTED once (the
+    # theil pattern), never re-referenced as broadcast chains.
     from ..operators.ranking import exact_quantiles_cont
 
-    ex = exact_quantiles_cont(li, F.col("x"), _QSE_QS)
-    stats = li.agg(
-        F.expr(
-            f"percentile_approx(x, {qs_arr}, {_QSE_ACC})"
-        ).alias("sv"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    counts = li.crossJoin(F.broadcast(stats)).agg(
-        *[
-            c
-            for i in range(len(_QSE_QS))
-            for c in (
-                F.sum(
-                    F.when(F.col("x") < F.col("sv")[i], 1).otherwise(0)
-                )
-                .cast("double")
-                .alias(f"below_{i}"),
-                F.sum(
-                    F.when(F.col("x") <= F.col("sv")[i], 1).otherwise(0)
-                )
-                .cast("double")
-                .alias(f"le_{i}"),
+    def _gate_aggs(col, pv):
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_all")]
+        for i in range(len(_QSE_QS)):
+            v = F.lit(float(pv[i]))
+            aggs.append(
+                F.sum(F.when(col < v, 1).otherwise(0))
+                .cast("long")
+                .alias(f"below_{i}")
             )
-        ]
+            aggs.append(
+                F.sum(F.when(col <= v, 1).otherwise(0))
+                .cast("long")
+                .alias(f"le_{i}")
+            )
+        return aggs
+
+    ex, pv, crow = exact_quantiles_cont(
+        li,
+        F.col("x"),
+        _QSE_QS,
+        probe_extra=_QSE_QS,
+        extra_aggs=_gate_aggs,
     )
-    one = stats.crossJoin(F.broadcast(counts))
-    rows = None
-    for i, q in enumerate(_QSE_QS):
+    if pv is None or crow is None:
+        # empty input: NULL sketch -> vacuously TRUE (the
+        # approx_aggregates coalesce discipline)
+        oks = [True] * len(_QSE_QS)
+    else:
         # GK guarantee: the returned element has SOME rank r with
-        # |r - q*n| <= n/accuracy. Its rank interval is
-        # [below+1, le] (duplicates widen it), so the guarantee holds
-        # iff that interval intersects [q*n - eps, q*n + eps]:
-        # below <= q*n + eps AND le >= q*n - eps. Empty input: NULL
-        # sketch -> vacuously TRUE (the approx_aggregates coalesce
-        # discipline).
-        eps = F.col("n") / F.lit(float(_QSE_ACC)) + F.lit(1.0)
-        part = one.select(
-            F.lit(float(q)).alias("q"),
-            F.coalesce(
-                (F.col(f"below_{i}") <= F.lit(q) * F.col("n") + eps)
-                & (F.col(f"le_{i}") >= F.lit(q) * F.col("n") - eps),
-                F.lit(True),
-            ).alias("rank_dev_ok"),
-        )
-        rows = part if rows is None else rows.unionAll(part)
+        # |r - q*n| <= n/accuracy. Its rank interval is [below+1, le]
+        # (duplicates widen it), so the guarantee holds iff that
+        # interval intersects [q*n - eps, q*n + eps].
+        n = crow["n_all"]
+        eps = n / float(_QSE_ACC) + 1.0
+        oks = [
+            crow[f"below_{i}"] <= q * n + eps
+            and crow[f"le_{i}"] >= q * n - eps
+            for i, q in enumerate(_QSE_QS)
+        ]
+    stack_args = ", ".join(
+        f"{float(q)!r}D, {'true' if ok else 'false'}"
+        for q, ok in zip(_QSE_QS, oks)
+    )
+    rows = spark.range(1).selectExpr(
+        f"stack({len(_QSE_QS)}, {stack_args}) AS (q, rank_dev_ok)"
+    )
     return ex.join(rows, "q").select(
         "q",
         "n",

@@ -1057,3 +1057,41 @@ def test_pruning_scan_budget(spark):
     # width (the no-forced-broadcast property is pinned repo-wide by
     # test_no_broadcast_hint_on_unbounded_frames)
     assert _n_scans(_plan(spark, "data_pruning_surprisal")) <= 3
+
+
+def test_coreset_step_single_fold(spark):
+    """The k-center traversal carries a RUNNING min-distance column: each
+    generation folds in ONLY the new center's distance, so its logical
+    plan (over the cached parent) contains exactly ONE zip_with fold —
+    not the t folds a recompute-all traversal would pay (the r7 verdict's
+    avoidable-O(K^2) finding)."""
+    from pyspark.sql import functions as F
+
+    from steam_prices_data_engineering_spark.functions.vectors import (
+        to_double_array,
+    )
+    from steam_prices_data_engineering_spark.plans.round7c import _kc_d2
+    from steam_prices_data_engineering_spark.sources.tables import read_table
+
+    e = read_table(spark, SF, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cur = e.select("vec_id", "v", _kc_d2([0.0] * 64).alias("md")).cache()
+    try:
+        cur.count()  # materialize so the child plans over InMemoryRelation
+        child = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("md"), _kc_d2([1.0] * 64)).alias("md"),
+        )
+        logical = child._jdf.queryExecution().optimizedPlan().toString()
+        # InMemoryRelation prints its (already-materialized) child plan,
+        # which contains the PARENT's fold — count only above it.
+        assert "InMemoryRelation" in logical
+        above = logical.split("InMemoryRelation")[0]
+        assert above.count("zip_with") == 1, logical
+        # and the running-min column stays DOUBLE (a bare-decimal literal
+        # in the expr would silently promote it to DECIMAL)
+        assert dict(child.dtypes)["md"] == "double"
+    finally:
+        cur.unpersist()

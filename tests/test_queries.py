@@ -67,97 +67,95 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_driver_sample_spans_families():
     """The driver's CORRECTNESS gate samples the first 50 exported queries;
-    pin that the round-7 sample is EXACTLY the never-driver-sampled set
-    (VERDICT.md r6 task 1): all 35 round-6 additions + 15 of the 17-query
-    pre-round-6 tail. The 2 parked stragglers (histogram_extendedprice,
-    robust_stats_mad) rotate in first in round 8."""
+    pin the round-8 rotation (VERDICT.md r7 task 2): the 16 queries with
+    no driver row after r7 (the round-7 tier + 2 parked) all sampled, the
+    round-8 additions all sampled, `shard_order_autocorr` re-sampled (the
+    r7 hash-red row, tie-proof-fixed r8), and every OTHER re-sampled
+    query is a DECLARED family representative — never an accidental
+    repeat."""
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
-    round6_tier = {
-        # plans/round6.py — span/substring dedup, sampling, calibration,
-        # LSH eval, shard audit, novelty, embeddings, forecasting, LM,
-        # sequential testing, covariate shift
-        "substring_dedup_keep_first",
-        "eval_reservoir_sample",
-        "quality_calibration_drift",
-        "lsh_recall_empirical",
-        "shard_skew_audit",
-        "ngram_novelty_curve",
-        "embedding_label_centroid_drift",
-        "hard_negative_mining",
-        "rolling_origin_backtest",
-        "bigram_entropy_rate",
-        "group_sequential_obf",
-        "covariate_shift_eval",
-        # plans/round6b.py — allocation, embedding audit, label noise,
-        # retrieval expansion, LM smoothing
-        "neyman_allocation",
-        "embedding_anisotropy",
-        "confident_learning_noise",
-        "rm3_query_expansion",
-        "kneser_ney_bigram_ppl",
-        # plans/round6c.py — drift, weighting, scaling laws, graph, tails
-        "psi_value_drift",
-        "raking_ipf_weights",
-        "data_constrained_scaling",
-        "hits_event_graph",
-        "hill_tail_index",
-        "shard_order_autocorr",
-        # plans/round6d.py — unseen mass, normalization, agreement, jackknife
-        "good_turing_unseen_mass",
-        "quantile_normalize_scores",
-        "cohen_kappa_labels",
-        "jackknife_source_influence",
-        # plans/round6e.py — fingerprints, churn, stylometry
-        "winnowing_fingerprint_density",
-        "topk_token_churn",
-        "burrows_delta_stylometry",
-        # plans/round6f.py — compute allocation, Heaps fit, k-anonymity
-        "chinchilla_optimal_allocation",
-        "heaps_law_fit",
-        "kanon_generalization_sweep",
-        # plans/round6g.py — plan audits
-        "join_cardinality_audit",
-        "zonemap_pruning_audit",
+
+    never_sampled_16 = {
+        # plans/round7.py
+        "pii_pattern_audit",
+        "fleiss_kappa_rules",
+        "theil_sen_daily_trend",
+        "dedup_keeper_policy_eval",
+        "spearman_scorer_agreement",
+        "stratified_three_way_split",
+        "sequence_packing_efficiency",
+        "streaming_enriched_tumbling_agg",
+        # plans/round7b..7e.py
+        "knn_shapley_valuation",
+        "knn_shapley_truncation_error",
+        "fairness_gate_audit",
+        "coreset_kcenter_selection",
+        "fellegi_sunter_em",
+        "quantile_sketch_error_eval",
+        # the 2 parked pre-round-6 tail queries
+        "histogram_extendedprice",
+        "robust_stats_mad",
     }
-    tail15 = {
-        # the pre-round-6 never-sampled tail (15 of 17)
-        "cohort_retention_daily",
-        "event_transition_matrix",
-        "timeseries_forward_fill",
-        "timeseries_twap",
-        "timeseries_range_frame_avg",
-        "seasonal_anomaly_hours",
-        "source_vocab_overlap",
-        "effective_vocab_by_source",
-        "pareto_spend_share",
-        "mutual_info_features",
-        "forecast_backtest_snaive",
-        "golden_record_consolidation",
-        "winsorized_stats_by_flag",
-        "xcorr_error_revenue",
-        "frequent_event_sequences",
+    assert len(never_sampled_16) == 16
+    assert never_sampled_16 <= set(first50)
+    assert "shard_order_autocorr" in first50
+
+    # every round-8 addition must get a driver row this round
+    from steam_prices_data_engineering_spark.plans import round8
+
+    round8_tier = {
+        n for n in registry.queries() if getattr(round8, n, None) is not None
     }
-    assert len(round6_tier) == 35 and len(tail15) == 15
-    assert set(first50) == round6_tier | tail15
-    # the rotation's point: ZERO overlap with rounds 1-6.
+    assert round8_tier, "round-8 tier registered nothing"
+    assert round8_tier <= set(first50), sorted(round8_tier - set(first50))
+
+    # declared family representatives (one per operator family)
+    family_reps = {
+        "steam_job1_prices_etl",
+        "world_map_job2_deviation",
+        "flagship_nation_price_dev",
+        "dedup_exact_groups",
+        "neardup_minhash_lsh",
+        "semdedup_prune",
+        "containment_dedup_pairs",
+        "simsearch_topk_cosine",
+        "simsearch_ivf_pq_topk",
+        "multimodal_audio_windows",
+        "events_session_window",
+        "streaming_multires_rollup",
+        "text_stats_by_lang",
+        "bpe_train_merges",
+        "bm25_search_topk",
+        "dsir_importance_select",
+        "ols_normal_equations",
+        "attribution_shapley",
+        "bucketed_join_no_shuffle",
+        "event_pattern_match",
+        "kcore_neardup_graph",
+        "textrank_keywords",
+    }
+
     import json
     import os
 
     sampled_before: set[str] = set()
-    for f in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-    ):
-        p = os.path.join(os.path.dirname(__file__), "..", f)
+    for i in range(1, 8):
+        p = os.path.join(
+            os.path.dirname(__file__), "..", f"CORRECTNESS_r0{i}.json"
+        )
         if os.path.exists(p):
             sampled_before |= set(json.load(open(p)))
-    stale = set(first50) & sampled_before
-    assert not stale, f"re-sampled queries: {sorted(stale)}"
+    resampled = set(first50) & sampled_before
+    undeclared = resampled - family_reps - {"shard_order_autocorr"}
+    assert not undeclared, f"accidental re-samples: {sorted(undeclared)}"
+    # with all CORRECTNESS files present the sample must be exactly the
+    # 16 + round-8 tier + shard_order re-verify + declared reps subset
+    if len(sampled_before) >= 300:
+        fresh = set(first50) - sampled_before
+        assert never_sampled_16 | round8_tier == fresh | (
+            round8_tier & sampled_before
+        )
     # every exported query still present exactly once overall
     assert len(registry.queries()) == len(set(registry.queries()))
 
