@@ -51,6 +51,23 @@ _PANEL_ROWS = [
 
 _PANEL_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _PANEL_ROWS)
 
+
+def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHED (doc_id, th: array<string>) token projection of the
+    documents corpus, shared by the BM25 stage and its downstream
+    consumers (rm3's feedback-doc token stage). The plan is identical
+    across builders, so repeat calls get CacheManager same-plan hits —
+    the corpus text is scanned and tokenized ONCE per session/sf_dir
+    even when rm3 embeds a full BM25 run. spread() lands the one-row-
+    group parquet across tasks before the split; cache sits BEFORE any
+    explode (the CLAUDE.md cache-before-explode rule)."""
+    from ..sources.tables import spread
+
+    d = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("th")
+    )
+    return d.cache()  # session-per-sf_dir (same-plan cache reuse)
+
 _BM25_SQL = f"""
 WITH panel(q_id, term) AS (VALUES {_PANEL_VALUES}),
 gstats AS (
@@ -104,22 +121,27 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score so both engines rank identically.
 
     spread() the corpus scan: the documents landing is one row group, so
-    the two tokenize passes (avgdl + the explode) otherwise run on ONE
-    task (A/B measured 1.85 s -> 1.56 s at sf0.1; shipping 5k text rows
-    round-robin is cheaper than a serial corpus tokenize)."""
-    from ..sources.tables import spread
+    the tokenize pass otherwise runs on ONE task (A/B measured 1.85 s ->
+    1.56 s at sf0.1; shipping 5k text rows round-robin is cheaper than a
+    serial corpus tokenize).
 
-    d = spread(read_table(spark, sf_dir, "documents"))
+    The corpus tokenizes ONCE: the token-array projection is cached
+    BEFORE the explode (the CLAUDE.md cache-before-explode rule) and
+    BOTH consumers — the (N, avgdl) globals and the token stream — read
+    the cached arrays, so the text column is scanned and split a single
+    time (was two full tokenize passes; plan-pinned in
+    tests/test_retrieval_dedup.py)."""
+    d = corpus_tokens(spark, sf_dir)
     glob = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+        F.avg(F.size("th")).alias("avgdl"),
     )
     panel = spark.createDataFrame(_PANEL_ROWS, "q_id int, term string")
     terms = panel.select("term").distinct()
     tok = d.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("term"),
+        F.size("th").alias("dl"),
+        F.explode("th").alias("term"),
     )
     # tf per (doc, term) FIRST, df as a COUNT WINDOW over that same subtree
     # (each row is a distinct (doc, term), so a plain count per term

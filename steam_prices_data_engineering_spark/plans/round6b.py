@@ -490,7 +490,6 @@ FROM ranked WHERE rnk <= {_RM3_TOP}
 @register("rm3_query_expansion", _rm3_sql())
 def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 RM3 expansion terms per panel query (lambda=0.5, fb=5)."""
-    from ..functions.text import tokens
     from .retrieval import _PANEL_ROWS, bm25_search_topk
 
     fb = (
@@ -520,14 +519,19 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_rows = [(r["q_id"], r["doc_id"], r["pd"]) for r in pd.collect()]
     pd = spark.createDataFrame(pd_rows, "q_id int, doc_id long, pd double")
     fb_doc_ids = sorted({r[1] for r in pd_rows})
-    d = read_table(spark, sf_dir, "documents")
-    # filter to the <=15-doc feedback set BEFORE tokenizing: only
-    # feedback docs pay the explode (the corpus-wide explode measured
-    # 6.0 s vs ~3 s at sf0.1)
-    tok = d.filter(F.col("doc_id").isin(fb_doc_ids)).select(
+    # the feedback-doc tokens come from the SAME cached token projection
+    # the embedded BM25 stage just built (retrieval.corpus_tokens — the
+    # r8 stage-reuse fix): the filter runs over 5k cached arrays instead
+    # of re-scanning + re-tokenizing the parquet text column, and only
+    # the <=15 feedback docs pay the explode.
+    from .retrieval import corpus_tokens
+
+    tok = corpus_tokens(spark, sf_dir).filter(
+        F.col("doc_id").isin(fb_doc_ids)
+    ).select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("term"),
+        F.size("th").alias("dl"),
+        F.explode("th").alias("term"),
     )
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")

@@ -143,12 +143,13 @@ def test_substring_spans_split_on_gap(spark, tmp_path):
     assert spans[1].span_tokens == _SPAN_W
 
 
-def test_bm25_panel_broadcasts_and_scans_corpus_twice_max(spark):
+def test_bm25_panel_broadcasts_and_scans_corpus_once(spark):
     """The query panel and df/global stats must broadcast — a shuffle
-    there would carry the corpus token stream keyed by term. And df must
-    come from the COUNT WINDOW over the tf subtree, not a second
-    aggregate branch: exactly 2 parquet scans (token path + the (N,
-    avgdl) globals), never 3."""
+    there would carry the corpus token stream keyed by term. And the
+    corpus tokenizes ONCE (r8): both the (N, avgdl) globals and the
+    token stream read the cached corpus_tokens projection, so the plan
+    shows exactly ONE parquet scan — the InMemoryRelation's own
+    cache-build child — and 2 in-memory reads of the cached tokenize."""
     df = bm25_search_topk(spark, SF_DIR)
     explained = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -158,7 +159,10 @@ def test_bm25_panel_broadcasts_and_scans_corpus_twice_max(spark):
     # count the "(n) Scan parquet" detail headers = distinct scan nodes
     import re
 
-    assert len(re.findall(r"^\(\d+\) Scan parquet", explained, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", explained, re.M)) == 1
+    assert (
+        len(re.findall(r"^\(\d+\) InMemoryTableScan", explained, re.M)) == 2
+    )
 
 
 def test_lsh_recall_single_documents_scan(spark):
