@@ -61,7 +61,8 @@ _ENRICH_SQL = f"""
 SELECT CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS window_start,
        coalesce(c_mktsegment, 'UNKNOWN') AS segment,
        CAST(count(*) AS BIGINT) AS n_events,
-       {R('sum(value)', 4)} AS sum_value
+       {R('CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) '
+          'AS DOUBLE) / 1000000.0', 4)} AS sum_value
 FROM events LEFT JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """

@@ -182,10 +182,16 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     pat = pat.cache()  # session-per-query (EM collect + final report)
-    rows = [
+    rows = sorted(
         (int(r["a1"]), int(r["a2"]), int(r["a3"]), float(r["c"]))
         for r in pat.collect()
-    ]
+    )
+    # sorted(): collect order varies with run-to-run partitioning, and
+    # the EM's float accumulations are order-sensitive — an unsorted
+    # loop can drift m/u/p in the last ULP and flip a dround(6)-compared
+    # posterior on a half-boundary (the rolling_origin_backtest flake
+    # class; ADVICE r7). The (a1,a2,a3) key is unique per row, so the
+    # sort is total.
     if not rows:
         return spark.createDataFrame(
             [],

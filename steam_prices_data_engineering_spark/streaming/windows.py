@@ -186,13 +186,22 @@ def streaming_static_enriched_counts(
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            dround(F.sum("value"), 4).alias("sum_value"),
+            # INTEGER micro-unit accumulation (the rolling_origin_backtest
+            # rule): a float sum feeding a dround-compared output can land
+            # on a 1e-4 half-boundary and flip between the state-store
+            # accumulation order and the batch oracle's sum order; long
+            # sums are order-free, one float division at the end.
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            ).alias("_sv_micro"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "segment",
             "n_events",
-            "sum_value",
+            dround(
+                F.col("_sv_micro").cast("double") / F.lit(1000000.0), 4
+            ).alias("sum_value"),
         )
     )
     return run_to_memory_sink(agg, "stream_enrich")
