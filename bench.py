@@ -223,6 +223,13 @@ BENCH_QUERIES = [
     "fellegi_sunter_em",
     "knn_shapley_truncation_error",
     "quantile_sketch_error_eval",
+    # round-8 tier: joins the headline bench the round it lands
+    "decontam_ngram13_eval",
+    "streaming_join_then_window",
+    "slo_burn_rate_windows",
+    "shard_rebalance_movement",
+    "bpe_roundtrip_fidelity",
+    "range_partition_planner",
 ]
 
 

@@ -47,6 +47,23 @@ def sql_shingle_hashes(th_expr: str = "th") -> str:
     )
 
 
+def sql_ngram_hashes(th_expr: str, n: int) -> str:
+    """Word n-gram hashes from a token-hash list column for ANY n — the
+    parametric twin of functions/text.py:ngram_hash_array (same fold,
+    same constants; sql_ngram_hashes(th, 3) == sql_shingle_hashes(th)
+    element-for-element). Binds lambda var `i` internally — never feed a
+    column named `i` (the CLAUDE.md lambda-shadowing gotcha)."""
+    p = SHINGLE_HASH_PRIME
+    acc = f"{th_expr}[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * 8191 + {th_expr}[i + {j}]) % {p}"
+    return (
+        f"CASE WHEN len({th_expr}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({th_expr}) - {n - 2}), "
+        f"i -> {acc}) END"
+    )
+
+
 def sql_shinglehash_ctes(source: str = "documents") -> str:
     """The tokhash -> shinglehash CTE pair over `source` (any relation
     with doc_id + text), ending in (doc_id, hs) with hs = distinct

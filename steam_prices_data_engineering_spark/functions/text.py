@@ -113,6 +113,29 @@ def shingle_hash_array(th: Column, n: int = 3) -> Column:
     )
 
 
+def ngram_hash_array(th: Column, n: int) -> Column:
+    """Word n-gram hashes from a STAGED token-hash array for ANY n — the
+    parametric generalization of shingle_hash_array (same fold, same
+    constants: h = fold over the window of (h * 8191 + th[i+j]) % P, so
+    ngram_hash_array(th, 3) == shingle_hash_array(th) element-for-
+    element). The inner fold is UNROLLED to n-1 arithmetic terms (the
+    constant-length-loop rule — a nested F.aggregate would run
+    interpreted per element). SQL twin: sqlfrag.sql_ngram_hashes.
+    Same staging contract as shingle_hash_array: pass `th` as a staged
+    column, never an inline expression."""
+    p = F.lit(SHINGLE_HASH_PRIME)
+
+    def _h(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for j in range(1, n):
+            acc = F.pmod(acc * 8191 + F.element_at(th, i + j), p)
+        return acc
+
+    return F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), _h)
+    )
+
+
 def fingerprint_from_hashes(hashes: Column) -> Column:
     """Rolling fingerprint over a precomputed token-hash array (stage the
     array once when combining with other hash consumers, e.g. simhash)."""

@@ -100,7 +100,12 @@ _PRIORITY: tuple[str, ...] = (
     "histogram_extendedprice",        # equi-width histogram (parked r6/r7)
     "robust_stats_mad",               # median/MAD robust stats (parked)
     # -- round-8 additions (plans/round8.py): zero driver rows --
-    # (inserted here as the round-8 tier lands)
+    "decontam_ngram13_eval",          # 13-gram eval decontamination
+    "streaming_join_then_window",     # stateful agg after stream-stream join
+    "slo_burn_rate_windows",          # SRE multi-window burn-rate monitor
+    "shard_rebalance_movement",       # consistent-hashing rebalance audit
+    "bpe_roundtrip_fidelity",         # BPE encode-decode round trip
+    "range_partition_planner",        # range-partition boundary planning
     # -- the single r7 hash-red row, fixed this round: re-verify --
     "shard_order_autocorr",           # shard-order shuffle audit (tie-proof)
     # -- one representative per operator family (all r1-r7 green) --
@@ -118,23 +123,17 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_multires_rollup",      # chained stateful streaming
     "text_stats_by_lang",             # text analysis
     "bpe_train_merges",               # BPE tokenizer training
-    "doc_unigram_lm_quality",         # LM quality filtering
     "bm25_search_topk",               # lexical retrieval
     "dsir_importance_select",         # data selection
-    "bloom_prefilter_decontam",       # decontamination
     "ols_normal_equations",           # in-engine linear algebra
-    "pca_power_iteration",            # iterative linalg
     "logreg_newton_irls",             # in-engine ML
     "attribution_shapley",            # attribution
-    "survival_km_curve",              # survival analysis
     "gdpr_delete_cascade",            # governance
     "bucketed_join_no_shuffle",       # storage layout
-    "zorder_cell_stats",              # z-order layout
     "event_pattern_match",            # CEP
     "hll_sketch_rollup",              # mergeable sketches
     "kcore_neardup_graph",            # graph analytics
     "textrank_keywords",              # keywords (r7 excursion re-verify)
-    "stateful_user_totals",           # stateful UDF surface
     "incremental_agg_merge",          # incremental view maintenance
     "spatial_cell_join",              # geospatial join
 )

@@ -66,7 +66,7 @@ def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", tokens(F.col("text")).alias("th")
     )
-    return d.cache()  # session-per-sf_dir (same-plan cache reuse)
+    return d.cache()  # session-per-query (same-plan reuse across builders)
 
 _BM25_SQL = f"""
 WITH panel(q_id, term) AS (VALUES {_PANEL_VALUES}),

@@ -236,6 +236,13 @@ REPRESENTATIVES = [
     "fairness_gate_audit",
     "coreset_kcenter_selection",
     "fellegi_sunter_em",
+    # round-8 tier (shard_rebalance_movement and bpe_roundtrip_fidelity
+    # are 1-or-2-row NULL-stat reporters on empty — covered by
+    # test_round8_null_stat_reports_on_empty instead)
+    "decontam_ngram13_eval",
+    "streaming_join_then_window",
+    "slo_burn_rate_windows",
+    "range_partition_planner",
 ]
 
 
@@ -324,3 +331,24 @@ def test_round7_null_stat_reports_on_empty(spark, empty_dir):
     ).collect()
     assert len(rows) == 5
     assert all(r.n == 0 and r.rank_dev_ok is True for r in rows)
+
+
+def test_round8_null_stat_reports_on_empty(spark, empty_dir):
+    """The round-8 fixed-shape reporters on an empty corpus: the
+    rebalance audit emits its 2 policy rows with 0 docs and NULL
+    fractions; the BPE round trip emits one summary row with 0 words
+    and NULL invariant — matching each oracle's no-GROUP-BY semantics."""
+    rows = {
+        r.policy: r
+        for r in registry.queries()["shard_rebalance_movement"](
+            spark, empty_dir
+        ).collect()
+    }
+    assert set(rows) == {"mod", "rendezvous"}
+    for r in rows.values():
+        assert r.n_docs == 0 and r.n_moved is None and r.moved_frac is None
+    r = registry.queries()["bpe_roundtrip_fidelity"](
+        spark, empty_dir
+    ).collect()
+    assert len(r) == 1 and r[0].n_words == 0
+    assert r[0].roundtrip_exact is None and r[0].n_distinct_symbols == 0

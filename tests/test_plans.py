@@ -854,6 +854,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "hill_tail_index": "post-limit top-K frame",
     "knn_shapley_valuation": "post-limit top-10 frame (value_rank)",
     "topk_token_churn": "post-limit top-K frame",
+    # round-8 additions
+    "slo_burn_rate_windows": "hour grain (calendar-bounded RANGE frame)",
 }
 
 

@@ -129,11 +129,16 @@ def test_driver_sample_spans_families():
         "bm25_search_topk",
         "dsir_importance_select",
         "ols_normal_equations",
+        "logreg_newton_irls",
         "attribution_shapley",
+        "gdpr_delete_cascade",
         "bucketed_join_no_shuffle",
         "event_pattern_match",
+        "hll_sketch_rollup",
         "kcore_neardup_graph",
         "textrank_keywords",
+        "incremental_agg_merge",
+        "spatial_cell_join",
     }
 
     import json

@@ -115,3 +115,57 @@ def test_fullouter_expiry_boundary_both_sides(spark, tmp_path):
     assert (6, epoch(_ts(10, 49, 59)), None) in got, got            # pur expired
     # boundary + young rows: still in state, absent
     assert not any(u in (1, 5, 4, 9) for u, _, _ in got), got
+
+
+def test_join_then_window_emission_boundary(spark, tmp_path):
+    """Multi-stateful chain (plans/round8.py): the interval join delays
+    the downstream watermark by the join-interval UPPER bound, so a
+    window emits iff window_end < least(max_p, max_e) - (1 h + 10 min),
+    STRICT. Pin both the offset and the strictness: with max purchase
+    11:55 the boundary is 10:45 — the window ending exactly 10:45 stays
+    in state; the one ending 10:30 emits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from steam_prices_data_engineering_spark.plans.round8 import (
+        streaming_join_then_window,
+    )
+
+    rows = [
+        # early pair -> window [9:00, 9:15) emits
+        (1, _ts(9, 0), 3, "purchase", 10.0, "{}"),
+        (2, _ts(9, 5), 3, "error", 0.0, "{}"),
+        # boundary pair -> window [10:30, 10:45): end == boundary, held
+        (3, _ts(10, 31), 1, "purchase", 20.0, "{}"),
+        (4, _ts(10, 35), 1, "error", 0.0, "{}"),
+        # just-inside pair -> window [10:15, 10:30) emits
+        (5, _ts(10, 29), 2, "purchase", 30.0, "{}"),
+        (6, _ts(10, 29, 30), 2, "error", 0.0, "{}"),
+        # watermark setters (unmatched)
+        (7, _ts(11, 55), 4, "purchase", 40.0, "{}"),
+        (8, _ts(13, 0), 9, "error", 0.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.window_start: (r.n_pairs, r.sum_purchase_value)
+        for r in streaming_join_then_window(spark, str(tmp_path)).collect()
+    }
+
+    def epoch(t: dt.datetime) -> int:
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    assert got == {
+        epoch(_ts(9, 0)): (1, 10.0),
+        epoch(_ts(10, 15)): (1, 30.0),
+    }, got

@@ -65,6 +65,26 @@ QUERIES = [
     "dedup_keeper_policy_eval",
     "spearman_scorer_agreement",
     "pii_pattern_audit",
+    # round-7 heavy queries (VERDICT r7 task 7): the K-pass traversal,
+    # the GK-selection gate, and the panel-bounded valuation pair. NOTE
+    # theil_sen_daily_trend is deliberately probed even though its pair
+    # stage is O(days^2): the amplifier multiplies EVENTS, not the
+    # calendar, so days (and the pair count) are CONSTANT across decades
+    # — the probe verifies only the day-rollup scan grows linearly; the
+    # pair stage is calendar-bounded by construction (31 fixture days ->
+    # 465 pairs at every scale).
+    "coreset_kcenter_selection",
+    "quantile_sketch_error_eval",
+    "knn_shapley_valuation",
+    "knn_shapley_truncation_error",
+    "theil_sen_daily_trend",
+    # round-8 fact-scale additions (the bounded-grain SLO/rebalance/
+    # planner queries ride along as linear-scan sanity rows)
+    "decontam_ngram13_eval",
+    "bpe_roundtrip_fidelity",
+    "range_partition_planner",
+    "slo_burn_rate_windows",
+    "shard_rebalance_movement",
 ]
 
 SCALES = [
