@@ -230,6 +230,11 @@ BENCH_QUERIES = [
     "shard_rebalance_movement",
     "bpe_roundtrip_fidelity",
     "range_partition_planner",
+    "voptimal_histogram",
+    "unimax_allocation",
+    "krippendorff_alpha_rules",
+    "partition_fingerprint_diff",
+    "nb_overdispersion_daily",
 ]
 
 

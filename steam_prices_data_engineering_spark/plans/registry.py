@@ -106,6 +106,12 @@ _PRIORITY: tuple[str, ...] = (
     "shard_rebalance_movement",       # consistent-hashing rebalance audit
     "bpe_roundtrip_fidelity",         # BPE encode-decode round trip
     "range_partition_planner",        # range-partition boundary planning
+    # plans/round8b.py
+    "voptimal_histogram",             # V-optimal histogram DP
+    "unimax_allocation",              # UniMax mixture allocation
+    "krippendorff_alpha_rules",       # agreement with missing ratings
+    "partition_fingerprint_diff",     # incremental recompute planner
+    "nb_overdispersion_daily",        # NB overdispersion diagnostics
     # -- the single r7 hash-red row, fixed this round: re-verify --
     "shard_order_autocorr",           # shard-order shuffle audit (tie-proof)
     # -- one representative per operator family (all r1-r7 green) --
@@ -130,12 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_shapley",            # attribution
     "gdpr_delete_cascade",            # governance
     "bucketed_join_no_shuffle",       # storage layout
-    "event_pattern_match",            # CEP
-    "hll_sketch_rollup",              # mergeable sketches
-    "kcore_neardup_graph",            # graph analytics
     "textrank_keywords",              # keywords (r7 excursion re-verify)
-    "incremental_agg_merge",          # incremental view maintenance
-    "spatial_cell_join",              # geospatial join
 )
 # Deliberately under the FULL LOCAL GATE only this round: every other
 # r1-r7 driver-green query. All are hash-checked by

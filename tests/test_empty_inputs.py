@@ -243,6 +243,12 @@ REPRESENTATIVES = [
     "streaming_join_then_window",
     "slo_burn_rate_windows",
     "range_partition_planner",
+    # round-8b (voptimal's 6-row zero curve and krippendorff's 1-row
+    # NULL-stat summary are covered by
+    # test_round8_null_stat_reports_on_empty)
+    "unimax_allocation",
+    "partition_fingerprint_diff",
+    "nb_overdispersion_daily",
 ]
 
 
@@ -352,3 +358,13 @@ def test_round8_null_stat_reports_on_empty(spark, empty_dir):
     ).collect()
     assert len(r) == 1 and r[0].n_words == 0
     assert r[0].roundtrip_exact is None and r[0].n_distinct_symbols == 0
+    # round-8b fixed-shape reporters
+    rows = registry.queries()["voptimal_histogram"](
+        spark, empty_dir
+    ).collect()
+    assert sorted(r.n_buckets for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert all(r.total_sse == 0.0 for r in rows)
+    r = registry.queries()["krippendorff_alpha_rules"](
+        spark, empty_dir
+    ).collect()
+    assert len(r) == 1 and r[0].n_rating_rows == 0 and r[0].alpha is None

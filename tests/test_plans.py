@@ -258,6 +258,18 @@ def test_projection_prunes_scan_columns(spark):
         # round-6 part G (plans/round6g.py): all pure-relational
         "join_cardinality_audit",
         "zonemap_pruning_audit",
+        # round-8 (plans/round8{,b}.py): all pure-relational except the
+        # streaming memory-sink query (excluded: sink table, plan is
+        # post-hoc) and the driver-coordinated DP/selection reporters
+        # (voptimal, range planner — bounded collected grains)
+        "decontam_ngram13_eval",
+        "slo_burn_rate_windows",
+        "shard_rebalance_movement",
+        "bpe_roundtrip_fidelity",
+        "unimax_allocation",
+        "krippendorff_alpha_rules",
+        "partition_fingerprint_diff",
+        "nb_overdispersion_daily",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -856,6 +868,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "topk_token_churn": "post-limit top-K frame",
     # round-8 additions
     "slo_burn_rate_windows": "hour grain (calendar-bounded RANGE frame)",
+    "unimax_allocation": "source grain (bounded vocabulary waterfill)",
 }
 
 

@@ -102,10 +102,13 @@ def test_driver_sample_spans_families():
     assert "shard_order_autocorr" in first50
 
     # every round-8 addition must get a driver row this round
-    from steam_prices_data_engineering_spark.plans import round8
+    from steam_prices_data_engineering_spark.plans import round8, round8b
 
     round8_tier = {
-        n for n in registry.queries() if getattr(round8, n, None) is not None
+        n
+        for n in registry.queries()
+        if getattr(round8, n, None) is not None
+        or getattr(round8b, n, None) is not None
     }
     assert round8_tier, "round-8 tier registered nothing"
     assert round8_tier <= set(first50), sorted(round8_tier - set(first50))
@@ -133,12 +136,7 @@ def test_driver_sample_spans_families():
         "attribution_shapley",
         "gdpr_delete_cascade",
         "bucketed_join_no_shuffle",
-        "event_pattern_match",
-        "hll_sketch_rollup",
-        "kcore_neardup_graph",
         "textrank_keywords",
-        "incremental_agg_merge",
-        "spatial_cell_join",
     }
 
     import json

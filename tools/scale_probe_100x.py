@@ -85,6 +85,12 @@ QUERIES = [
     "range_partition_planner",
     "slo_burn_rate_windows",
     "shard_rebalance_movement",
+    # round-8b: linear-scan + bounded-grain sanity rows
+    "voptimal_histogram",
+    "unimax_allocation",
+    "krippendorff_alpha_rules",
+    "partition_fingerprint_diff",
+    "nb_overdispersion_daily",
 ]
 
 SCALES = [
