@@ -397,29 +397,31 @@ def bm25_ndcg_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval."""
     from ..functions.vectors import cosine, to_double_array
 
-    d = read_table(spark, sf_dir, "documents")
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = e.filter(F.col("vec_id") < _NDCG_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
+    # every text consumer reads the ONE cached corpus tokenize (r8
+    # stage sharing — corpus_tokens; was three separate tokenize scans)
+    ct = corpus_tokens(spark, sf_dir)
     qterm = (
-        d.filter(F.col("doc_id") < _NDCG_QUERIES)
+        ct.filter(F.col("doc_id") < _NDCG_QUERIES)
         .select(
             F.col("doc_id").alias("qid"),
-            F.explode(tokens(F.col("text"))).alias("term"),
+            F.explode("th").alias("term"),
         )
         .distinct()
     )
-    glob = d.agg(
+    glob = ct.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+        F.avg(F.size("th")).alias("avgdl"),
     )
-    tok = d.select(
+    tok = ct.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("term"),
+        F.size("th").alias("dl"),
+        F.explode("th").alias("term"),
     )
     tf = (
         tok.join(
