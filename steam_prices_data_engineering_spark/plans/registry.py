@@ -75,8 +75,8 @@ def register(name: str, oracle: str | None):
 # distinct queries (345 green), leaving exactly 16 never driver-sampled:
 # the 14 round-7 additions (plans/round7{,b,c,d,e}.py) plus the 2 parked
 # tail queries. This round's first 50 LEAD with those 16, then the
-# round-8 additions (plans/round8.py — new this round, zero driver
-# rows), then `shard_order_autocorr` (the single r7 hash-red row,
+# round-8 additions (plans/round8.py + round8b.py — new this round,
+# zero driver rows), then `shard_order_autocorr` (the single r7 hash-red row,
 # tie-proof-fixed this round — re-verify), and fill with one
 # representative per operator family from the r1-r7 green set (pinned by
 # tests/test_queries.py::test_driver_sample_spans_families). After a

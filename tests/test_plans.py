@@ -1110,3 +1110,45 @@ def test_coreset_step_single_fold(spark):
         assert dict(child.dtypes)["md"] == "double"
     finally:
         cur.unpersist()
+
+
+def test_decontam13_broadcasts_eval_grams_single_hash_pass(spark):
+    """13-gram decontamination: the eval-suite gram set must BROADCAST
+    onto the train-side semi join (a shuffle there would key the corpus
+    gram stream), and both branches must read the ONE cached hashing
+    pass (exactly one parquet scan of the text column inside the
+    InMemoryRelation; the per-source base rollup may scan the slim
+    doc_id/source columns separately)."""
+    import re
+
+    plan = _plan(spark, "decontam_ngram13_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert (
+        len(re.findall(r"^\(\d+\) InMemoryTableScan", plan, re.M)) >= 2
+    )
+
+
+def test_shard_rebalance_single_scan_no_join(spark):
+    """The rebalance audit is ONE narrow scan -> per-row integer algebra
+    -> a 1-row aggregate -> stack: no join of any kind, exactly one
+    parquet scan."""
+    import re
+
+    plan = _plan(spark, "shard_rebalance_movement")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    for j in ("Join", "CartesianProduct"):
+        assert j not in plan, plan
+
+
+def test_partition_fingerprint_reads_one_cached_scan(spark):
+    """Both snapshots derive from the ONE cached (day, hash) projection
+    — one parquet scan in the cache build, two in-memory readers, and
+    the day-grain diff join never touches parquet again."""
+    import re
+
+    plan = _plan(spark, "partition_fingerprint_diff")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert (
+        len(re.findall(r"^\(\d+\) InMemoryTableScan", plan, re.M)) >= 2
+    )

@@ -400,6 +400,30 @@ SHOWCASE: list[tuple[str, str]] = [
         "ride a broadcast source-grain frame. No global sort, no "
         "partition-less window.",
     ),
+    (
+        "decontam_ngram13_eval",
+        "Round-8 precision decontamination: ONE cached token-hash + "
+        "13-gram pass feeds both the eval and train branches "
+        "(InMemoryTableScan x2); the bounded eval-gram set BROADCASTS "
+        "onto a LeftSemi join — the corpus gram stream never shuffles "
+        "to the eval side, and the corpus never joins itself.",
+    ),
+    (
+        "shard_rebalance_movement",
+        "Rebalance audit: one narrow scan, per-row integer weight "
+        "algebra (one md5 + 33 affine rehashes, all codegen), a 1-row "
+        "aggregate, and a 2-row stack — no join of any kind; the "
+        "shard-count constants are literals, so the plan is a single "
+        "map-side-combined pass at any corpus size.",
+    ),
+    (
+        "partition_fingerprint_diff",
+        "Incremental-recompute planner: both snapshots derive from ONE "
+        "cached (day, row-hash) projection (InMemoryTableScan x2, one "
+        "parquet scan in the cache build); fingerprints are order-free "
+        "integer sums at the day grain, and the diff join is "
+        "calendar-bounded.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
