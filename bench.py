@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "krippendorff_alpha_rules",
     "partition_fingerprint_diff",
     "nb_overdispersion_daily",
+    "trigram_similarity_join",
+    "soundex_token_blocks",
+    "youden_threshold_pick",
 ]
 
 

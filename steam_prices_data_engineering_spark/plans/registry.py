@@ -112,6 +112,10 @@ _PRIORITY: tuple[str, ...] = (
     "krippendorff_alpha_rules",       # agreement with missing ratings
     "partition_fingerprint_diff",     # incremental recompute planner
     "nb_overdispersion_daily",        # NB overdispersion diagnostics
+    # plans/round8c.py
+    "trigram_similarity_join",        # pg_trgm-style fuzzy string join
+    "soundex_token_blocks",           # phonetic blocking keys
+    "youden_threshold_pick",          # operating-point selection
     # -- the single r7 hash-red row, fixed this round: re-verify --
     "shard_order_autocorr",           # shard-order shuffle audit (tie-proof)
     # -- one representative per operator family (all r1-r7 green) --
@@ -132,9 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_search_topk",               # lexical retrieval
     "dsir_importance_select",         # data selection
     "ols_normal_equations",           # in-engine linear algebra
-    "logreg_newton_irls",             # in-engine ML
-    "attribution_shapley",            # attribution
-    "gdpr_delete_cascade",            # governance
     "bucketed_join_no_shuffle",       # storage layout
     "textrank_keywords",              # keywords (r7 excursion re-verify)
 )

@@ -249,6 +249,10 @@ REPRESENTATIVES = [
     "unimax_allocation",
     "partition_fingerprint_diff",
     "nb_overdispersion_daily",
+    # round-8c
+    "trigram_similarity_join",
+    "soundex_token_blocks",
+    "youden_threshold_pick",
 ]
 
 

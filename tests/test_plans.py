@@ -270,6 +270,9 @@ def test_projection_prunes_scan_columns(spark):
         "krippendorff_alpha_rules",
         "partition_fingerprint_diff",
         "nb_overdispersion_daily",
+        "trigram_similarity_join",
+        "soundex_token_blocks",
+        "youden_threshold_pick",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -869,6 +872,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     # round-8 additions
     "slo_burn_rate_windows": "hour grain (calendar-bounded RANGE frame)",
     "unimax_allocation": "source grain (bounded vocabulary waterfill)",
+    "youden_threshold_pick": "distinct-score-value grain (documented)",
 }
 
 

@@ -102,13 +102,19 @@ def test_driver_sample_spans_families():
     assert "shard_order_autocorr" in first50
 
     # every round-8 addition must get a driver row this round
-    from steam_prices_data_engineering_spark.plans import round8, round8b
+    from steam_prices_data_engineering_spark.plans import (
+        round8,
+        round8b,
+        round8c,
+    )
 
     round8_tier = {
         n
         for n in registry.queries()
-        if getattr(round8, n, None) is not None
-        or getattr(round8b, n, None) is not None
+        if any(
+            getattr(m, n, None) is not None
+            for m in (round8, round8b, round8c)
+        )
     }
     assert round8_tier, "round-8 tier registered nothing"
     assert round8_tier <= set(first50), sorted(round8_tier - set(first50))
@@ -132,9 +138,6 @@ def test_driver_sample_spans_families():
         "bm25_search_topk",
         "dsir_importance_select",
         "ols_normal_equations",
-        "logreg_newton_irls",
-        "attribution_shapley",
-        "gdpr_delete_cascade",
         "bucketed_join_no_shuffle",
         "textrank_keywords",
     }

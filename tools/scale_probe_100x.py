@@ -91,6 +91,12 @@ QUERIES = [
     "krippendorff_alpha_rules",
     "partition_fingerprint_diff",
     "nb_overdispersion_daily",
+    # round-8c: the trigram candidate generator (df-capped index — the
+    # growth law to watch), the vocab-grain phonetic audit, the
+    # distinct-score operating-point sweep
+    "trigram_similarity_join",
+    "soundex_token_blocks",
+    "youden_threshold_pick",
 ]
 
 SCALES = [
