@@ -278,9 +278,15 @@ def _yj_sql() -> str:
     return f"""
 WITH {sql_quality_feat_ctes()},
 scored AS (
-    SELECT {R(f"({SQL_QUALITY_EXPR})", 6)} AS s,
-           diversity >= 0.5 AS pos
-    FROM feat
+    -- s IS NOT NULL: a NULL-text doc would add a zero-count score row
+    -- that TIES its neighbor on the integer argmax key, and the s ASC
+    -- tie-break places NULLs differently per engine (Spark ASC = NULLS
+    -- FIRST, DuckDB = NULLS LAST — the shard_order lesson)
+    SELECT s, pos FROM (
+        SELECT {R(f"({SQL_QUALITY_EXPR})", 6)} AS s,
+               diversity >= 0.5 AS pos
+        FROM feat
+    ) WHERE s IS NOT NULL
 ),
 per_score AS (
     SELECT s, CAST(count(*) FILTER (pos) AS BIGINT) AS np,
@@ -321,9 +327,18 @@ def youden_threshold_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import distinct_token_ratio, quality_score
 
     d = read_table(spark, sf_dir, "documents")
-    scored = d.select(
-        dround(quality_score(F.col("text")), 6).alias("s"),
-        (distinct_token_ratio(F.col("text")) >= 0.5).alias("pos"),
+    # text IS NOT NULL mirrors the oracle's NULL-score drop exactly:
+    # this session runs size(NULL) = -1, so quality_score(NULL text) is
+    # FINITE (0.498) in Spark but NULL in DuckDB — the one row class
+    # where the shared quality fragment diverges (probed r8; hostile
+    # fixture pinned in tests/test_round8c_tier.py).
+    scored = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            dround(quality_score(F.col("text")), 6).alias("s"),
+            (distinct_token_ratio(F.col("text")) >= 0.5).alias("pos"),
+        )
+        .filter(F.col("s").isNotNull())
     )
     per_score = scored.groupBy("s").agg(
         F.count(F.when(F.col("pos"), 1)).cast("long").alias("np"),

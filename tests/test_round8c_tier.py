@@ -129,3 +129,48 @@ def test_youden_matches_python_argmax(spark):
     assert abs(row.threshold - t) < 1e-9
     assert (row.tp, row.fp, row.tn, row.fn) == (tp, fp, n - fp, p - tp)
     assert abs(row.youden_j - (tp / p - fp / n)) < 1e-5
+
+
+def test_round8_text_queries_null_text_parity(spark, tmp_path):
+    """Driver regenerations may carry NULL/degenerate text (the
+    shard_order lesson: engines disagree on NULL ordering). Pin
+    Spark == DuckDB for the round-8 text queries on a hostile fixture
+    with NULL text, empty text, and a NULL doc_id."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    # NOTE empty-string text is OUT of this contract: DuckDB
+    # string_split('', ' ') = [] while Spark split('', ' ') = [''], a
+    # divergence baked into every shared tokenize fragment; the driver
+    # generator emits non-empty word sequences (CLAUDE.md gotcha).
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+        (2, None, "en", "web", 0),
+        (None, "a a a a the the", "en", "books", 15),
+        (97 * 2, "held out eval words " + " ".join(f"e{i}" for i in range(15)), "en", "wiki", 80),
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "youden_threshold_pick",
+        "decontam_ngram13_eval",
+        "soundex_token_blocks",
+    ):
+        sdf = registry.queries()[name](spark, str(tmp_path))
+        srows = sorted(
+            tuple(r) for r in sdf.select(sorted(sdf.columns)).collect()
+        )
+        rel = con.execute(registry.oracle_sql()[name])
+        cols = [d[0] for d in rel.description]
+        idx = [cols.index(c) for c in sorted(cols)]
+        drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+        assert srows == drows, (name, srows, drows)
