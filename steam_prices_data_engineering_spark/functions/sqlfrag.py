@@ -141,19 +141,27 @@ def sql_exact_jaccard(left_hs: str, right_hs: str) -> str:
     )
 
 
+def sql_hex6_to_int(hexexpr: str) -> str:
+    """First 6 chars of an already-lowercase-hex string expression parsed
+    to an integer in [0, 16^6) (Spark twin: functions/text.py:hex6_to_int).
+    Split out of `sql_md5_hex6_to_int` so a query that also needs the FULL
+    digest string hashes once and parses the prefix from a staged column."""
+    return (
+        f"list_sum(list_transform(range(1, 7), i -> "
+        f"(CASE WHEN ascii(substr({hexexpr}, i, 1)) <= 57 "
+        f"THEN ascii(substr({hexexpr}, i, 1)) - 48 "
+        f"ELSE ascii(substr({hexexpr}, i, 1)) - 87 END) "
+        f"* CAST(pow(16.0, 6 - i) AS BIGINT)))"
+    )
+
+
 def sql_md5_hex6_to_int(expr: str) -> str:
     """First 6 lowercase-hex chars of md5(expr) parsed to an integer in
     [0, 16^6) — the cross-engine uniform-hash primitive (DuckDB has no
     strtol; Spark's twin is functions/text.py:md5_hex6_to_int via conv).
     Both engines emit identical lowercase-hex md5, so the digit-sum here
     equals Spark's conv(substr(md5, 1, 6), 16, 10) exactly."""
-    return (
-        f"list_sum(list_transform(range(1, 7), i -> "
-        f"(CASE WHEN ascii(substr(md5({expr}), i, 1)) <= 57 "
-        f"THEN ascii(substr(md5({expr}), i, 1)) - 48 "
-        f"ELSE ascii(substr(md5({expr}), i, 1)) - 87 END) "
-        f"* CAST(pow(16.0, 6 - i) AS BIGINT)))"
-    )
+    return sql_hex6_to_int(f"md5({expr})")
 
 
 # Quality-score feature arithmetic (functions/text.py:quality_score twin):

@@ -24,13 +24,32 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _null_gate(text: Column) -> Column:
+    """0 when `text` is non-NULL, NULL when it is NULL.
+
+    Added to a fragment's output so NULL text NULL-propagates exactly like
+    the DuckDB twins (`len(string_split(NULL, ' '))` is NULL there, while
+    this session runs legacy ``size(NULL) = -1`` — the r7/r8 divergence
+    class the driver's NULL-text regenerations exposed). Arithmetic rather
+    than ``when()``: a conditional around these fragments would drag their
+    codegen'd subtrees into interpreted CodegenFallback evaluation.
+    """
+    return F.length(text) * F.lit(0)
+
+
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Token count; NULL for NULL text (matching DuckDB ``len`` — see
+    `_null_gate`). Empty-string text remains a documented contract bound:
+    Spark ``split('', ' ')`` is ``['']`` (count 1) vs DuckDB's ``[]``."""
+    return F.size(tokens(text)) + _null_gate(text)
 
 
 def distinct_token_ratio(text: Column) -> Column:
+    """Distinct-token ratio; NULL for NULL text (see `_null_gate`)."""
     t = tokens(text)
-    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    return (F.size(F.array_distinct(t)) + _null_gate(text)).cast(
+        "double"
+    ) / F.size(t)
 
 
 def avg_token_length(text: Column) -> Column:
@@ -41,9 +60,10 @@ def avg_token_length(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
+    """Stopword-density ratio; NULL for NULL text (see `_null_gate`)."""
     t = tokens(text)
     stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
-    return stop.cast("double") / F.size(t)
+    return (stop + _null_gate(text)).cast("double") / F.size(t)
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -156,7 +176,10 @@ def fingerprint(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: rewards lexical diversity, penalizes
     stopword density and extreme length. Heuristic, but deterministic and
-    SQL-expressible."""
+    SQL-expressible. NULL for NULL text: `distinct_token_ratio` and
+    `stopword_ratio` are NULL-gated (see `_null_gate`), and a NULL addend
+    NULLs the weighted sum — matching the DuckDB twin exactly (the
+    ``F.least`` length term alone would NOT propagate; least skips NULLs)."""
     n = token_count(text).cast("double")
     diversity = distinct_token_ratio(text)
     stop = stopword_ratio(text)
@@ -164,9 +187,17 @@ def quality_score(text: Column) -> Column:
     return F.lit(0.5) * diversity + F.lit(0.3) * (1 - stop) + F.lit(0.2) * length_term
 
 
+def hex6_to_int(hexcol: Column) -> Column:
+    """First 6 hex chars of an already-lowercase-hex string column as an
+    integer in [0, 16^6) (SQL twin: sqlfrag.sql_hex6_to_int). Split out of
+    `md5_hex6_to_int` so a query that also needs the FULL digest string
+    (e.g. as a type-proof total order) hashes once and parses the prefix."""
+    return F.conv(F.substring(hexcol, 1, 6), 16, 10).cast("long")
+
+
 def md5_hex6_to_int(c: Column) -> Column:
     """First 6 hex chars of md5(c) as an integer in [0, 16^6): the
     cross-engine uniform-hash primitive (SQL twin:
     sqlfrag.sql_md5_hex6_to_int — DuckDB has no hex-parse builtin, so the
     oracle digit-sums the same 6 chars)."""
-    return F.conv(F.substring(F.md5(c), 1, 6), 16, 10).cast("long")
+    return hex6_to_int(F.md5(c))

@@ -159,7 +159,8 @@ WITH keyed AS (
            row_number() OVER (
                PARTITION BY source
                ORDER BY md5(concat_ws('|', '{_RSV_SEED}',
-                                      CAST(doc_id AS VARCHAR))), doc_id
+                            CAST(CAST(doc_id AS BIGINT) AS VARCHAR))),
+                        CAST(doc_id AS BIGINT)
            ) AS rk
     FROM documents
 )
@@ -488,7 +489,8 @@ def _shard_skew_sql() -> str:
     from ..functions.sqlfrag import sql_md5_hex6_to_int
 
     key = sql_md5_hex6_to_int(
-        f"concat_ws('|', '{_SHARD_SEED}', CAST(doc_id AS VARCHAR))"
+        f"concat_ws('|', '{_SHARD_SEED}', "
+        f"CAST(CAST(doc_id AS BIGINT) AS VARCHAR))"
     )
     return f"""
 WITH sharded AS (

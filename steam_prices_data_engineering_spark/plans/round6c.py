@@ -573,6 +573,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ===========================================================================
 # Shard-order shuffle-quality audit: within each hash shard (the SAME
 # 16-way 'shard1' sharding shard_skew_audit plans), documents train in
@@ -581,32 +582,52 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a random permutation, sum_s n_s(n_s-1) / (n(n-1)); ratio >> 1 means
 # the order is source-clumped and the shuffle is broken.
 #
-# Scale shape: one doc scan -> (shard, hash-ordered lag) window; the
+# Scale shape: one doc scan -> (shard, digest-ordered lag) window; the
 # window partitions by shard, and a shard is the bounded training-file
 # unit by design (the shard_skew_audit premise), so no task sees more
 # than one shard file's rows. Aggregates are map-side combined on the
 # 16-row shard grain.
+#
+# Determinism (the r7+r8 driver-red history of this query): the lag
+# window's order must be TOTAL and TYPE-PROOF. Ordering by raw doc_id is
+# neither — a driver regeneration that flips doc_id's physical type
+# (events.ts precedent) orders differently raw-vs-canonical (DuckDB
+# reads the raw view; Spark reads read_table's canonical long), and
+# 24-bit h prefixes collide. So the order key is the FULL md5 DIGEST
+# STRING of the seeded key: both engines emit identical lowercase hex
+# for identical inputs, hex strings compare bytewise identically in
+# both, and the digest is collision-free across distinct keys. doc_id
+# itself is normalized to BIGINT before rendering on BOTH sides (the
+# read_table canonical cast, mirrored in the oracle), so the digest
+# inputs cannot drift either. Remaining ties = identical (doc_id,
+# source) rows, which leave lag(source) invariant. shard_order_probe
+# below bisects any residual divergence stage-by-stage.
 # ===========================================================================
 
 _SOA_N = 16
 _SOA_SEED = "shard1"
+# doc_id rendered via the canonical BIGINT cast (matches read_table's
+# declared schema even when the raw parquet stores a wider type).
+_SOA_KEY_SQL = (
+    f"md5(concat_ws('|', '{_SOA_SEED}', "
+    f"CAST(CAST(doc_id AS BIGINT) AS VARCHAR)))"
+)
 
 
 def _soa_sql() -> str:
-    from ..functions.sqlfrag import sql_md5_hex6_to_int
+    from ..functions.sqlfrag import sql_hex6_to_int
 
-    key = sql_md5_hex6_to_int(
-        f"concat_ws('|', '{_SOA_SEED}', CAST(doc_id AS VARCHAR))"
-    )
     return f"""
-WITH sharded AS MATERIALIZED (
-    SELECT {key} AS h, doc_id, source FROM documents
+WITH keyed AS MATERIALIZED (
+    SELECT {_SOA_KEY_SQL} AS m, source FROM documents
+),
+sharded AS MATERIALIZED (
+    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard, m, source FROM keyed
 ),
 lagged AS (
-    SELECT h % {_SOA_N} AS shard, source,
-           lag(source) OVER (PARTITION BY h % {_SOA_N}
-                             ORDER BY h, doc_id NULLS FIRST,
-                                      source NULLS FIRST) AS prev_source
+    SELECT shard, source,
+           lag(source) OVER (PARTITION BY shard
+                             ORDER BY m, source NULLS FIRST) AS prev_source
     FROM sharded
 ),
 obs AS (
@@ -616,8 +637,7 @@ obs AS (
     FROM lagged GROUP BY shard
 ),
 comp AS (
-    SELECT h % {_SOA_N} AS shard, source,
-           CAST(count(*) AS DOUBLE) AS ns
+    SELECT shard, source, CAST(count(*) AS DOUBLE) AS ns
     FROM sharded GROUP BY 1, 2
 ),
 exp_r AS (
@@ -635,45 +655,44 @@ WHERE o.n_docs > 1
 """
 
 
-@register("shard_order_autocorr", _soa_sql())
-def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-1 same-source rate vs random-permutation expectation, per
-    shard.
-
-    Determinism notes (the CORRECTNESS_r07 red row, root-caused r8):
-    every compared value is a ratio of EXACT integers (counts, and sums
-    of integer-valued doubles, which are exact below 2^53), so float
-    re-association cannot flip a dround boundary here. The one genuine
-    cross-engine channel is the lag window's tie order: ``(h, doc_id)``
-    is total only while doc_id is unique and non-NULL, and the engines
-    disagree on NULL placement (Spark ASC = NULLS FIRST, DuckDB ASC =
-    NULLS LAST) and break exact ties by scan/partition order. The order
-    is therefore pinned total and NULL-explicit — ``h, doc_id NULLS
-    FIRST, source NULLS FIRST`` — in BOTH engines; full-row ties that
-    remain share the same source, which leaves lag(source) invariant.
-    Pinned by tests/test_round6c_tier.py::test_shard_order_tie_proof.
-    """
-    from ..functions.text import md5_hex6_to_int
+def _soa_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, m, doc_id, source) over documents: m = full md5 digest of
+    the seeded canonical-BIGINT-rendered doc_id, shard = 24-bit prefix
+    mod 16. The single staged+cached input both shard-order queries
+    window and aggregate over."""
+    from ..functions.text import hex6_to_int
 
     d = read_table(spark, sf_dir, "documents")
-    sharded = d.select(
-        md5_hex6_to_int(
+    keyed = d.select(
+        F.md5(
             F.concat_ws(
                 "|", F.lit(_SOA_SEED), F.col("doc_id").cast("string")
             )
-        ).alias("h"),
+        ).alias("m"),
         "doc_id",
         "source",
     )
+    return keyed.select(
+        F.pmod(hex6_to_int(F.col("m")), F.lit(_SOA_N)).alias("shard"),
+        "m",
+        "doc_id",
+        "source",
+    )
+
+
+@register("shard_order_autocorr", _soa_sql())
+def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 same-source rate vs random-permutation expectation, per
+    shard. Lag order = (full md5 digest, source NULLS FIRST) — total,
+    type-proof, collision-free; see the section comment for why raw
+    doc_id ordering was the r7/r8 cross-engine channel suspect."""
+    sharded = _soa_sharded(spark, sf_dir).drop("doc_id")
     sharded = sharded.cache()  # session-per-query (lag + composition)
-    shard = F.pmod(F.col("h"), F.lit(_SOA_N))
-    wlag = Window.partitionBy(shard).orderBy(
-        F.col("h").asc(),
-        F.col("doc_id").asc_nulls_first(),
-        F.col("source").asc_nulls_first(),
+    wlag = Window.partitionBy("shard").orderBy(
+        F.col("m").asc(), F.col("source").asc_nulls_first()
     )
     lagged = sharded.select(
-        shard.alias("shard"),
+        "shard",
         "source",
         F.lag("source").over(wlag).alias("prev_source"),
     )
@@ -685,7 +704,7 @@ def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_same"),
     )
-    comp = sharded.groupBy(shard.alias("shard"), "source").agg(
+    comp = sharded.groupBy("shard", "source").agg(
         F.count(F.lit(1)).cast("double").alias("ns")
     )
     exp_r = comp.groupBy("shard").agg(
@@ -711,5 +730,147 @@ def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.col("e"), F.lit(0.0)),
                 6,
             ).alias("order_bias_ratio"),
+        )
+    )
+
+
+# ===========================================================================
+# shard_order_probe: integer-only bisection companion to
+# shard_order_autocorr (VERDICT r8 Next-round #1). Every column is an
+# exact integer (or a raw hex string), each isolating ONE stage of the
+# audit, so a driver-red row localizes the cross-engine channel:
+#   h_sum / m_min / m_max red  -> the md5 INPUT differs (doc_id
+#                                 rendering / physical type);
+#   those green + n_same red   -> the lag ORDER still has a channel;
+#   n_h_dup > 0                -> 24-bit prefix ties exist in the data
+#                                 (the channel raw-doc_id ordering had);
+#   doc_chk / n_null_* red     -> the rows themselves differ.
+# All aggregates except the lag stage under test are order-free.
+# ===========================================================================
+
+
+def _soa_probe_sql() -> str:
+    from ..functions.sqlfrag import sql_hex6_to_int
+
+    return f"""
+WITH keyed AS MATERIALIZED (
+    SELECT {_SOA_KEY_SQL} AS m, doc_id, source FROM documents
+),
+sharded AS MATERIALIZED (
+    SELECT {sql_hex6_to_int('m')} AS h,
+           {sql_hex6_to_int('m')} % {_SOA_N} AS shard,
+           m, doc_id, source
+    FROM keyed
+),
+lagged AS (
+    SELECT shard, source,
+           lag(source) OVER (PARTITION BY shard
+                             ORDER BY m, source NULLS FIRST) AS prev_source
+    FROM sharded
+),
+obs AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same
+    FROM lagged GROUP BY shard
+),
+chk AS (
+    SELECT shard,
+           CAST(sum(h) AS BIGINT) AS h_sum,
+           min(m) AS m_min,
+           max(m) AS m_max,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_h_dup,
+           CAST(sum(CAST(floor(TRY_CAST(doc_id AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS doc_chk,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_doc,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_src
+    FROM sharded GROUP BY shard
+),
+pairs AS (
+    SELECT shard, CAST(sum(ns * (ns - 1)) AS BIGINT) AS num
+    FROM (
+        SELECT shard, source, CAST(count(*) AS BIGINT) AS ns
+        FROM sharded GROUP BY 1, 2
+    ) GROUP BY shard
+)
+SELECT o.shard, o.n_docs, o.n_same, p.num,
+       CAST(o.n_docs * (o.n_docs - 1) AS BIGINT) AS den,
+       c.h_sum, c.m_min, c.m_max, c.n_h_dup, c.doc_chk,
+       c.n_null_doc, c.n_null_src
+FROM obs o
+JOIN chk c ON c.shard = o.shard
+JOIN pairs p ON p.shard = o.shard
+"""
+
+
+@register("shard_order_probe", _soa_probe_sql())
+def shard_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-isolating integer checksums for the shard-order audit; see
+    the section comment for the red-column -> diverging-stage map."""
+    from ..functions.text import hex6_to_int
+
+    sharded = _soa_sharded(spark, sf_dir).withColumn(
+        "h", hex6_to_int(F.col("m"))
+    )
+    sharded = sharded.cache()  # session-per-query (lag + 3 rollups)
+    wlag = Window.partitionBy("shard").orderBy(
+        F.col("m").asc(), F.col("source").asc_nulls_first()
+    )
+    lagged = sharded.select(
+        "shard",
+        "source",
+        F.lag("source").over(wlag).alias("prev_source"),
+    )
+    obs = lagged.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("source") == F.col("prev_source"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_same"),
+    )
+    chk = sharded.groupBy("shard").agg(
+        F.sum("h").cast("long").alias("h_sum"),
+        F.min("m").alias("m_min"),
+        F.max("m").alias("m_max"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("h")))
+        .cast("long")
+        .alias("n_h_dup"),
+        F.sum(F.floor(F.col("doc_id").cast("double")).cast("long"))
+        .cast("long")
+        .alias("doc_chk"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_doc"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_src"),
+    )
+    pairs = (
+        sharded.groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        .groupBy("shard")
+        .agg(F.sum(F.col("ns") * (F.col("ns") - 1)).cast("long").alias("num"))
+    )
+    return (
+        obs.join(chk, "shard")
+        .join(pairs, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_same",
+            "num",
+            (F.col("n_docs") * (F.col("n_docs") - 1))
+            .cast("long")
+            .alias("den"),
+            "h_sum",
+            "m_min",
+            "m_max",
+            "n_h_dup",
+            "doc_chk",
+            "n_null_doc",
+            "n_null_src",
         )
     )

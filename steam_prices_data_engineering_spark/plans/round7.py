@@ -618,7 +618,8 @@ def _split_sql() -> str:
     from ..functions.sqlfrag import sql_md5_hex6_to_int
 
     key = sql_md5_hex6_to_int(
-        f"concat_ws('|', '{_SPLIT_SEED}', CAST(doc_id AS VARCHAR))"
+        f"concat_ws('|', '{_SPLIT_SEED}', "
+        f"CAST(CAST(doc_id AS BIGINT) AS VARCHAR))"
     )
     return f"""
 WITH hashed AS (

@@ -33,28 +33,33 @@ from .registry import register
 _QSE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
 _QSE_ACC = 10_000
 
+# n = count(l_extendedprice), NOT count(*): exact_quantile_cont
+# NULL-filters its input, so its returned n excludes NULLs — the
+# oracle's companion count must mirror that (ADVICE r8; the fixture
+# column is non-NULL by contract, so both agree today, but a nullable
+# caller column would have silently mismatched n).
 _QSE_SQL = f"""
-SELECT CAST(0.1 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(0.1 AS DOUBLE) AS q, CAST(count(l_extendedprice) AS BIGINT) AS n,
        {R(f'quantile_cont(l_extendedprice, 0.1)', 6)} AS exact_value,
        TRUE AS rank_dev_ok
 FROM lineitem
 UNION ALL
-SELECT CAST(0.25 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(0.25 AS DOUBLE) AS q, CAST(count(l_extendedprice) AS BIGINT) AS n,
        {R(f'quantile_cont(l_extendedprice, 0.25)', 6)} AS exact_value,
        TRUE AS rank_dev_ok
 FROM lineitem
 UNION ALL
-SELECT CAST(0.5 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(0.5 AS DOUBLE) AS q, CAST(count(l_extendedprice) AS BIGINT) AS n,
        {R(f'quantile_cont(l_extendedprice, 0.5)', 6)} AS exact_value,
        TRUE AS rank_dev_ok
 FROM lineitem
 UNION ALL
-SELECT CAST(0.75 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(0.75 AS DOUBLE) AS q, CAST(count(l_extendedprice) AS BIGINT) AS n,
        {R(f'quantile_cont(l_extendedprice, 0.75)', 6)} AS exact_value,
        TRUE AS rank_dev_ok
 FROM lineitem
 UNION ALL
-SELECT CAST(0.9 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(0.9 AS DOUBLE) AS q, CAST(count(l_extendedprice) AS BIGINT) AS n,
        {R(f'quantile_cont(l_extendedprice, 0.9)', 6)} AS exact_value,
        TRUE AS rank_dev_ok
 FROM lineitem

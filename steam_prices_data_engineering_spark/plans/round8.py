@@ -399,7 +399,8 @@ def _rb_sql() -> str:
     from ..functions.sqlfrag import sql_md5_hex6_to_int
 
     key = sql_md5_hex6_to_int(
-        f"concat_ws('|', '{_RB_SEED}', CAST(doc_id AS VARCHAR))"
+        f"concat_ws('|', '{_RB_SEED}', "
+        f"CAST(CAST(doc_id AS BIGINT) AS VARCHAR))"
     )
     frac = (
         "CASE WHEN n_docs = 0 THEN NULL "

@@ -204,9 +204,14 @@ _SDX_SPARK_DIGITS = (
     f"split(translate(w, '{_SDX_MAP[0]}', '{_SDX_MAP[1]}'), '')"
 )
 _SDX_SPARK_COLLAPSE = "filter(dg, (x, i) -> i = 0 OR x != element_at(dg, i))"
+# slice tail bound: greatest(size-1, 1) — unbounded like the DuckDB
+# twin's collapsed[2:] (a fixed 100 cap would key >101-letter words
+# differently per engine; ADVICE r8). slice() errors on length 0, so
+# floor at 1; for size(cl)=1 the from-2 slice is empty either way.
 _SDX_SPARK_CODE = (
     "upper(substr(w, 1, 1)) || "
-    "rpad(array_join(slice(filter(slice(cl, 2, 100), x -> x != '0'), "
+    "rpad(array_join(slice(filter("
+    "slice(cl, 2, greatest(size(cl) - 1, 1)), x -> x != '0'), "
     "1, 3), ''), 3, '0')"
 )
 
@@ -327,19 +332,15 @@ def youden_threshold_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import distinct_token_ratio, quality_score
 
     d = read_table(spark, sf_dir, "documents")
-    # text IS NOT NULL mirrors the oracle's NULL-score drop exactly:
-    # this session runs size(NULL) = -1, so quality_score(NULL text) is
-    # FINITE (0.498) in Spark but NULL in DuckDB — the one row class
-    # where the shared quality fragment diverges (probed r8; hostile
-    # fixture pinned in tests/test_round8c_tier.py).
-    scored = (
-        d.filter(F.col("text").isNotNull())
-        .select(
-            dround(quality_score(F.col("text")), 6).alias("s"),
-            (distinct_token_ratio(F.col("text")) >= 0.5).alias("pos"),
-        )
-        .filter(F.col("s").isNotNull())
-    )
+    # quality_score is NULL-gated at the fragment (functions/text.py
+    # _null_gate, r9): NULL text scores NULL in BOTH engines, so the
+    # s-IS-NOT-NULL drop below is the whole NULL story — no per-query
+    # text guard needed (hostile fixture pinned in
+    # tests/test_round8c_tier.py).
+    scored = d.select(
+        dround(quality_score(F.col("text")), 6).alias("s"),
+        (distinct_token_ratio(F.col("text")) >= 0.5).alias("pos"),
+    ).filter(F.col("s").isNotNull())
     per_score = scored.groupBy("s").agg(
         F.count(F.when(F.col("pos"), 1)).cast("long").alias("np"),
         F.count(F.when(~F.col("pos"), 1)).cast("long").alias("nn"),

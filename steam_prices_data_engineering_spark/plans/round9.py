@@ -1,0 +1,561 @@
+"""Round-9 extension tier (VERDICT r8 Next-round #6), composed on
+existing production stages:
+
+- `longest_dup_substring` — suffix-grain longest duplicated substring
+  via sorted window-hash runs (Lee et al. 2022 "Deduplicating Training
+  Data Makes Language Models Better" §4.1, arXiv:2107.06499): upgrades
+  the fixed 8/10-token chunk passes (`chunk_dedup_ratio`,
+  `substring_dup_spans`) to MAXIMAL duplicated-run length per document.
+- `streaming_restart_carryover` — checkpoint stop/start compatibility
+  as a REGISTERED query: the same stateful aggregation runs as two
+  availableNow triggers over one checkpoint, the second seeing only
+  newly-landed files; the final table must equal the batch aggregate,
+  which is the oracle (promotes tests/test_streaming_restart.py's
+  property into the driver gate).
+- `dedup_index_compaction` — cross-snapshot maintenance of the MinHash
+  band index: merge tonight's delta bands into the base index while
+  dropping tombstoned (deleted) docs; composes the SAME sig/band stages
+  as neardup_minhash_lsh / dedup_incremental_delta.
+- `embedding_source_psi` — per-source embedding drift: PSI of each
+  source's embedding-norm² distribution against the reference source's
+  decile bins (composes psi_value_drift's binning discipline with the
+  linalg dim-explode norm).
+
+No counterpart in the reference (a single-threaded pandas ETL,
+/root/reference/Scripts/transformers/steam_prices_transformer.py);
+these are the dedup-forensics, stream-redeploy, index-maintenance and
+embedding-monitoring jobs a 100 TB training-data platform runs on the
+same engine.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround, dround_sql as R
+from ..sources.tables import TABLE_SCHEMAS, read_table
+from .registry import register
+
+# ===========================================================================
+# Longest duplicated substring (suffix grain, W-token resolution).
+#
+# Stride-1 windows of W=8 token hashes; a window duplicated across >= 2
+# distinct docs marks its start position; per doc, CONSECUTIVE marked
+# positions merge into maximal runs (pos - row_number() islands), and a
+# run of L windows certifies a duplicated substring of L + W - 1 tokens
+# — the suffix-array longest-dup result at W-token resolution, without
+# the suffix array: every stage is explode -> groupBy (map-side
+# combined) or an equi-join on the window hash, so the shuffle key is
+# the 31-bit window hash and nothing is quadratic in corpus size.
+#
+# Scale shape: the window-hash index is the SAME shape as the
+# substring_dup_spans pass (stride-1 windows shuffle as keys); the
+# dup-hash set is DF-bounded by construction (HAVING >= 2 distinct
+# docs), and the top-20 report is TakeOrderedAndProject, never a global
+# window.
+# ===========================================================================
+
+_LDS_W = 8  # window width in tokens
+_LDS_TOP = 20
+
+
+def _lds_sql() -> str:
+    from ..functions.sqlfrag import sql_ngram_hashes, sql_token_hashes
+
+    return f"""
+WITH tokhash AS (
+    SELECT doc_id, {sql_token_hashes()} AS th FROM documents
+),
+winh AS (
+    SELECT doc_id, {sql_ngram_hashes('th', _LDS_W)} AS wh FROM tokhash
+),
+wpos AS (
+    SELECT doc_id, h, pos FROM (
+        SELECT doc_id, unnest(wh) AS h,
+               generate_subscripts(wh, 1) AS pos
+        FROM winh
+    )
+),
+duph AS (
+    SELECT h FROM wpos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+dup_pos AS (
+    SELECT p.doc_id, p.pos FROM wpos p JOIN duph d ON d.h = p.h
+),
+runs AS (
+    SELECT doc_id,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+    FROM dup_pos
+),
+spans AS (
+    SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_windows
+    FROM runs GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(max(run_windows) + {_LDS_W - 1} AS BIGINT)
+               AS longest_dup_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(run_windows) AS BIGINT) AS n_dup_windows
+    FROM spans GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, longest_dup_tokens, n_spans,
+       n_dup_windows
+FROM per_doc
+ORDER BY longest_dup_tokens DESC, doc_id ASC
+LIMIT {_LDS_TOP}
+"""
+
+
+@register("longest_dup_substring", _lds_sql())
+def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by longest duplicated substring (in tokens, W=8
+    window resolution), with span/window counts — all exact integers."""
+    from ..functions.text import ngram_hash_array, token_hash_array
+
+    d = read_table(spark, sf_dir, "documents")
+    # staged projections per the interpreted-HOF rule; cache the window
+    # array BEFORE posexplode (Generate re-evaluates an uncached HOF
+    # chain per exploded row — the 50x shingle-index lesson).
+    winh = (
+        d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
+        .select(
+            "doc_id", ngram_hash_array(F.col("th"), _LDS_W).alias("wh")
+        )
+    )
+    winh = winh.cache()  # session-per-query (explode feeds 2 consumers)
+    wpos = winh.select(
+        "doc_id", F.posexplode(F.col("wh")).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wpos = wpos.cache()  # session-per-query (dup-hash agg + position probe)
+    duph = (
+        wpos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = wpos.join(duph, "h", "left_semi").select("doc_id", "pos")
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup_pos.select(
+            "doc_id", (F.col("pos") - F.row_number().over(wrn)).alias("grp")
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_windows"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        (F.max("run_windows") + (_LDS_W - 1))
+        .cast("long")
+        .alias("longest_dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("run_windows").cast("long").alias("n_dup_windows"),
+    )
+    return (
+        per_doc.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "longest_dup_tokens",
+            "n_spans",
+            "n_dup_windows",
+        )
+        .orderBy(F.desc("longest_dup_tokens"), F.asc("doc_id"))
+        .limit(_LDS_TOP)
+    )
+
+
+# ===========================================================================
+# Streaming checkpoint stop/start carryover as a driver-gated query.
+#
+# The SAME hourly stateful aggregation runs as TWO availableNow triggers
+# sharing one checkpoint: run 1 sees only the even-event_id file batch,
+# stops, the odd batch lands while the query is DOWN, and run 2 (state
+# RESTORED from the checkpoint) processes only the new files. Complete
+# output mode re-emits full state each batch, so the final table equals
+# the batch hourly aggregate over ALL events — the oracle — if and only
+# if the restart restored state instead of rebuilding from scratch
+# (run 1's partial totals are asserted strictly smaller in-builder).
+#
+# sum_value is carried as INTEGER MICRO-UNITS (floor(v*1e6+0.5) summed
+# as LONG) — complete-mode re-aggregation order is nondeterministic and
+# a float sum feeding a dround-compared output can land on a rounding
+# half-boundary (the rolling_origin_backtest lesson, CLAUDE.md).
+#
+# Scale shape: per-invocation scratch dir (no shared-landing flock
+# hazard); state is per (hour, event_type) — the production form adds a
+# watermark to bound it; partition sizing follows the r8 state-store
+# lesson (spark.sql.shuffle.partitions already session-tuned).
+# ===========================================================================
+
+_RESTART_SQL = f"""
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
+           AS hour_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * CAST(1000000 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_value_micro
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _restart_agg(stream: DataFrame) -> DataFrame:
+    return (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(
+                    F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value_micro",
+        )
+    )
+
+
+def _restart_run_once(spark: SparkSession, src: str, ckpt: str) -> str:
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .format("parquet")
+        .load(src)
+    )
+    sink = f"restart_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        _restart_agg(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+@register("streaming_restart_carryover", _RESTART_SQL)
+def streaming_restart_carryover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly event aggregate computed ACROSS a checkpoint stop/start
+    (two availableNow runs, second sees only new files); equals the
+    batch aggregate iff checkpointed state carried over."""
+    ev = read_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="spde_restart_")
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    sink1 = _restart_run_once(spark, src, ckpt)
+    n1 = spark.table(sink1).agg(F.sum("n_events")).collect()[0][0] or 0
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    sink2 = _restart_run_once(spark, src, ckpt)
+    n2 = spark.table(sink2).agg(F.sum("n_events")).collect()[0][0] or 0
+    if not (0 < n1 < n2):
+        raise RuntimeError(
+            f"checkpoint carryover violated: run1 saw {n1} events, "
+            f"restarted run totals {n2} — state was rebuilt or batch 2 "
+            "leaked into run 1"
+        )
+    return spark.table(sink2).select(
+        "hour_start", "event_type", "n_events", "sum_value_micro"
+    )
+
+
+# ===========================================================================
+# Dedup band-index compaction (cross-snapshot maintenance): the nightly
+# job that folds tonight's DELTA bands into the BASE MinHash band index
+# while physically dropping TOMBSTONED (deleted) docs' entries — the
+# LSM-style merge that keeps dedup_incremental_delta's probe target from
+# accreting dead entries. Splits reuse dedup_incremental_delta's knuth
+# buckets: delta = buckets 8-9, base = 0-7, tombstones = bucket 0 (a
+# GDPR-style deletion batch inside the base).
+#
+# Scale shape: ONE sig/band derivation (the shared minhash stages); the
+# report is two map-side-combined aggregates on the (band_idx) grain —
+# compaction at 100 TB rewrites band-partitioned files, and this report
+# is exactly the per-band bookkeeping that drives which partitions
+# rewrite (all-integer, so the driver gate is exact).
+# ===========================================================================
+
+
+def _compaction_sql() -> str:
+    from ..functions.sqlfrag import sql_minhash_sig_band_ctes
+    from .trainset import knuth_sql
+
+    bucket = f"({knuth_sql()} % 10)"
+    return f"""
+WITH {sql_minhash_sig_band_ctes()},
+sides AS (
+    SELECT doc_id,
+           ({bucket} >= 8) AS is_delta,
+           ({bucket} = 0) AS is_tomb
+    FROM documents
+),
+tagged AS (
+    SELECT b.band_idx, b.band_key, s.is_delta, s.is_tomb
+    FROM banded b JOIN sides s ON s.doc_id = b.doc_id
+),
+counts AS (
+    SELECT band_idx,
+           CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+           CAST(sum(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tombstoned,
+           CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delta
+    FROM tagged GROUP BY band_idx
+),
+live_buckets AS (
+    SELECT band_idx,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_live_buckets
+    FROM tagged WHERE NOT is_tomb GROUP BY band_idx
+)
+SELECT c.band_idx, c.n_base, c.n_tombstoned, c.n_delta,
+       CAST(c.n_base - c.n_tombstoned + c.n_delta AS BIGINT) AS n_live,
+       lb.n_live_buckets
+FROM counts c JOIN live_buckets lb ON lb.band_idx = c.band_idx
+"""
+
+
+@register("dedup_index_compaction", _compaction_sql())
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band compaction report: base entries, tombstoned drops, delta
+    additions, live entries and live bucket count after the merge."""
+    from ..operators.dedup import (
+        hashed_shingle_table,
+        minhash_banded,
+        minhash_sig_table,
+    )
+    from .trainset import knuth_hash
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = knuth_hash() % 10
+    sides = d.select(
+        "doc_id",
+        (bucket >= 8).alias("is_delta"),
+        (bucket == 0).alias("is_tomb"),
+    )
+    banded = minhash_banded(minhash_sig_table(hashed_shingle_table(d)))
+    tagged = banded.join(sides, "doc_id").select(
+        "band_idx", "band_key", "is_delta", "is_tomb"
+    )
+    tagged = tagged.cache()  # session-per-query (counts + bucket census)
+    counts = tagged.groupBy("band_idx").agg(
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_tomb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tombstoned"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta"),
+    )
+    live_buckets = (
+        tagged.filter(~F.col("is_tomb"))
+        .groupBy("band_idx")
+        .agg(F.count_distinct("band_key").cast("long").alias("n_live_buckets"))
+    )
+    return counts.join(live_buckets, "band_idx").select(
+        "band_idx",
+        "n_base",
+        "n_tombstoned",
+        "n_delta",
+        (F.col("n_base") - F.col("n_tombstoned") + F.col("n_delta"))
+        .cast("long")
+        .alias("n_live"),
+        "n_live_buckets",
+    )
+
+
+# ===========================================================================
+# Per-source embedding drift (PSI over the reference source's decile
+# bins). Value = dround(norm², 6) of each embedding (norm² is a
+# monotone transform of the norm, so decile binning — rank-based — is
+# unchanged and the sqrt ULP channel disappears); norm² is a SEQUENTIAL
+# index-order fold in BOTH engines (Spark aggregate() / DuckDB
+# list_reduce with a scalar accumulator), so the doubles are
+# bit-identical before quantization — float² is exact in double, but
+# SUM re-association is not, hence the pinned order. Reference source =
+# min(source) (deterministic, regeneration-proof); its 9 decile edges
+# (percentile == quantile_cont, CLAUDE.md) bin every source; PSI terms
+# use the psi_value_drift epsilon discipline.
+#
+# Scale shape: one embeddings scan for the fold (interpreted HOF but
+# O(n·d) in a narrow stage), one bounded percentile pass on the
+# reference source, one (source, bin) aggregate; the edges and totals
+# ride broadcast crossJoins. The spine is sources × 10 bins so empty
+# bins surface with p_cur = 0.
+# ===========================================================================
+
+_EPSI_EPS = "CAST(0.000001 AS DOUBLE)"
+
+
+def _epsi_sql() -> str:
+    return f"""
+WITH j AS MATERIALIZED (
+    SELECT d.source,
+           {R('''list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x)''', 6)} AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+refsrc AS MATERIALIZED (SELECT min(source) AS ref FROM j),
+edges AS MATERIALIZED (
+    SELECT {", ".join(
+        R(f'quantile_cont(v, {i / 10.0})', 6) + f' AS e{i}'
+        for i in range(1, 10)
+    )}
+    FROM j CROSS JOIN refsrc WHERE j.source = refsrc.ref
+),
+binned AS (
+    SELECT j.source,
+           1 {"".join(
+               f"+ (CASE WHEN j.v > e.e{i} THEN 1 ELSE 0 END) "
+               for i in range(1, 10)
+           )} AS bin
+    FROM j CROSS JOIN edges e
+),
+cnt AS MATERIALIZED (
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY source, bin
+),
+totals AS MATERIALIZED (
+    SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM cnt GROUP BY source
+),
+refshare AS MATERIALIZED (
+    SELECT c.bin, CAST(c.n AS DOUBLE) / t.tot AS p_ref
+    FROM cnt c
+    JOIN totals t ON t.source = c.source
+    CROSS JOIN refsrc r
+    WHERE c.source = r.ref
+),
+spine AS (
+    SELECT s.source, CAST(r.range AS INTEGER) AS bin
+    FROM (SELECT DISTINCT source FROM j) s
+    CROSS JOIN range(1, 11) r
+)
+SELECT sp.source, CAST(sp.bin AS BIGINT) AS bin,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur,
+       {R('coalesce(CAST(c.n AS DOUBLE) / t.tot, CAST(0 AS DOUBLE))', 6)}
+           AS p_cur,
+       {R('coalesce(rs.p_ref, CAST(0 AS DOUBLE))', 6)} AS p_ref,
+       {R(f'''(coalesce(CAST(c.n AS DOUBLE) / t.tot, CAST(0 AS DOUBLE))
+              - coalesce(rs.p_ref, CAST(0 AS DOUBLE)))
+             * ln(greatest(coalesce(CAST(c.n AS DOUBLE) / t.tot,
+                                    CAST(0 AS DOUBLE)), {_EPSI_EPS})
+                  / greatest(coalesce(rs.p_ref, CAST(0 AS DOUBLE)),
+                             {_EPSI_EPS}))''', 6)} AS psi_term
+FROM spine sp
+CROSS JOIN refsrc r
+LEFT JOIN cnt c ON c.source = sp.source AND c.bin = sp.bin
+LEFT JOIN totals t ON t.source = sp.source
+LEFT JOIN refshare rs ON rs.bin = sp.bin
+WHERE sp.source <> r.ref
+"""
+
+
+@register("embedding_source_psi", _epsi_sql())
+def embedding_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, bin) PSI terms of embedding norm² vs the reference
+    (alphabetically-first) source's decile bins."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = e.join(d, "vec_id").select(
+        "source",
+        dround(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("v"),
+    )
+    j = j.cache()  # session-per-query (ref pick + edges + binning)
+    refsrc = j.agg(F.min("source").alias("ref"))
+    edges = (
+        j.crossJoin(F.broadcast(refsrc))
+        .filter(F.col("source") == F.col("ref"))
+        .agg(
+            *[
+                dround(F.percentile(F.col("v"), i / 10.0), 6).alias(f"e{i}")
+                for i in range(1, 10)
+            ]
+        )
+    )
+    binexpr = F.lit(1)
+    for i in range(1, 10):
+        binexpr = binexpr + F.when(
+            F.col("v") > F.col(f"e{i}"), 1
+        ).otherwise(0)
+    cnt = (
+        j.crossJoin(F.broadcast(edges))
+        .select("source", binexpr.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cnt = cnt.cache()  # session-per-query (totals + ref share + spine)
+    totals = cnt.groupBy("source").agg(
+        F.sum("n").cast("double").alias("tot")
+    )
+    refshare = (
+        cnt.join(totals, "source")
+        .crossJoin(F.broadcast(refsrc))
+        .filter(F.col("source") == F.col("ref"))
+        .select("bin", (F.col("n").cast("double") / F.col("tot")).alias("p_ref"))
+    )
+    spine = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    eps = F.expr(_EPSI_EPS)
+    p_cur = F.coalesce(
+        F.col("n").cast("double") / F.col("tot"), F.lit(0.0)
+    )
+    p_ref = F.coalesce(F.col("p_ref"), F.lit(0.0))
+    return (
+        spine.crossJoin(F.broadcast(refsrc))
+        .join(cnt, ["source", "bin"], "left")
+        .join(totals, "source", "left")
+        .join(refshare, "bin", "left")
+        .filter(F.col("source") != F.col("ref"))
+        .select(
+            "source",
+            F.col("bin").cast("long").alias("bin"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_cur"),
+            dround(p_cur, 6).alias("p_cur"),
+            dround(p_ref, 6).alias("p_ref"),
+            dround(
+                (p_cur - p_ref)
+                * F.log(
+                    F.greatest(p_cur, eps) / F.greatest(p_ref, eps)
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+    )

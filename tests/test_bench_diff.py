@@ -157,3 +157,48 @@ def test_retry_flagged_budget_bounds_work():
     calls = []
     _retry_flagged(flagged, timings, lambda n: calls.append(n) or 1.0, budget=24)
     assert len(calls) == 24
+
+
+def test_run_median_guard_on_r8_driver_fixture():
+    """VERDICT r8 task 4, tested on the REAL offending record: the
+    driver's loaded BENCH_DETAIL_r08 run carried 38 flags at a uniform
+    ~1.5x (median 1.47 over 141 common queries) vs the r7 detail — pure
+    machine variance. The run-median raw-threshold scale must collapse
+    that to <= 2 residual flags (the two known scheduler-noise
+    sub-second queries) while leaving the recorded ratios intact."""
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(base, "BENCH_DETAIL_r08.json")) as f:
+        d8 = json.load(f)
+    with open(os.path.join(base, "BENCH_DETAIL_r07.json")) as f:
+        d7 = json.load(f)
+    assert len(d8["regressions"]) >= 30  # the pre-fix false-flag storm
+    flags = _normalized_regressions(
+        d8["queries"],
+        d7["queries"],
+        d8["canary_sec"],
+        d7.get("canary_sec"),
+        out=io.StringIO(),
+    )
+    assert len(flags) <= 2, flags
+
+
+def test_run_median_guard_inactive_on_small_overlap():
+    """Below _MEDIAN_MIN_COMMON common queries the median guard stays
+    out of the way: a lone genuine 3x regression still flags even
+    though it IS the run median."""
+    from bench import _run_median_scale
+
+    assert _run_median_scale([3.0]) == 1.0
+    flags = _normalized_regressions(
+        {"q1": 3.0}, {"q1": 1.0}, None, None, out=io.StringIO()
+    )
+    assert flags == {"q1": 3.0}
+
+
+def test_run_median_floor_at_one():
+    """A uniformly FAST run (median < 1) must not tighten the raw gate
+    below REGRESSION_RATIO — the fast-canary lesson from r6 applies to
+    the median too."""
+    from bench import _MEDIAN_MIN_COMMON, _run_median_scale
+
+    assert _run_median_scale([0.7] * _MEDIAN_MIN_COMMON) == 1.0

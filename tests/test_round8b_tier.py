@@ -181,3 +181,44 @@ def test_nb_overdispersion_matches_python(spark):
         assert abs(g.dispersion - var / mean) < 1e-5
         if var > mean:
             assert abs(g.nb_size_r - mean * mean / (var - mean)) < 1e-4
+
+
+def test_round8b_null_text_parity(spark, tmp_path):
+    """ADVICE r8 (both high items): krippendorff's r1/r2 ratings and
+    unimax's per-source token sums must agree with the DuckDB oracle on
+    NULL-text docs. The shared text fragments are NULL-gated at the
+    source (functions/text.py:_null_gate), so a NULL-text driver
+    regeneration rates 'lo' / skips the doc in BOTH engines."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again",
+         "en", "web", 60),
+        (2, None, "en", "web", 0),
+        (3, None, "en", "books", 0),  # NULL text on its own source
+        (None, "a a a a the the", "en", "books", 15),
+        (5, " ".join(f"w{i}" for i in range(70)), "en", "wiki", 350),
+        (10, "b c d e f g", "en", "wiki", 11),  # doc_id % 5 = 0 abstain
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("krippendorff_alpha_rules", "unimax_allocation"):
+        sdf = registry.queries()[name](spark, str(tmp_path))
+        srows = sorted(
+            tuple(r) for r in sdf.select(sorted(sdf.columns)).collect()
+        )
+        rel = con.execute(registry.oracle_sql()[name])
+        cols = [d[0] for d in rel.description]
+        idx = [cols.index(c) for c in sorted(cols)]
+        drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+        assert srows == drows, (name, srows, drows)

@@ -95,3 +95,98 @@ def test_md5_hex6_matches_duckdb(spark, s):
         [s],
     ).fetchone()[0]
     assert got == duck
+
+
+def test_quality_fragments_null_text_parity(spark):
+    """r9 fragment hardening (VERDICT r8 #2): the quality-feature
+    fragments must NULL-propagate on NULL text in BOTH engines (this
+    session runs legacy size(NULL) = -1, which used to make Spark's
+    quality_score(NULL) a finite 0.498 while the DuckDB twin was NULL).
+    After functions/text.py:_null_gate, every fragment is NULL for NULL
+    text on both sides."""
+    from steam_prices_data_engineering_spark.functions.text import (
+        avg_token_length,
+        distinct_token_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    row = (
+        spark.createDataFrame([(None,)], "text string")
+        .select(
+            token_count(F.col("text")).alias("n"),
+            distinct_token_ratio(F.col("text")).alias("div"),
+            stopword_ratio(F.col("text")).alias("stop"),
+            avg_token_length(F.col("text")).alias("atl"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert (row.n, row.div, row.stop, row.atl, row.q) == (
+        None,
+        None,
+        None,
+        None,
+        None,
+    )
+    duck = duckdb.execute(
+        "SELECT len(string_split(text, ' ')),"
+        " CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+        "   / len(string_split(text, ' '))"
+        " FROM (SELECT CAST(NULL AS VARCHAR) AS text)"
+    ).fetchone()
+    assert duck == (None, None)
+
+
+def test_quality_fragments_non_null_unchanged(spark):
+    """The NULL gate must be a bit-exact no-op on non-NULL text — the
+    0-addend arithmetic cannot perturb any existing oracle value."""
+    from steam_prices_data_engineering_spark.functions.text import (
+        distinct_token_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    row = (
+        spark.createDataFrame(
+            [("the quick brown fox the a fox",)], "text string"
+        )
+        .select(
+            token_count(F.col("text")).alias("n"),
+            distinct_token_ratio(F.col("text")).alias("div"),
+            stopword_ratio(F.col("text")).alias("stop"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 7
+    assert row.div == 5.0 / 7.0
+    assert row.stop == 3.0 / 7.0
+    assert row.q == 0.5 * (5.0 / 7.0) + 0.3 * (1 - 3.0 / 7.0) + 0.2 * (
+        7.0 / 100.0
+    )
+
+
+def test_empty_string_tokenize_agreement_is_pinned(spark):
+    """r9 re-probe of the r8 'empty-string tokenize divergence' gotcha:
+    on the INSTALLED DuckDB (1.0.0), string_split('', ' ') is [''] (len
+    1) — exactly Spark's split('', ' ') — so the engines AGREE on empty
+    text and the r8 note overstated the hazard. Pin the agreement so a
+    DuckDB upgrade that changes it (newer versions return []) fails
+    loudly here instead of as a mystery oracle red."""
+    from steam_prices_data_engineering_spark.functions.text import (
+        token_count,
+    )
+
+    assert duckdb.execute(
+        "SELECT len(string_split('', ' '))"
+    ).fetchone()[0] == 1
+    got = (
+        spark.createDataFrame([("",)], "text string")
+        .select(token_count(F.col("text")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == 1
