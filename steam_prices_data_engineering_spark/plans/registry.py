@@ -72,75 +72,74 @@ def register(name: str, oracle: str | None):
 # driver-verified rows each round.
 #
 # ROUND-8 ROTATION (per VERDICT.md r7 task 2): rounds 1-7 drove 346
-# distinct queries (345 green), leaving exactly 16 never driver-sampled:
-# the 14 round-7 additions (plans/round7{,b,c,d,e}.py) plus the 2 parked
-# tail queries. This round's first 50 LEAD with those 16, then the
-# round-8 additions (plans/round8.py + round8b.py — new this round,
-# zero driver rows), then `shard_order_autocorr` (the single r7 hash-red row,
-# tie-proof-fixed this round — re-verify), and fill with one
-# representative per operator family from the r1-r7 green set (pinned by
-# tests/test_queries.py::test_driver_sample_spans_families). After a
-# green r8 every registered query has a driver row.
+# distinct queries: after a green r8 EVERY registered query has a
+# driver row (376 sampled r1-r8). Round 9 leads with the one red row
+# (shard_order_autocorr) + its bisection probe, then the new r9 tier
+# and every query whose code/oracle changed this round, and starts
+# the SECOND full rotation pass ordered by staleness (names whose
+# only driver rows are r1/r2), keeping family span (pinned by
+# tests/test_queries.py::test_driver_sample_spans_families).
 _PRIORITY: tuple[str, ...] = (
-    # -- the 16 never-driver-sampled queries (round-7 tier + 2 parked) --
-    "pii_pattern_audit",              # PII-pattern audit (round 7)
-    "fleiss_kappa_rules",             # Fleiss' kappa (round 7)
-    "theil_sen_daily_trend",          # Theil-Sen robust trend (round 7)
-    "dedup_keeper_policy_eval",       # dedup keeper-policy eval (round 7)
-    "spearman_scorer_agreement",      # Spearman rank agreement (round 7)
-    "stratified_three_way_split",     # stratified 3-way split (round 7)
-    "sequence_packing_efficiency",    # sequence packing (round 7)
-    "streaming_enriched_tumbling_agg",# stream-static join + agg (round 7)
-    "knn_shapley_valuation",          # KNN-Shapley valuation (round 7b)
-    "knn_shapley_truncation_error",   # valuation truncation audit (7b)
-    "fairness_gate_audit",            # group-fairness gate audit (7c)
-    "coreset_kcenter_selection",      # k-center coreset (7c)
-    "fellegi_sunter_em",              # Fellegi-Sunter EM linkage (7d)
-    "quantile_sketch_error_eval",     # quantile-sketch gate (7e)
-    "histogram_extendedprice",        # equi-width histogram (parked r6/r7)
-    "robust_stats_mad",               # median/MAD robust stats (parked)
-    # -- round-8 additions (plans/round8.py): zero driver rows --
-    "decontam_ngram13_eval",          # 13-gram eval decontamination
-    "streaming_join_then_window",     # stateful agg after stream-stream join
-    "slo_burn_rate_windows",          # SRE multi-window burn-rate monitor
-    "shard_rebalance_movement",       # consistent-hashing rebalance audit
-    "bpe_roundtrip_fidelity",         # BPE encode-decode round trip
-    "range_partition_planner",        # range-partition boundary planning
-    # plans/round8b.py
-    "voptimal_histogram",             # V-optimal histogram DP
-    "unimax_allocation",              # UniMax mixture allocation
-    "krippendorff_alpha_rules",       # agreement with missing ratings
-    "partition_fingerprint_diff",     # incremental recompute planner
-    "nb_overdispersion_daily",        # NB overdispersion diagnostics
-    # plans/round8c.py
-    "trigram_similarity_join",        # pg_trgm-style fuzzy string join
-    "soundex_token_blocks",           # phonetic blocking keys
-    "youden_threshold_pick",          # operating-point selection
-    # -- the single r7 hash-red row, fixed this round: re-verify --
-    "shard_order_autocorr",           # shard-order shuffle audit (tie-proof)
-    # -- one representative per operator family (all r1-r7 green) --
-    "steam_job1_prices_etl",          # reference pipeline 1 (S1-S3, O11)
-    "world_map_job2_deviation",       # reference pipeline 2 (geo joins)
-    "flagship_nation_price_dev",      # flagship grouped/global mean
-    "dedup_exact_groups",             # exact dedup
-    "neardup_minhash_lsh",            # MinHash-LSH near-dup
-    "semdedup_prune",                 # semantic dedup (r7 K~sqrt(N) law)
-    "containment_dedup_pairs",        # containment dedup (r7 excursion)
-    "simsearch_topk_cosine",          # exact ANN baseline
-    "simsearch_ivf_pq_topk",          # composed IVF-PQ ANN
-    "multimodal_audio_windows",       # multimodal Arrow-UDF plumbing
-    "events_session_window",          # session windows
-    "streaming_multires_rollup",      # chained stateful streaming
-    "text_stats_by_lang",             # text analysis
-    "bpe_train_merges",               # BPE tokenizer training
-    "bm25_search_topk",               # lexical retrieval
-    "dsir_importance_select",         # data selection
-    "ols_normal_equations",           # in-engine linear algebra
-    "bucketed_join_no_shuffle",       # storage layout
-    "textrank_keywords",              # keywords (r7 excursion re-verify)
+    # -- the r7+r8 driver-red row and its r9 bisection probe FIRST --
+    "shard_order_autocorr",           # digest-ordered lag fix (r9)
+    "shard_order_probe",              # integer-only stage isolator (r9)
+    # -- round-9 tier (plans/round9.py): zero driver rows --
+    "longest_dup_substring",          # suffix-grain dup runs
+    "streaming_restart_carryover",    # checkpoint stop/start carryover
+    "dedup_index_compaction",         # band-index merge w/ tombstones
+    "embedding_source_psi",           # per-source embedding drift
+    "streaming_state_introspection",  # statestore batch-reader audit
+    # -- code/oracle changed THIS round: re-verify on driver data --
+    "youden_threshold_pick",          # per-query NULL guard removed (r9)
+    "soundex_token_blocks",           # unbounded tail slice (r9)
+    "quantile_sketch_error_eval",     # oracle n = count(col) (r9)
+    "eval_reservoir_sample",          # BIGINT-cast md5 key (r9)
+    "shard_skew_audit",               # BIGINT-cast md5 key (r9)
+    "stratified_three_way_split",     # BIGINT-cast md5 key (r9)
+    "shard_rebalance_movement",       # BIGINT-cast md5 key (r9)
+    # -- second full pass, stalest first: every name below last had a
+    #    driver row in r1/r2 (pinned by the staleness rule in
+    #    tests/test_queries.py::test_driver_sample_spans_families) --
+    "anti_join_substring",
+    "asof_join_events_orders",
+    "broadcast_join_orders_nation",
+    "case_remap_counts",
+    "cross_join_region_status",
+    "cube_returnflag_linestatus",
+    "dedup_exact_by_hash",
+    "distinct_agg_per_status",
+    "doc_fingerprint_simhash",
+    "doc_quality_scores",
+    "events_json_props",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "full_outer_join_nation_counts",
+    "global_agg_stats",
+    "knn_join_topk",
+    "left_join_nation_customer_stats",
+    "multimodal_bytes",
+    "neardup_ngram_jaccard",
+    "nullsafe_join_status",
+    "proj_filter_customers",
+    "range_join_price_bands",
+    "ranking_top_customers",
+    "rollup_status_priority",
+    "streaming_sliding_window",
+    "streaming_tumbling_window",
+    "string_agg_types_per_brand",
+    "token_topk",
+    "top1_recency",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "window_max_fill",
+    # family-variety anchors from the r2-stale set
+    "substring_dup_spans",            # semantic/substring dedup family
+    "simsearch_lsh_topk",             # ANN-at-scale family
+    "bloom_prefilter_decontam",       # sketch/selection family
 )
 # Deliberately under the FULL LOCAL GATE only this round: every other
-# r1-r7 driver-green query. All are hash-checked by
+# driver-green query. All are hash-checked by
 # tools/check_oracle.py and tests/test_queries.py each run.
 
 

@@ -17,9 +17,14 @@ existing production stages:
   dropping tombstoned (deleted) docs; composes the SAME sig/band stages
   as neardup_minhash_lsh / dedup_incremental_delta.
 - `embedding_source_psi` — per-source embedding drift: PSI of each
-  source's embedding-norm² distribution against the reference source's
-  decile bins (composes psi_value_drift's binning discipline with the
-  linalg dim-explode norm).
+  source's dim-1 marginal against the reference source's decile bins
+  (composes psi_value_drift's binning discipline at the
+  embedding_dim_stats grain; the fixture's embeddings are
+  unit-normalized, so norm-based drift is vacuous — probed).
+- `streaming_state_introspection` — the state store read BACK from
+  checkpoint files with Spark 4's `statestore` batch source and audited
+  per event_type (state rows, folded counts, window range) against an
+  exact batch oracle — the production state-debugging surface.
 
 No counterpart in the reference (a single-threaded pandas ETL,
 /root/reference/Scripts/transformers/steam_prices_transformer.py);
@@ -119,12 +124,19 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window resolution), with span/window counts — all exact integers."""
     from ..functions.text import ngram_hash_array, token_hash_array
 
+    from ..sources.tables import spread
+
     d = read_table(spark, sf_dir, "documents")
     # staged projections per the interpreted-HOF rule; cache the window
     # array BEFORE posexplode (Generate re-evaluates an uncached HOF
-    # chain per exploded row — the 50x shingle-index lesson).
+    # chain per exploded row — the 50x shingle-index lesson). spread()
+    # first: the W=8 unrolled window hash is ~4x heavier per row than
+    # the shingle chain and MEASURED 4.3 -> 1.1 s cold at sf0.1 with the
+    # round-robin exchange (the single-file landing otherwise runs the
+    # whole HOF stage on one task).
     winh = (
-        d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", token_hash_array(F.col("text")).alias("th"))
         .select(
             "doc_id", ngram_hash_array(F.col("th"), _LDS_W).alias("wh")
         )
@@ -385,19 +397,20 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Per-source embedding drift (PSI over the reference source's decile
-# bins). Value = dround(norm², 6) of each embedding (norm² is a
-# monotone transform of the norm, so decile binning — rank-based — is
-# unchanged and the sqrt ULP channel disappears); norm² is a SEQUENTIAL
-# index-order fold in BOTH engines (Spark aggregate() / DuckDB
-# list_reduce with a scalar accumulator), so the doubles are
-# bit-identical before quantization — float² is exact in double, but
-# SUM re-association is not, hence the pinned order. Reference source =
-# min(source) (deterministic, regeneration-proof); its 9 decile edges
-# (percentile == quantile_cont, CLAUDE.md) bin every source; PSI terms
-# use the psi_value_drift epsilon discipline.
+# bins). Value = the dim-1 MARGINAL of each embedding, dround(6) — a
+# per-coordinate drift monitor (the embedding_dim_stats grain). The
+# fixture's embeddings are UNIT-NORMALIZED (probed: norm² is exactly
+# 1.0 after dround(6) for all 500 sf0.001 vectors), so a norm-based
+# value is vacuous; a coordinate marginal carries real distributional
+# signal and stays pure codegen (element_at — no fold, no ULP-order
+# channel: the float32 -> double conversion is exact and identical in
+# both engines). Reference source = min(source) (deterministic,
+# regeneration-proof); its 9 decile edges (percentile == quantile_cont,
+# CLAUDE.md) bin every source; PSI terms use the psi_value_drift
+# epsilon discipline. The production form maps this over all d dims
+# (dim-explode) and alerts on max-PSI dim per source.
 #
-# Scale shape: one embeddings scan for the fold (interpreted HOF but
-# O(n·d) in a narrow stage), one bounded percentile pass on the
+# Scale shape: one embeddings scan, one bounded percentile pass on the
 # reference source, one (source, bin) aggregate; the edges and totals
 # ride broadcast crossJoins. The spine is sources × 10 bins so empty
 # bins surface with p_cur = 0.
@@ -410,11 +423,7 @@ def _epsi_sql() -> str:
     return f"""
 WITH j AS MATERIALIZED (
     SELECT d.source,
-           {R('''list_reduce(
-               list_prepend(CAST(0 AS DOUBLE),
-                   list_transform(e.embedding,
-                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-               (acc, x) -> acc + x)''', 6)} AS v
+           {R('CAST(e.embedding[1] AS DOUBLE)', 6)} AS v
     FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
 ),
 refsrc AS MATERIALIZED (SELECT min(source) AS ref FROM j),
@@ -474,8 +483,8 @@ WHERE sp.source <> r.ref
 
 @register("embedding_source_psi", _epsi_sql())
 def embedding_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(source, bin) PSI terms of embedding norm² vs the reference
-    (alphabetically-first) source's decile bins."""
+    """Per-(source, bin) PSI terms of the embedding dim-1 marginal vs
+    the reference (alphabetically-first) source's decile bins."""
     e = read_table(spark, sf_dir, "embeddings")
     d = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
@@ -483,12 +492,7 @@ def embedding_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e.join(d, "vec_id").select(
         "source",
         dround(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            ),
-            6,
+            F.element_at(F.col("embedding"), 1).cast("double"), 6
         ).alias("v"),
     )
     j = j.cache()  # session-per-query (ref pick + edges + binning)
@@ -558,4 +562,82 @@ def embedding_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("psi_term"),
         )
+    )
+
+# ===========================================================================
+# Streaming state-store introspection (Spark 4's `statestore` batch
+# reader): run the hourly stateful aggregation to a checkpoint, then
+# batch-read the state store FILES back and audit what the operator is
+# actually holding — per event_type: state-row count, the total count
+# folded into state, and the first/last window held. In production this
+# is the state-debugging / capacity-planning surface (state bloat, key
+# skew, watermark stalls) that otherwise needs the Spark UI; here the
+# whole audit is an exact-integer oracle row because one availableNow
+# batch folds every event into state.
+#
+# Scale shape: the state read is partition-parallel over the store's
+# own files (no shuffle until the bounded event_type rollup); the
+# streaming run is the same per-invocation-scratch discipline as
+# streaming_restart_carryover.
+# ===========================================================================
+
+_SSI_SQL = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
+               AS hs,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_state_rows,
+       CAST(sum(n) AS BIGINT) AS sum_state_count,
+       CAST(min(hs) AS BIGINT) AS first_hour,
+       CAST(max(hs) AS BIGINT) AS last_hour
+FROM hourly GROUP BY event_type
+"""
+
+
+@register("streaming_state_introspection", _SSI_SQL)
+def streaming_state_introspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event_type audit of the windowed-count operator's state
+    store, read back from checkpoint files with the `statestore` batch
+    source; equals the batch hourly rollup (complete-mode state holds
+    every window after one availableNow batch)."""
+    ev = read_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="spde_ssi_")
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .format("parquet")
+        .load(src)
+    )
+    sink = f"ssi_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.groupBy(
+        F.col("key.event_type").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_state_rows"),
+        F.sum(F.col("value.count")).cast("long").alias("sum_state_count"),
+        F.min(F.col("key.window.start").cast("long"))
+        .cast("long")
+        .alias("first_hour"),
+        F.max(F.col("key.window.start").cast("long"))
+        .cast("long")
+        .alias("last_hour"),
     )

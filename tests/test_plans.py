@@ -273,6 +273,13 @@ def test_projection_prunes_scan_columns(spark):
         "trigram_similarity_join",
         "soundex_token_blocks",
         "youden_threshold_pick",
+        # round-9 (plans/round6c.py probe + round9.py): all
+        # pure-relational except the streaming restart query (memory
+        # sink, plan is post-hoc)
+        "shard_order_probe",
+        "longest_dup_substring",
+        "dedup_index_compaction",
+        "embedding_source_psi",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

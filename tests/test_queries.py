@@ -64,107 +64,118 @@ def test_query_matches_oracle(spark, duck, name):
             err = f"{err} [capture failed: {cap_exc}]"
     assert err is None, f"{name}: {err}"
 
-
 def test_driver_sample_spans_families():
-    """The driver's CORRECTNESS gate samples the first 50 exported queries;
-    pin the round-8 rotation (VERDICT.md r7 task 2): the 16 queries with
-    no driver row after r7 (the round-7 tier + 2 parked) all sampled, the
-    round-8 additions all sampled, `shard_order_autocorr` re-sampled (the
-    r7 hash-red row, tie-proof-fixed r8), and every OTHER re-sampled
-    query is a DECLARED family representative — never an accidental
-    repeat."""
+    """The driver's CORRECTNESS gate samples the first 50 exported
+    queries; pin the round-9 rotation (VERDICT.md r8 tasks 1 + 5):
+
+    1. the one driver-red row (shard_order_autocorr) leads, with its
+       integer-only bisection probe right behind it;
+    2. every round-9 tier query (plans/round9.py) gets its first row;
+    3. every query whose CODE or ORACLE changed this round re-verifies
+       on driver data;
+    4. the rest starts the SECOND full rotation pass ordered by
+       staleness: each filler's most recent driver row is r1/r2 — never
+       an accidental repeat of a recently-green query;
+    5. the sample still spans every operator family.
+    """
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
 
-    never_sampled_16 = {
-        # plans/round7.py
-        "pii_pattern_audit",
-        "fleiss_kappa_rules",
-        "theil_sen_daily_trend",
-        "dedup_keeper_policy_eval",
-        "spearman_scorer_agreement",
-        "stratified_three_way_split",
-        "sequence_packing_efficiency",
-        "streaming_enriched_tumbling_agg",
-        # plans/round7b..7e.py
-        "knn_shapley_valuation",
-        "knn_shapley_truncation_error",
-        "fairness_gate_audit",
-        "coreset_kcenter_selection",
-        "fellegi_sunter_em",
+    assert first50[0] == "shard_order_autocorr"
+    assert first50[1] == "shard_order_probe"
+
+    from steam_prices_data_engineering_spark.plans import round9
+
+    r9_tier = {
+        n for n in registry.queries() if getattr(round9, n, None) is not None
+    }
+    assert r9_tier, "round-9 tier registered nothing"
+    assert r9_tier <= set(first50), sorted(r9_tier - set(first50))
+
+    changed_r9 = {
+        "youden_threshold_pick",
+        "soundex_token_blocks",
         "quantile_sketch_error_eval",
-        # the 2 parked pre-round-6 tail queries
-        "histogram_extendedprice",
-        "robust_stats_mad",
+        "eval_reservoir_sample",
+        "shard_skew_audit",
+        "stratified_three_way_split",
+        "shard_rebalance_movement",
     }
-    assert len(never_sampled_16) == 16
-    assert never_sampled_16 <= set(first50)
-    assert "shard_order_autocorr" in first50
+    assert changed_r9 <= set(first50)
 
-    # every round-8 addition must get a driver row this round
-    from steam_prices_data_engineering_spark.plans import (
-        round8,
-        round8b,
-        round8c,
-    )
-
-    round8_tier = {
-        n
-        for n in registry.queries()
-        if any(
-            getattr(m, n, None) is not None
-            for m in (round8, round8b, round8c)
-        )
-    }
-    assert round8_tier, "round-8 tier registered nothing"
-    assert round8_tier <= set(first50), sorted(round8_tier - set(first50))
-
-    # declared family representatives (one per operator family)
-    family_reps = {
-        "steam_job1_prices_etl",
-        "world_map_job2_deviation",
-        "flagship_nation_price_dev",
-        "dedup_exact_groups",
-        "neardup_minhash_lsh",
-        "semdedup_prune",
-        "containment_dedup_pairs",
-        "simsearch_topk_cosine",
-        "simsearch_ivf_pq_topk",
-        "multimodal_audio_windows",
-        "events_session_window",
-        "streaming_multires_rollup",
-        "text_stats_by_lang",
-        "bpe_train_merges",
-        "bm25_search_topk",
-        "dsir_importance_select",
-        "ols_normal_equations",
-        "bucketed_join_no_shuffle",
-        "textrank_keywords",
-    }
-
+    # staleness rule: every OTHER sampled name must have been driver-
+    # sampled ONLY in r1/r2 (second-pass rotation, stalest first)
     import json
     import os
 
-    sampled_before: set[str] = set()
-    for i in range(1, 8):
-        p = os.path.join(
-            os.path.dirname(__file__), "..", f"CORRECTNESS_r0{i}.json"
-        )
+    base = os.path.join(os.path.dirname(__file__), "..")
+    recent: set[str] = set()
+    early: set[str] = set()
+    for i in range(1, 9):
+        p = os.path.join(base, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(p):
-            sampled_before |= set(json.load(open(p)))
-    resampled = set(first50) & sampled_before
-    undeclared = resampled - family_reps - {"shard_order_autocorr"}
-    assert not undeclared, f"accidental re-samples: {sorted(undeclared)}"
-    # with all CORRECTNESS files present the sample must be exactly the
-    # 16 + round-8 tier + shard_order re-verify + declared reps subset
-    if len(sampled_before) >= 300:
-        fresh = set(first50) - sampled_before
-        assert never_sampled_16 | round8_tier == fresh | (
-            round8_tier & sampled_before
-        )
+            names = set(json.load(open(p)))
+            (early if i <= 2 else recent).update(names)
+    fillers = (
+        set(first50)
+        - {"shard_order_autocorr", "shard_order_probe"}
+        - r9_tier
+        - changed_r9
+    )
+    if early:  # CORRECTNESS history present
+        stale_violations = {
+            n for n in fillers if n in recent or n not in early
+        }
+        assert not stale_violations, sorted(stale_violations)
+
+    # family span: at least one member of every operator family
+    families = {
+        "reference-parity": {"case_remap_counts", "proj_filter_customers",
+                             "top1_recency", "window_max_fill",
+                             "global_agg_stats"},
+        "joins": {"anti_join_substring", "broadcast_join_orders_nation",
+                  "asof_join_events_orders", "range_join_price_bands",
+                  "full_outer_join_nation_counts", "nullsafe_join_status"},
+        "tpch-agg": {"tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+                     "tpch_q5_local_volume", "cube_returnflag_linestatus",
+                     "rollup_status_priority", "distinct_agg_per_status"},
+        "exact-dedup": {"dedup_exact_by_hash", "dedup_exact_groups"},
+        "near-dup": {"neardup_ngram_jaccard", "neardup_minhash_lsh",
+                     "doc_fingerprint_simhash"},
+        "semantic-substring-dedup": {"substring_dup_spans", "semdedup_prune",
+                                     "longest_dup_substring"},
+        "dedup-maintenance": {"dedup_index_compaction",
+                              "dedup_incremental_delta"},
+        "similarity-search": {"knn_join_topk", "simsearch_lsh_topk",
+                              "simsearch_topk_cosine"},
+        "selection-sketch": {"bloom_prefilter_decontam",
+                             "dsir_importance_select", "cms_heavy_hitters"},
+        "text-analysis": {"token_topk", "doc_quality_scores",
+                          "text_stats_by_lang"},
+        "quality-gates": {"youden_threshold_pick", "doc_quality_scores"},
+        "multimodal": {"multimodal_bytes", "events_json_props",
+                       "multimodal_audio_windows"},
+        "streaming": {"streaming_tumbling_window", "streaming_sliding_window",
+                      "streaming_restart_carryover"},
+        "batch-windows": {"events_tumbling_window", "events_sliding_window",
+                          "ranking_top_customers"},
+        "sharding-layout": {"shard_skew_audit", "shard_rebalance_movement",
+                            "shard_order_autocorr"},
+        "splits-sampling": {"stratified_three_way_split",
+                            "eval_reservoir_sample"},
+        "embedding-monitoring": {"embedding_source_psi",
+                                 "embedding_dim_stats"},
+        "quantiles": {"quantile_sketch_error_eval", "math_scalar_funcs"},
+        "function-surface": {"math_scalar_funcs",
+                             "string_agg_types_per_brand"},
+    }
+    missing = {
+        fam for fam, members in families.items()
+        if not members & set(first50)
+    }
+    assert not missing, sorted(missing)
     # every exported query still present exactly once overall
     assert len(registry.queries()) == len(set(registry.queries()))
-
 
 
 def _old_round2_sample_doc():

@@ -1,0 +1,242 @@
+"""Round-9 tier semantics, each against an INDEPENDENT mirror (pure
+Python, or a property the construction must satisfy) — the DuckDB
+oracle parity layer is tools/check_oracle.py; these tests pin intent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from steam_prices_data_engineering_spark.plans import registry
+from steam_prices_data_engineering_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+_P = 2_147_483_647
+_W = 8
+
+
+def _tok_hash(tok: str) -> int:
+    return len(tok) * 961 + 31 * ord(tok[0]) + ord(tok[-1])
+
+
+def _window_hashes(text: str) -> list[int]:
+    th = [_tok_hash(t) for t in text.split(" ")]
+    if len(th) < _W:
+        return []
+    out = []
+    for i in range(len(th) - _W + 1):
+        acc = th[i]
+        for j in range(1, _W):
+            acc = (acc * 8191 + th[i + j]) % _P
+        out.append(acc)
+    return out
+
+
+def test_longest_dup_substring_matches_python(spark):
+    """Brute-force mirror: mark window positions whose hash occurs in
+    >= 2 distinct docs, merge consecutive positions into runs, report
+    the per-doc longest run + W - 1; the query's top-20 must match the
+    mirror's (same total order: longest DESC, doc_id ASC)."""
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    owners: dict[int, set[int]] = {}
+    wh = {d: _window_hashes(t) for d, t in docs.items()}
+    for d, hs in wh.items():
+        for h in hs:
+            owners.setdefault(h, set()).add(d)
+    per_doc = []
+    for d, hs in wh.items():
+        dup_pos = [i + 1 for i, h in enumerate(hs) if len(owners[h]) >= 2]
+        if not dup_pos:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(dup_pos, dup_pos[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        per_doc.append((max(runs) + _W - 1, d, len(runs), sum(runs)))
+    want = sorted(per_doc, key=lambda r: (-r[0], r[1]))[:20]
+    got = [
+        (r.longest_dup_tokens, r.doc_id, r.n_spans, r.n_dup_windows)
+        for r in registry.queries()["longest_dup_substring"](
+            spark, SF
+        ).collect()
+    ]
+    assert sorted(got, key=lambda r: (-r[0], r[1])) == want
+    assert len(want) > 0  # the fixture's replicas must produce real runs
+
+
+def test_streaming_restart_equals_batch(spark):
+    """The registered restart query (two availableNow runs over one
+    checkpoint) must equal the batch hourly aggregate — the carryover
+    property itself is asserted in-builder (run1 strictly partial)."""
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value_micro)
+        for r in registry.queries()["streaming_restart_carryover"](
+            spark, SF
+        ).collect()
+    }
+    ev = read_table(spark, SF, "events")
+    want = {
+        (r.hour_start, r.event_type): (r.n_events, r.sum_value_micro)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value_micro",
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_index_compaction_invariants(spark):
+    """Per-band bookkeeping must reconcile with the band index derived
+    directly from the shared minhash stages: base+delta partition the
+    entries, tombstones are a subset of base, and live counts add up."""
+    from steam_prices_data_engineering_spark.operators.dedup import (
+        hashed_shingle_table,
+        minhash_banded,
+        minhash_sig_table,
+    )
+    from steam_prices_data_engineering_spark.plans.trainset import knuth_hash
+
+    rows = registry.queries()["dedup_index_compaction"](spark, SF).collect()
+    assert rows
+    d = read_table(spark, SF, "documents")
+    banded = minhash_banded(minhash_sig_table(hashed_shingle_table(d)))
+    bucket = knuth_hash() % 10
+    sides = d.select(
+        "doc_id",
+        (bucket >= 8).alias("is_delta"),
+        (bucket == 0).alias("is_tomb"),
+    )
+    tagged = banded.join(sides, "doc_id")
+    per_band = {
+        r.band_idx: (r.n_base, r.n_tomb, r.n_delta)
+        for r in tagged.groupBy("band_idx")
+        .agg(
+            F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("is_tomb"), 1).otherwise(0)).alias("n_tomb"),
+            F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).alias("n_delta"),
+        )
+        .collect()
+    }
+    for r in rows:
+        nb, nt, nd = per_band[r.band_idx]
+        assert (r.n_base, r.n_tombstoned, r.n_delta) == (nb, nt, nd)
+        assert r.n_live == nb - nt + nd
+        assert 0 <= r.n_tombstoned <= r.n_base
+        assert 0 < r.n_live_buckets <= r.n_live
+
+
+def _dround(x: float, s: int = 6) -> float:
+    f = float(10**s)
+    return math.floor(x * f + 0.5) / f
+
+
+def test_embedding_source_psi_matches_python(spark):
+    """Pure-Python mirror with the SAME arithmetic: the dim-1 marginal
+    (float32 -> double is exact), Spark's WEIGHTED percentile
+    interpolation ((hi-pos)*lo + (pos-lo)*hi, CLAUDE.md), decile
+    binning by value > edge, PSI terms with the 1e-6 epsilon."""
+    e = {
+        r.vec_id: float(r.embedding[0])
+        for r in read_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for vid, x0 in e.items():
+        if vid not in src:
+            continue
+        vals.setdefault(src[vid], []).append(_dround(x0))
+    ref = min(vals)
+    rv = sorted(vals[ref])
+    edges = []
+    for i in range(1, 10):
+        pos = (len(rv) - 1) * (i / 10.0)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        # integral pos: both weights vanish — the edge IS the exact rank
+        ev = rv[lo] if lo == hi else (hi - pos) * rv[lo] + (pos - lo) * rv[hi]
+        edges.append(_dround(ev))
+
+    def binof(v: float) -> int:
+        return 1 + sum(1 for ed in edges if v > ed)
+
+    cnt: dict[tuple[str, int], int] = {}
+    for s, vs in vals.items():
+        for v in vs:
+            cnt[(s, binof(v))] = cnt.get((s, binof(v)), 0) + 1
+    ref_tot = float(len(vals[ref]))
+    p_ref = {b: cnt.get((ref, b), 0) / ref_tot for b in range(1, 11)}
+    got = registry.queries()["embedding_source_psi"](spark, SF).collect()
+    assert {r.source for r in got} == set(vals) - {ref}
+    eps = 1e-6
+    for r in got:
+        n = cnt.get((r.source, r.bin), 0)
+        assert r.n_cur == n
+        pc = n / float(len(vals[r.source]))
+        pr = p_ref[r.bin]
+        assert abs(r.p_cur - _dround(pc)) < 1e-12
+        assert abs(r.p_ref - _dround(pr)) < 1e-12
+        term = (pc - pr) * math.log(max(pc, eps) / max(pr, eps))
+        assert abs(r.psi_term - term) <= 1.1e-6
+
+
+def test_state_introspection_matches_batch_rollup(spark):
+    """The state read back from checkpoint files must hold EXACTLY one
+    row per (hour, event_type) with the batch count folded in."""
+    got = {
+        r.event_type: (r.n_state_rows, r.sum_state_count, r.first_hour,
+                       r.last_hour)
+        for r in registry.queries()["streaming_state_introspection"](
+            spark, SF
+        ).collect()
+    }
+    ev = read_table(spark, SF, "events")
+    want = {
+        r.event_type: (r.n, r.tot, r.lo, r.hi)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("tot"),
+            F.min(F.col("w.start").cast("long")).cast("long").alias("lo"),
+            F.max(F.col("w.start").cast("long")).cast("long").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -97,6 +97,17 @@ QUERIES = [
     "trigram_similarity_join",
     "soundex_token_blocks",
     "youden_threshold_pick",
+    # round-9: the window-hash dup-run generator (stride-1 index — the
+    # growth law to watch: dup positions should track the replica
+    # structure ~linearly, never all-pairs), the band-index compaction
+    # bookkeeping (bounded band grain), the per-source PSI (bounded
+    # spine), and the shard-order audit pair (linear scan + 16-row
+    # grain; the probe rides along as a regression sentinel)
+    "longest_dup_substring",
+    "dedup_index_compaction",
+    "embedding_source_psi",
+    "shard_order_autocorr",
+    "shard_order_probe",
 ]
 
 SCALES = [
