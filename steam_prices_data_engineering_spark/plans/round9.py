@@ -271,17 +271,24 @@ def streaming_restart_carryover(
     scratch = tempfile.mkdtemp(prefix="spde_restart_")
     src = os.path.join(scratch, "src")
     ckpt = os.path.join(scratch, "ckpt")
-    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    n_even, n_odd = evens.count(), odds.count()
+    evens.write.mode("append").parquet(src)
     sink1 = _restart_run_once(spark, src, ckpt)
     n1 = spark.table(sink1).agg(F.sum("n_events")).collect()[0][0] or 0
-    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    odds.write.mode("append").parquet(src)
     sink2 = _restart_run_once(spark, src, ckpt)
     n2 = spark.table(sink2).agg(F.sum("n_events")).collect()[0][0] or 0
-    if not (0 < n1 < n2):
+    # exact carryover proof (empty-input safe: 0 == 0 on empty events):
+    # run 1 saw exactly the even batch; the restarted run's state covers
+    # even + odd — a rebuilt state would total only n_odd.
+    if n1 != n_even or n2 != n_even + n_odd:
         raise RuntimeError(
-            f"checkpoint carryover violated: run1 saw {n1} events, "
-            f"restarted run totals {n2} — state was rebuilt or batch 2 "
-            "leaked into run 1"
+            f"checkpoint carryover violated: run1 totals {n1} (expected "
+            f"{n_even}), restarted run totals {n2} (expected "
+            f"{n_even + n_odd}) — state was rebuilt or batch 2 leaked "
+            "into run 1"
         )
     return spark.table(sink2).select(
         "hour_start", "event_type", "n_events", "sum_value_micro"

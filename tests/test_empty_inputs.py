@@ -253,6 +253,15 @@ REPRESENTATIVES = [
     "trigram_similarity_join",
     "soundex_token_blocks",
     "youden_threshold_pick",
+    # round-9 (the streaming pair is empty-safe by construction: the
+    # carryover guard compares exact batch counts, 0 == 0 on empty, and
+    # the statestore read of a no-input checkpoint returns 0 rows)
+    "longest_dup_substring",
+    "dedup_index_compaction",
+    "embedding_source_psi",
+    "shard_order_probe",
+    "streaming_restart_carryover",
+    "streaming_state_introspection",
 ]
 
 
