@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "shard_order_autocorr",
     "shard_order_probe",
     "streaming_state_introspection",
+    "longest_dup_span_pairs",
 ]
 
 

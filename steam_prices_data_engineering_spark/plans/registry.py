@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_index_compaction",         # band-index merge w/ tombstones
     "embedding_source_psi",           # per-source embedding drift
     "streaming_state_introspection",  # statestore batch-reader audit
+    "longest_dup_span_pairs",         # pairwise shared-span attribution
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -105,7 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "broadcast_join_orders_nation",
     "case_remap_counts",
     "cross_join_region_status",
-    "cube_returnflag_linestatus",
     "dedup_exact_by_hash",
     "distinct_agg_per_status",
     "doc_fingerprint_simhash",

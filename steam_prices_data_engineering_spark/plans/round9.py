@@ -69,11 +69,11 @@ _LDS_W = 8  # window width in tokens
 _LDS_TOP = 20
 
 
-def _lds_sql() -> str:
+def _lds_wpos_ctes() -> str:
+    """tokhash -> winh -> wpos CTE prefix (SQL twin of _lds_wpos)."""
     from ..functions.sqlfrag import sql_ngram_hashes, sql_token_hashes
 
-    return f"""
-WITH tokhash AS (
+    return f"""tokhash AS (
     SELECT doc_id, {sql_token_hashes()} AS th FROM documents
 ),
 winh AS (
@@ -85,7 +85,12 @@ wpos AS (
                generate_subscripts(wh, 1) AS pos
         FROM winh
     )
-),
+)"""
+
+
+def _lds_sql() -> str:
+    return f"""
+WITH {_lds_wpos_ctes()},
 duph AS (
     SELECT h FROM wpos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
 ),
@@ -118,22 +123,21 @@ LIMIT {_LDS_TOP}
 """
 
 
-@register("longest_dup_substring", _lds_sql())
-def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 docs by longest duplicated substring (in tokens, W=8
-    window resolution), with span/window counts — all exact integers."""
-    from ..functions.text import ngram_hash_array, token_hash_array
+def _lds_wpos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHED (doc_id, pos, h) stride-1 window-hash positions — the
+    shared first stage of both suffix-grain dup queries.
 
+    Staged projections per the interpreted-HOF rule; the window array
+    is cached BEFORE posexplode (Generate re-evaluates an uncached HOF
+    chain per exploded row — the 50x shingle-index lesson). spread()
+    first: the W=8 unrolled window hash is ~4x heavier per row than the
+    shingle chain and MEASURED 4.3 -> 1.1 s cold at sf0.1 with the
+    round-robin exchange (the single-file landing otherwise runs the
+    whole HOF stage on one task)."""
+    from ..functions.text import ngram_hash_array, token_hash_array
     from ..sources.tables import spread
 
     d = read_table(spark, sf_dir, "documents")
-    # staged projections per the interpreted-HOF rule; cache the window
-    # array BEFORE posexplode (Generate re-evaluates an uncached HOF
-    # chain per exploded row — the 50x shingle-index lesson). spread()
-    # first: the W=8 unrolled window hash is ~4x heavier per row than
-    # the shingle chain and MEASURED 4.3 -> 1.1 s cold at sf0.1 with the
-    # round-robin exchange (the single-file landing otherwise runs the
-    # whole HOF stage on one task).
     winh = (
         spread(d.select("doc_id", "text"))
         .select("doc_id", token_hash_array(F.col("text")).alias("th"))
@@ -145,7 +149,14 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpos = winh.select(
         "doc_id", F.posexplode(F.col("wh")).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    wpos = wpos.cache()  # session-per-query (dup-hash agg + position probe)
+    return wpos.cache()  # session-per-query (dup agg + position probes)
+
+
+@register("longest_dup_substring", _lds_sql())
+def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by longest duplicated substring (in tokens, W=8
+    window resolution), with span/window counts — all exact integers."""
+    wpos = _lds_wpos(spark, sf_dir)
     duph = (
         wpos.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -647,4 +658,120 @@ def streaming_state_introspection(
         F.max(F.col("key.window.start").cast("long"))
         .cast("long")
         .alias("last_hour"),
+    )
+
+# ===========================================================================
+# Pairwise longest-shared-span attribution (round 9b): the TRUE
+# longest-common-substring report per DOCUMENT PAIR — Lee et al. 2022's
+# matched-span extension, relationalized. Window matches between two
+# docs at positions (pa, pb) extend into a longer shared substring
+# exactly when BOTH advance by one, i.e. along a CONSTANT DIAGONAL
+# pa - pb; so per (doc_a, doc_b, diag), consecutive pa runs are maximal
+# shared spans, and a run of L windows certifies L + W - 1 shared
+# tokens WITH the partner attributed (longest_dup_substring reports the
+# per-doc signal without naming the partner; this names it and cannot
+# chimera two different partners into one span).
+#
+# Scale shape: the match relation is a SELF-EQUI-JOIN of wpos on the
+# window hash, DF-CAPPED at the hash grain (windows held by more than
+# _LDS_PAIR_CAP distinct docs are boilerplate/stop-windows; skipping
+# them bounds per-hash pair fan-out at CAP², the containment-dedup
+# discipline — the trade is stated, and the cap is an audit knob).
+# Islands/rollups are map-side-combined groupBys on (pair, diag); the
+# report is TakeOrderedAndProject.
+# ===========================================================================
+
+_LDS_PAIR_CAP = 16
+
+
+def _ldsp_sql() -> str:
+    return f"""
+WITH {_lds_wpos_ctes()},
+hocc AS MATERIALIZED (
+    SELECT h FROM wpos GROUP BY h
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_LDS_PAIR_CAP}
+),
+m AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           a.pos AS pa, a.pos - b.pos AS diag
+    FROM wpos a
+    JOIN hocc s ON s.h = a.h
+    JOIN wpos b ON b.h = a.h AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT da, db, diag,
+           pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS grp
+    FROM m
+),
+spans AS (
+    SELECT da, db, CAST(count(*) AS BIGINT) AS run_windows
+    FROM runs GROUP BY da, db, diag, grp
+),
+per_pair AS (
+    SELECT da, db,
+           CAST(max(run_windows) + {_LDS_W - 1} AS BIGINT)
+               AS longest_shared_tokens,
+           CAST(count(*) AS BIGINT) AS n_shared_spans
+    FROM spans GROUP BY da, db
+)
+SELECT CAST(da AS BIGINT) AS doc_id_a, CAST(db AS BIGINT) AS doc_id_b,
+       longest_shared_tokens, n_shared_spans
+FROM per_pair
+ORDER BY longest_shared_tokens DESC, doc_id_a ASC, doc_id_b ASC
+LIMIT {_LDS_TOP}
+"""
+
+
+@register("longest_dup_span_pairs", _ldsp_sql())
+def longest_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by longest shared substring (tokens, W=8
+    resolution, constant-diagonal run extension), with span counts."""
+    wpos = _lds_wpos(spark, sf_dir)
+    hocc = (
+        wpos.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _LDS_PAIR_CAP))
+        .select("h")
+    )
+    a = wpos.join(hocc, "h", "left_semi").alias("a")
+    b = wpos.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wrn = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    spans = (
+        m.select(
+            "da", "db", "diag",
+            (F.col("pa") - F.row_number().over(wrn)).alias("grp"),
+        )
+        .groupBy("da", "db", "diag", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_windows"))
+    )
+    per_pair = spans.groupBy("da", "db").agg(
+        (F.max("run_windows") + (_LDS_W - 1))
+        .cast("long")
+        .alias("longest_shared_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_spans"),
+    )
+    return (
+        per_pair.select(
+            F.col("da").cast("long").alias("doc_id_a"),
+            F.col("db").cast("long").alias("doc_id_b"),
+            "longest_shared_tokens",
+            "n_shared_spans",
+        )
+        .orderBy(
+            F.desc("longest_shared_tokens"),
+            F.asc("doc_id_a"),
+            F.asc("doc_id_b"),
+        )
+        .limit(_LDS_TOP)
     )

@@ -257,6 +257,7 @@ REPRESENTATIVES = [
     # carryover guard compares exact batch counts, 0 == 0 on empty, and
     # the statestore read of a no-input checkpoint returns 0 rows)
     "longest_dup_substring",
+    "longest_dup_span_pairs",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

@@ -278,6 +278,7 @@ def test_projection_prunes_scan_columns(spark):
         # sink, plan is post-hoc)
         "shard_order_probe",
         "longest_dup_substring",
+        "longest_dup_span_pairs",
         "dedup_index_compaction",
         "embedding_source_psi",
     ],

@@ -240,3 +240,58 @@ def test_state_introspection_matches_batch_rollup(spark):
         .collect()
     }
     assert got == want
+
+
+def test_longest_dup_span_pairs_matches_python(spark):
+    """Brute-force mirror of the constant-diagonal matched-span
+    extension: for every doc pair sharing a window hash (held by 2..CAP
+    docs), runs of consecutive pa on the same pa - pb diagonal are
+    maximal shared spans; per pair report max + count, top-20 on the
+    pinned total order."""
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    wh = {d: _window_hashes(t) for d, t in docs.items()}
+    owners: dict[int, set[int]] = {}
+    for d, hs in wh.items():
+        for h in hs:
+            owners.setdefault(h, set()).add(d)
+    eligible = {h for h, o in owners.items() if 2 <= len(o) <= 16}
+    pos: dict[int, list[tuple[int, int]]] = {}
+    for d, hs in wh.items():
+        for i, h in enumerate(hs):
+            if h in eligible:
+                pos.setdefault(h, []).append((d, i + 1))
+    cells: dict[tuple[int, int, int], list[int]] = {}
+    for h, occ in pos.items():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    cells.setdefault((da, db, pa - pb), []).append(pa)
+    spans: dict[tuple[int, int], list[int]] = {}
+    for (da, db, _diag), pas in cells.items():
+        pas = sorted(set(pas))
+        cur = 1
+        for a, b in zip(pas, pas[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                spans.setdefault((da, db), []).append(cur)
+                cur = 1
+        spans.setdefault((da, db), []).append(cur)
+    per_pair = [
+        (max(rs) + _W - 1, da, db, len(rs))
+        for (da, db), rs in spans.items()
+    ]
+    want = sorted(per_pair, key=lambda r: (-r[0], r[1], r[2]))[:20]
+    got = [
+        (r.longest_shared_tokens, r.doc_id_a, r.doc_id_b, r.n_shared_spans)
+        for r in registry.queries()["longest_dup_span_pairs"](
+            spark, SF
+        ).collect()
+    ]
+    assert sorted(got, key=lambda r: (-r[0], r[1], r[2])) == want
+    assert len(want) > 0

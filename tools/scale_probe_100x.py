@@ -104,6 +104,7 @@ QUERIES = [
     # spine), and the shard-order audit pair (linear scan + 16-row
     # grain; the probe rides along as a regression sentinel)
     "longest_dup_substring",
+    "longest_dup_span_pairs",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_autocorr",
