@@ -424,6 +424,24 @@ SHOWCASE: list[tuple[str, str]] = [
         "integer sums at the day grain, and the diff join is "
         "calendar-bounded.",
     ),
+    (
+        "longest_dup_span_pairs",
+        "Pairwise longest-common-substring: the match relation is a "
+        "SELF-EQUI-JOIN of the cached window-hash positions on the hash "
+        "(shuffle key = 31-bit window hash), DF-capped via a left-semi "
+        "filter at 2..16 docs per hash so per-hash fan-out is bounded; "
+        "runs merge map-side-combined on (pair, diagonal) and the "
+        "report is TakeOrderedAndProject — never an all-pairs product, "
+        "never a global sort.",
+    ),
+    (
+        "dedup_index_compaction",
+        "Band-index compaction: ONE sig/band derivation (the shared "
+        "MinHash stages, staged projections) feeds two map-side-combined "
+        "rollups on the bounded band_idx grain from a single cached "
+        "tagged frame — the per-band bookkeeping that scopes which "
+        "band partitions rewrite at 100 TB.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
