@@ -118,7 +118,7 @@ per_doc AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, longest_dup_tokens, n_spans,
        n_dup_windows
 FROM per_doc
-ORDER BY longest_dup_tokens DESC, doc_id ASC
+ORDER BY longest_dup_tokens DESC, doc_id ASC NULLS FIRST
 LIMIT {_LDS_TOP}
 """
 
@@ -718,7 +718,8 @@ per_pair AS (
 SELECT CAST(da AS BIGINT) AS doc_id_a, CAST(db AS BIGINT) AS doc_id_b,
        longest_shared_tokens, n_shared_spans
 FROM per_pair
-ORDER BY longest_shared_tokens DESC, doc_id_a ASC, doc_id_b ASC
+ORDER BY longest_shared_tokens DESC, doc_id_a ASC NULLS FIRST,
+         doc_id_b ASC NULLS FIRST
 LIMIT {_LDS_TOP}
 """
 

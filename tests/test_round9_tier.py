@@ -295,3 +295,50 @@ def test_longest_dup_span_pairs_matches_python(spark):
     ]
     assert sorted(got, key=lambda r: (-r[0], r[1], r[2])) == want
     assert len(want) > 0
+
+
+def test_round9_text_queries_null_hostile_parity(spark, tmp_path):
+    """Driver regenerations may carry NULL text / NULL doc_id; pin
+    Spark == DuckDB for the round-9 suffix-dedup queries on a hostile
+    fixture (NULL text explodes to 0 windows on BOTH sides: Spark's
+    size(NULL) = -1 < W picks the empty array, DuckDB's range(1, NULL)
+    unnests to nothing)."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    base = "x y " + " ".join(f"t{i}" for i in range(12))
+    rows = [
+        (1, base + " tail one", "en", "web", 60),
+        (2, None, "en", "web", 0),          # NULL text
+        (None, base + " tail two", "en", "books", 60),  # NULL doc_id
+        (4, base + " tail one", "en", "wiki", 60),      # exact dup of 1
+        (5, "short words only here", "en", "web", 20),  # < W tokens
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    def nkey(t):  # NULL doc_id rows sort without None < int TypeErrors
+        return tuple((v is None, v) for v in t)
+
+    for name in ("longest_dup_substring", "longest_dup_span_pairs"):
+        sdf = registry.queries()[name](spark, str(tmp_path))
+        srows = sorted(
+            (tuple(r) for r in sdf.select(sorted(sdf.columns)).collect()),
+            key=nkey,
+        )
+        rel = con.execute(registry.oracle_sql()[name])
+        cols = [d[0] for d in rel.description]
+        idx = [cols.index(c) for c in sorted(cols)]
+        drows = sorted(
+            (tuple(r[i] for i in idx) for r in rel.fetchall()), key=nkey
+        )
+        assert srows == drows, (name, srows, drows)
+        assert srows, name  # the dup pair must actually surface
