@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "shard_order_probe",
     "streaming_state_introspection",
     "longest_dup_span_pairs",
+    "pii_redaction_transform",
 ]
 
 

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_source_psi",           # per-source embedding drift
     "streaming_state_introspection",  # statestore batch-reader audit
     "longest_dup_span_pairs",         # pairwise shared-span attribution
+    "pii_redaction_transform",        # governance rewrite + checksum
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -123,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "proj_filter_customers",
     "range_join_price_bands",
     "ranking_top_customers",
-    "rollup_status_priority",
     "streaming_sliding_window",
     "streaming_tumbling_window",
     "string_agg_types_per_brand",

@@ -107,10 +107,11 @@ _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_PHONE = "\\+[0-9]{7,}"
 _PII_DIGITS = "[0-9]{6,}"
 
-_PII_SQL = f"""
-WITH msg AS (
-    SELECT event_type,
-           concat_ws(' ', 'evt', lpad(CAST(event_id AS VARCHAR), 8, '0'),
+
+def pii_line_sql() -> str:
+    """The synthesized contact line (DuckDB dialect) — shared by the
+    round-7 audit and the round-9 redaction transform."""
+    return """concat_ws(' ', 'evt', lpad(CAST(event_id AS VARCHAR), 8, '0'),
                'user', CAST(user_id AS VARCHAR), props,
                CASE WHEN user_id % 3 = 0
                     THEN 'contact u' || CAST(user_id AS VARCHAR)
@@ -118,7 +119,39 @@ WITH msg AS (
                CASE WHEN event_id % 5 < 2
                     THEN 'call +1415555'
                          || lpad(CAST(event_id % 1000 AS VARCHAR), 4, '0')
-               END) AS line
+               END)"""
+
+
+def pii_line_col() -> F.Column:
+    """Spark twin of pii_line_sql()."""
+    return F.concat_ws(
+        " ",
+        F.lit("evt"),
+        F.lpad(F.col("event_id").cast("string"), 8, "0"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+        F.col("props"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(
+                F.lit("contact u"),
+                F.col("user_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        F.when(
+            F.col("event_id") % 5 < 2,
+            F.concat(
+                F.lit("call +1415555"),
+                F.lpad((F.col("event_id") % 1000).cast("string"), 4, "0"),
+            ),
+        ),
+    )
+
+
+_PII_SQL = f"""
+WITH msg AS (
+    SELECT event_type, {pii_line_sql()} AS line
     FROM events
 ),
 hits AS (
@@ -149,29 +182,7 @@ def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type counts/rates of email, phone and long-digit-run
     patterns over the synthesized contact line."""
     e = read_table(spark, sf_dir, "events")
-    line = F.concat_ws(
-        " ",
-        F.lit("evt"),
-        F.lpad(F.col("event_id").cast("string"), 8, "0"),
-        F.lit("user"),
-        F.col("user_id").cast("string"),
-        F.col("props"),
-        F.when(
-            F.col("user_id") % 3 == 0,
-            F.concat(
-                F.lit("contact u"),
-                F.col("user_id").cast("string"),
-                F.lit("@example.com"),
-            ),
-        ),
-        F.when(
-            F.col("event_id") % 5 < 2,
-            F.concat(
-                F.lit("call +1415555"),
-                F.lpad((F.col("event_id") % 1000).cast("string"), 4, "0"),
-            ),
-        ),
-    )
+    line = pii_line_col()
     hits = e.select(
         "event_type",
         F.size(F.regexp_extract_all(line, F.lit(_PII_EMAIL), F.lit(0))).alias(

@@ -776,3 +776,119 @@ def longest_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_LDS_TOP)
     )
+
+# ===========================================================================
+# PII redaction TRANSFORM (round 9c): the round-7 audit counts PII; a
+# governance pipeline must also REWRITE it. Staged regexp_replace chain
+# in a pinned order — emails first (their digit runs vanish with them),
+# then international phone tokens, then residual 6+-digit runs — each
+# count taken on the string state the replacement actually sees, so the
+# per-type replacement totals are exact in both engines. The rebuilt
+# corpus itself is verified by an ORDER-FREE integer checksum (sum of
+# 24-bit md5 prefixes of the redacted lines), not just by counts — the
+# partition_fingerprint_diff discipline applied to a transform output.
+#
+# Scale shape: one event scan; every stage is a per-row codegen'd
+# regexp over the staged line projection; the report is a map-side-
+# combined aggregate on the bounded event_type grain. DuckDB needs the
+# 'g' flag (its regexp_replace is first-match by default; Spark's is
+# global) — parity pinned by the oracle gate and the hostile test.
+# ===========================================================================
+
+def _pii_redact_sql() -> str:
+    from ..functions.sqlfrag import sql_md5_hex6_to_int
+    from .round7 import _PII_DIGITS, _PII_EMAIL, _PII_PHONE, pii_line_sql
+
+    chk = sql_md5_hex6_to_int("r3")
+    return f"""
+WITH msg AS (
+    SELECT event_type, {pii_line_sql()} AS line FROM events
+),
+s1 AS (
+    SELECT event_type, line,
+           CAST(len(regexp_extract_all(line, '{_PII_EMAIL}')) AS BIGINT)
+               AS e_cnt,
+           regexp_replace(line, '{_PII_EMAIL}', '<EMAIL>', 'g') AS r1
+    FROM msg
+),
+s2 AS (
+    SELECT event_type, line, e_cnt,
+           CAST(len(regexp_extract_all(r1, '{_PII_PHONE}')) AS BIGINT)
+               AS p_cnt,
+           regexp_replace(r1, '{_PII_PHONE}', '<PHONE>', 'g') AS r2
+    FROM s1
+),
+s3 AS (
+    SELECT event_type, line, e_cnt, p_cnt,
+           CAST(len(regexp_extract_all(r2, '{_PII_DIGITS}')) AS BIGINT)
+               AS d_cnt,
+           regexp_replace(r2, '{_PII_DIGITS}', '<NUM>', 'g') AS r3
+    FROM s2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN line <> r3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_redacted,
+       CAST(sum(e_cnt) AS BIGINT) AS n_email_repl,
+       CAST(sum(p_cnt) AS BIGINT) AS n_phone_repl,
+       CAST(sum(d_cnt) AS BIGINT) AS n_digit_repl,
+       CAST(sum({chk}) AS BIGINT) AS redacted_checksum
+FROM s3
+GROUP BY event_type
+"""
+
+
+@register("pii_redaction_transform", _pii_redact_sql())
+def pii_redaction_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type redaction report: events touched, replacements by
+    pattern class, and an order-free integer checksum of the REDACTED
+    corpus proving the rewritten text matches byte-for-byte."""
+    from ..functions.text import md5_hex6_to_int
+    from .round7 import _PII_DIGITS, _PII_EMAIL, _PII_PHONE, pii_line_col
+
+    e = read_table(spark, sf_dir, "events")
+    s1 = e.select("event_type", pii_line_col().alias("line")).select(
+        "event_type",
+        "line",
+        F.size(
+            F.regexp_extract_all(F.col("line"), F.lit(_PII_EMAIL), F.lit(0))
+        )
+        .cast("long")
+        .alias("e_cnt"),
+        F.regexp_replace(F.col("line"), _PII_EMAIL, "<EMAIL>").alias("r1"),
+    )
+    s2 = s1.select(
+        "event_type",
+        "line",
+        "e_cnt",
+        F.size(
+            F.regexp_extract_all(F.col("r1"), F.lit(_PII_PHONE), F.lit(0))
+        )
+        .cast("long")
+        .alias("p_cnt"),
+        F.regexp_replace(F.col("r1"), _PII_PHONE, "<PHONE>").alias("r2"),
+    )
+    s3 = s2.select(
+        "event_type",
+        "line",
+        "e_cnt",
+        "p_cnt",
+        F.size(
+            F.regexp_extract_all(F.col("r2"), F.lit(_PII_DIGITS), F.lit(0))
+        )
+        .cast("long")
+        .alias("d_cnt"),
+        F.regexp_replace(F.col("r2"), _PII_DIGITS, "<NUM>").alias("r3"),
+    )
+    return s3.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("line") != F.col("r3"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_redacted"),
+        F.sum("e_cnt").cast("long").alias("n_email_repl"),
+        F.sum("p_cnt").cast("long").alias("n_phone_repl"),
+        F.sum("d_cnt").cast("long").alias("n_digit_repl"),
+        F.sum(md5_hex6_to_int(F.col("r3")))
+        .cast("long")
+        .alias("redacted_checksum"),
+    )

@@ -258,6 +258,7 @@ REPRESENTATIVES = [
     # the statestore read of a no-input checkpoint returns 0 rows)
     "longest_dup_substring",
     "longest_dup_span_pairs",
+    "pii_redaction_transform",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

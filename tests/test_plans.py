@@ -279,6 +279,7 @@ def test_projection_prunes_scan_columns(spark):
         "shard_order_probe",
         "longest_dup_substring",
         "longest_dup_span_pairs",
+        "pii_redaction_transform",
         "dedup_index_compaction",
         "embedding_source_psi",
     ],

@@ -342,3 +342,66 @@ def test_round9_text_queries_null_hostile_parity(spark, tmp_path):
         )
         assert srows == drows, (name, srows, drows)
         assert srows, name  # the dup pair must actually surface
+
+
+def test_pii_redaction_matches_python_re(spark):
+    """Independent mirror with Python's re module: same staged order
+    (emails, then phones, then residual digit runs), counts taken on the
+    string state each replacement sees, checksum = sum of 24-bit md5
+    prefixes of the redacted lines."""
+    import hashlib
+    import re
+
+    from steam_prices_data_engineering_spark.plans.round7 import (
+        _PII_DIGITS,
+        _PII_EMAIL,
+        _PII_PHONE,
+    )
+
+    rows = (
+        read_table(spark, SF, "events")
+        .select("event_id", "user_id", "event_type", "props")
+        .collect()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        parts = [
+            "evt",
+            str(r.event_id).rjust(8, "0"),
+            "user",
+            str(r.user_id),
+            r.props,
+        ]
+        if r.user_id % 3 == 0:
+            parts.append(f"contact u{r.user_id}@example.com")
+        if r.event_id % 5 < 2:
+            parts.append("call +1415555" + str(r.event_id % 1000).rjust(4, "0"))
+        line = " ".join(p for p in parts if p is not None)
+        e_cnt = len(re.findall(_PII_EMAIL, line))
+        r1 = re.sub(_PII_EMAIL, "<EMAIL>", line)
+        p_cnt = len(re.findall(_PII_PHONE, r1))
+        r2 = re.sub(_PII_PHONE, "<PHONE>", r1)
+        d_cnt = len(re.findall(_PII_DIGITS, r2))
+        r3 = re.sub(_PII_DIGITS, "<NUM>", r2)
+        chk = int(hashlib.md5(r3.encode()).hexdigest()[:6], 16)
+        a = agg.setdefault(r.event_type, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if line != r3 else 0
+        a[2] += e_cnt
+        a[3] += p_cnt
+        a[4] += d_cnt
+        a[5] += chk
+    got = {
+        r.event_type: [
+            r.n_events,
+            r.n_redacted,
+            r.n_email_repl,
+            r.n_phone_repl,
+            r.n_digit_repl,
+            r.redacted_checksum,
+        ]
+        for r in registry.queries()["pii_redaction_transform"](
+            spark, SF
+        ).collect()
+    }
+    assert got == agg

@@ -105,6 +105,7 @@ QUERIES = [
     # grain; the probe rides along as a regression sentinel)
     "longest_dup_substring",
     "longest_dup_span_pairs",
+    "pii_redaction_transform",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_autocorr",
