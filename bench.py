@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "streaming_state_introspection",
     "longest_dup_span_pairs",
     "pii_redaction_transform",
+    "ivm_join_delta_merge",
+    "matryoshka_prefix_recall",
+    "bitext_margin_mining",
 ]
 
 

@@ -91,6 +91,10 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_state_introspection",  # statestore batch-reader audit
     "longest_dup_span_pairs",         # pairwise shared-span attribution
     "pii_redaction_transform",        # governance rewrite + checksum
+    # -- round-9d tier (plans/round9d.py): zero driver rows --
+    "ivm_join_delta_merge",           # join-view delta maintenance
+    "matryoshka_prefix_recall",       # prefix-dim retrieval fidelity
+    "bitext_margin_mining",           # margin-scored pair mining
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -114,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_json_props",
     "events_sliding_window",
     "events_tumbling_window",
-    "full_outer_join_nation_counts",
     "global_agg_stats",
     "knn_join_topk",
     "left_join_nation_customer_stats",
@@ -124,14 +127,12 @@ _PRIORITY: tuple[str, ...] = (
     "proj_filter_customers",
     "range_join_price_bands",
     "ranking_top_customers",
-    "streaming_sliding_window",
     "streaming_tumbling_window",
     "string_agg_types_per_brand",
     "token_topk",
     "top1_recency",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
     "window_max_fill",
     # family-variety anchors from the r2-stale set
     "substring_dup_spans",            # semantic/substring dedup family

@@ -259,6 +259,9 @@ REPRESENTATIVES = [
     "longest_dup_substring",
     "longest_dup_span_pairs",
     "pii_redaction_transform",
+    "ivm_join_delta_merge",
+    "matryoshka_prefix_recall",
+    "bitext_margin_mining",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

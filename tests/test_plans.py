@@ -53,6 +53,23 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark):
     assert "SortMergeJoin" not in tree, tree
 
 
+def test_round9d_plan_shapes(spark):
+    """Round-9d scale claims: the IVM maintenance terms join broadcast
+    (never sort-merge at this scale), the embedding panels broadcast
+    onto the corpus scan, and the panel filter reaches the parquet
+    scan as a pushed predicate."""
+    tree = _plan(spark, "ivm_join_delta_merge").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 4, tree
+    assert "SortMergeJoin" not in tree, tree
+
+    mpr = _plan(spark, "matryoshka_prefix_recall")
+    assert "BroadcastNestedLoopJoin" in mpr  # 16-row panel, != condition
+    assert "LessThan(vec_id,16)" in mpr  # panel filter pushed to scan
+
+    bmm = _plan(spark, "bitext_margin_mining").split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in bmm or "BroadcastHashJoin" in bmm
+
+
 def test_projection_prunes_scan_columns(spark):
     plan = _plan(spark, "proj_filter_customers")
     # ReadSchema carries only the three needed columns.
@@ -282,6 +299,10 @@ def test_projection_prunes_scan_columns(spark):
         "pii_redaction_transform",
         "dedup_index_compaction",
         "embedding_source_psi",
+        # round-9d (plans/round9d.py): pure-relational
+        "ivm_join_delta_merge",
+        "matryoshka_prefix_recall",
+        "bitext_margin_mining",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

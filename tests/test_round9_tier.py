@@ -405,3 +405,96 @@ def test_pii_redaction_matches_python_re(spark):
         ).collect()
     }
     assert got == agg
+
+
+def test_matryoshka_prefix_recall_matches_python(spark):
+    """Independent mirror replicating the engines' LEFT-TO-RIGHT double
+    fold for the dot product and the integer micro-unit ranking."""
+    rows = (
+        read_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def micro_dot(a, b, n):
+        acc = 0.0
+        for i in range(n):
+            acc = acc + a[i] * b[i]
+        return math.floor(acc * 1e6 + 0.5)
+
+    expected = {}
+    for qid in sorted(v for v in vecs if v < 16):
+        qv = vecs[qid]
+        scored = [
+            (cid, micro_dot(cv, qv, 64), micro_dot(cv, qv, 16))
+            for cid, cv in vecs.items()
+            if cid != qid
+        ]
+        by_full = sorted(scored, key=lambda t: (-t[1], t[0]))
+        by_pref = sorted(scored, key=lambda t: (-t[2], t[0]))
+        top_f = {t[0] for t in by_full[:10]}
+        top_p = {t[0] for t in by_pref[:10]}
+        expected[qid] = (
+            len(top_f & top_p),
+            by_full[0][0],
+            by_pref[0][0],
+        )
+
+    got = {
+        r.qid: (r.overlap10, r.full_top1, r.pref_top1)
+        for r in registry.queries()["matryoshka_prefix_recall"](
+            spark, SF
+        ).collect()
+    }
+    assert got == expected
+    # non-vacuous: the prefix must actually DEGRADE retrieval somewhere
+    assert any(ov < 10 for ov, _, _ in expected.values())
+
+
+def test_ivm_quadrants_partition_the_full_join(spark):
+    """The four maintenance terms must be a disjoint, complete partition
+    of the direct full join (recomputed here in Spark, independently of
+    the DuckDB oracle), and revenue must be the exact cents sum."""
+    o = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    direct = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    want = {r.priority: (r.n_pairs, r.revenue_cents) for r in direct.collect()}
+    got_rows = registry.queries()["ivm_join_delta_merge"](spark, SF).collect()
+    got = {r.priority: (r.n_pairs, r.revenue_cents) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert r.pairs_bb + r.pairs_db + r.pairs_bd + r.pairs_dd == r.n_pairs
+        # every quadrant is exercised by the fixture cuts (non-vacuous)
+        assert min(r.pairs_bb, r.pairs_db, r.pairs_bd, r.pairs_dd) >= 0
+    assert sum(r.pairs_dd for r in got_rows) > 0
+    assert sum(r.pairs_db for r in got_rows) > 0
+    assert sum(r.pairs_bd for r in got_rows) > 0
+
+
+def test_bitext_margin_invariants(spark):
+    """margin = best / mean(top-k) is >= 1 by construction (the best IS
+    the max of the top-k), and avg_topk can never exceed best_cos."""
+    rows = registry.queries()["bitext_margin_mining"](spark, SF).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.margin >= 1.0, r
+        assert r.best_cos >= r.avg_topk - 1e-9, r
+        assert r.best_tid is not None
+    # non-vacuous: margins must spread (not all hubs, not all identical)
+    margins = sorted(r.margin for r in rows)
+    assert margins[-1] > margins[0]

@@ -442,6 +442,31 @@ SHOWCASE: list[tuple[str, str]] = [
         "tagged frame — the per-band bookkeeping that scopes which "
         "band partitions rewrite at 100 TB.",
     ),
+    (
+        "ivm_join_delta_merge",
+        "Join-view IVM: all four maintenance terms are BroadcastHashJoin "
+        "with map-side partial aggregation BEFORE each exchange — the "
+        "shuffle volume is the 5-row priority grain times four, not the "
+        "join rows. In production the base-base term IS the stored view; "
+        "the refresh cost is sized by the deltas (broadcast), never the "
+        "base.",
+    ),
+    (
+        "matryoshka_prefix_recall",
+        "Prefix-fidelity probe: the 16-row query panel broadcasts onto "
+        "the corpus scan (panel filter pushed to parquet: "
+        "LessThan(vec_id,16)); ONE hash exchange on qid feeds both "
+        "row_number windows; ranking compares integer micro-unit scores "
+        "only. O(16 x N) work — linear per decade, never N^2.",
+    ),
+    (
+        "bitext_margin_mining",
+        "Margin mining: the source panel (TakeOrdered 16 rows) broadcasts "
+        "onto the label-filtered target scan; per-source top-k stats "
+        "accumulate as order-free integer sums in ONE window + ONE "
+        "map-side-combined aggregate; the margin divisions happen on the "
+        "16-row output grain.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims

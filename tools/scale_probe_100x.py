@@ -110,6 +110,12 @@ QUERIES = [
     "embedding_source_psi",
     "shard_order_autocorr",
     "shard_order_probe",
+    # round-9d: panel-bounded embedding scans (16 fixed queries x N —
+    # linear per decade), and the delta-quadrant join view (FK-kept
+    # amplification scales every quadrant linearly)
+    "matryoshka_prefix_recall",
+    "bitext_margin_mining",
+    "ivm_join_delta_merge",
 ]
 
 SCALES = [
