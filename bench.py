@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "ivm_join_delta_merge",
     "matryoshka_prefix_recall",
     "bitext_margin_mining",
+    "neardup_bfs_hops",
+    "containment_root_resolution",
+    "ldp_randomized_response",
 ]
 
 

@@ -62,3 +62,4 @@ from . import round8b as _round8b  # noqa: E402,F401
 from . import round8c as _round8c  # noqa: E402,F401
 from . import round9 as _round9  # noqa: E402,F401
 from . import round9d as _round9d  # noqa: E402,F401
+from . import round9e as _round9e  # noqa: E402,F401  (needs graph_ops, semantic_dedup)

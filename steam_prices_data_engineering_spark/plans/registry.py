@@ -95,6 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "ivm_join_delta_merge",           # join-view delta maintenance
     "matryoshka_prefix_recall",       # prefix-dim retrieval fidelity
     "bitext_margin_mining",           # margin-scored pair mining
+    # -- round-9e tier (plans/round9e.py): zero driver rows --
+    "neardup_bfs_hops",               # BSP frontier hop histogram
+    "containment_root_resolution",    # pointer-jumping chain roots
+    "ldp_randomized_response",        # local-DP debiased frequencies
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -109,10 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "anti_join_substring",
     "asof_join_events_orders",
     "broadcast_join_orders_nation",
-    "case_remap_counts",
     "cross_join_region_status",
     "dedup_exact_by_hash",
-    "distinct_agg_per_status",
     "doc_fingerprint_simhash",
     "doc_quality_scores",
     "events_json_props",
@@ -123,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "left_join_nation_customer_stats",
     "multimodal_bytes",
     "neardup_ngram_jaccard",
-    "nullsafe_join_status",
     "proj_filter_customers",
     "range_join_price_bands",
     "ranking_top_customers",

@@ -262,6 +262,9 @@ REPRESENTATIVES = [
     "ivm_join_delta_merge",
     "matryoshka_prefix_recall",
     "bitext_margin_mining",
+    "neardup_bfs_hops",
+    "containment_root_resolution",
+    "ldp_randomized_response",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

@@ -303,6 +303,10 @@ def test_projection_prunes_scan_columns(spark):
         "ivm_join_delta_merge",
         "matryoshka_prefix_recall",
         "bitext_margin_mining",
+        # round-9e (plans/round9e.py): relational + checkpointed rounds
+        "neardup_bfs_hops",
+        "containment_root_resolution",
+        "ldp_randomized_response",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
@@ -903,6 +907,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "slo_burn_rate_windows": "hour grain (calendar-bounded RANGE frame)",
     "unimax_allocation": "source grain (bounded vocabulary waterfill)",
     "youden_threshold_pick": "distinct-score-value grain (documented)",
+    # round-9e addition
+    "ldp_randomized_response": "event-type grain (bounded vocabulary)",
 }
 
 

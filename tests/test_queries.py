@@ -84,13 +84,18 @@ def test_driver_sample_spans_families():
     assert first50[0] == "shard_order_autocorr"
     assert first50[1] == "shard_order_probe"
 
-    from steam_prices_data_engineering_spark.plans import round9, round9d
+    from steam_prices_data_engineering_spark.plans import (
+        round9,
+        round9d,
+        round9e,
+    )
 
     r9_tier = {
         n
         for n in registry.queries()
         if getattr(round9, n, None) is not None
         or getattr(round9d, n, None) is not None
+        or getattr(round9e, n, None) is not None
     }
     assert r9_tier, "round-9 tier registered nothing"
     assert r9_tier <= set(first50), sorted(r9_tier - set(first50))

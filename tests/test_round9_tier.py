@@ -498,3 +498,59 @@ def test_bitext_margin_invariants(spark):
     # non-vacuous: margins must spread (not all hubs, not all identical)
     margins = sorted(r.margin for r in rows)
     assert margins[-1] > margins[0]
+
+
+def test_containment_chain_pointer_jumping_depth(spark, tmp_path):
+    """The driver fixture's duplicates are equal-size replicas, so its
+    containment forest is all depth-1 stars (probed); pin the log-round
+    capability on a fixture with REAL nested chains (A ⊂ B ⊂ C ⊂ D):
+    pointer jumping must resolve every doc to the chain root with the
+    exact depth, matching the recursive-CTE oracle."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    # unique (first, last) chars: the shared token hash keys on
+    # (len, first, last), so wN-style names would collide (w10 == w20)
+    toks = [
+        chr(97 + i // 8) + "x" + chr(97 + i % 8) for i in range(64)
+    ]
+    # nested prefixes: doc k = first 12 + 8k tokens; strictly growing
+    # shingle sets, each fully contained in the next => a depth-6 chain
+    chain = [
+        (k, " ".join(toks[: 12 + 8 * k]), "en", "web", 0) for k in range(7)
+    ]
+    # plus an unrelated doc and an equal-size duplicate star
+    extra = [
+        (100, " ".join(f"z{i}" for i in range(20)), "en", "web", 0),
+        (101, " ".join(f"q{i}" for i in range(16)), "en", "web", 0),
+        (102, " ".join(f"q{i}" for i in range(16)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        chain + extra, TABLE_SCHEMAS["documents"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    sdf = registry.queries()["containment_root_resolution"](
+        spark, str(tmp_path)
+    )
+    srows = sorted(tuple(r) for r in sdf.select("doc_id", "root_doc", "depth").collect())
+    rel = con.execute(registry.oracle_sql()["containment_root_resolution"])
+    cols = [d[0] for d in rel.description]
+    idx = [cols.index(c) for c in ("doc_id", "root_doc", "depth")]
+    drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    assert srows == drows, (srows, drows)
+    got = {d: (r, dep) for d, r, dep in srows}
+    # every chain member resolves to the LARGEST doc (the chain root)
+    for k in range(6):
+        assert got[k] == (6, 6 - k), (k, got.get(k))
+    # the equal-size duplicate pair forms a depth-1 star on the min id
+    assert got[102] == (101, 1)
+    assert 100 not in got  # unrelated doc has no parent

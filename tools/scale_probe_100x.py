@@ -116,6 +116,10 @@ QUERIES = [
     "matryoshka_prefix_recall",
     "bitext_margin_mining",
     "ivm_join_delta_merge",
+    # round-9e: BSP frontier growth over the candidate graph and the
+    # pointer-jump forest (both ride the capped posting stages)
+    "neardup_bfs_hops",
+    "containment_root_resolution",
 ]
 
 SCALES = [
