@@ -467,6 +467,14 @@ SHOWCASE: list[tuple[str, str]] = [
         "map-side-combined aggregate; the margin divisions happen on the "
         "16-row output grain.",
     ),
+    (
+        "ldp_randomized_response",
+        "Local-DP telemetry: one event scan with codegen'd md5-coin "
+        "arithmetic; the K-row category table and its count enter via "
+        "broadcast joins; both aggregates map-side combine onto the "
+        "bounded event-type grain, where the debiasing runs. The only "
+        "partition-less windows sit on the K-row grain.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
