@@ -58,6 +58,7 @@ WITH j AS (
            (l.l_shipdate  >= TIMESTAMP '{_L_CUT}') AS ld,
            CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
 )
 SELECT priority,
        CAST(sum(CASE WHEN NOT od AND NOT ld THEN 1 ELSE 0 END) AS BIGINT) AS pairs_bb,
@@ -78,16 +79,25 @@ def ivm_join_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation. The oracle recomputes the view with one direct full
     join — the two paths agree only if the quadrant decomposition is
     exactly disjoint and complete. Revenue accumulates in integer cents
-    (order-free long sums)."""
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate"
+    (order-free long sums). NULL dates are excluded in BOTH engines
+    (a NULL-date row belongs to no quadrant — Spark's base/delta
+    filters would silently drop it while a bare oracle count(*) would
+    keep it; the NULL-regeneration lesson applied up front)."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_shipdate",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     o_cut = F.lit(_O_CUT).cast("timestamp")
     l_cut = F.lit(_L_CUT).cast("timestamp")

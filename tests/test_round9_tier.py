@@ -554,3 +554,62 @@ def test_containment_chain_pointer_jumping_depth(spark, tmp_path):
     # the equal-size duplicate pair forms a depth-1 star on the min id
     assert got[102] == (101, 1)
     assert 100 not in got  # unrelated doc has no parent
+
+
+def test_ivm_null_date_hostile_parity(spark, tmp_path):
+    """A NULL-date driver regeneration must not diverge the IVM view:
+    NULL o_orderdate / l_shipdate rows belong to no quadrant and are
+    excluded in BOTH engines (Spark's base/delta filters would drop
+    them silently while a bare oracle count(*) would keep them)."""
+    import datetime as dt
+
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    d_old = dt.datetime(1999, 1, 1)
+    d_new = dt.datetime(2001, 6, 1)
+    orders = [
+        (1, 1, "O", 10.0, d_old, "1-URGENT"),
+        (2, 1, "O", 10.0, d_new, "1-URGENT"),
+        (3, 1, "O", 10.0, None, "2-HIGH"),  # NULL order date
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 100.004, 0.0, 0.0, "N", "O", d_old),
+        (1, 1, 1, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", d_new),
+        (2, 1, 1, 1, 1.0, 25.0, 0.0, 0.0, "N", "O", d_new),
+        (2, 1, 1, 2, 1.0, None, 0.0, 0.0, "N", "O", d_old),  # NULL price
+        (3, 1, 1, 1, 1.0, 75.0, 0.0, 0.0, "N", "O", d_old),
+        (1, 1, 1, 3, 1.0, 60.0, 0.0, 0.0, "N", "O", None),  # NULL shipdate
+    ]
+    spark.createDataFrame(orders, TABLE_SCHEMAS["orders"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(li, TABLE_SCHEMAS["lineitem"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    sdf = registry.queries()["ivm_join_delta_merge"](spark, str(tmp_path))
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(r) for r in sdf.select(cols).collect())
+    rel = con.execute(registry.oracle_sql()["ivm_join_delta_merge"])
+    rcols = [d[0] for d in rel.description]
+    idx = [rcols.index(c) for c in cols]
+    drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    assert srows == drows, (srows, drows)
+    got = {r.priority: r for r in sdf.collect()}
+    # NULL-date rows joined nothing; NULL price counted but not summed
+    assert "2-HIGH" not in got  # its only lineitem pairing is via doc 3
+    r1 = got["1-URGENT"]
+    # (1,bb), (1,bd), (2,db: NULL price counts, sums nothing), (2,dd);
+    # the NULL-shipdate lineitem and NULL-orderdate order join nothing
+    assert r1.n_pairs == 4
+    assert (r1.pairs_bb, r1.pairs_db, r1.pairs_bd, r1.pairs_dd) == (1, 1, 1, 1)
+    assert r1.revenue_cents == 10000 + 5000 + 2500
