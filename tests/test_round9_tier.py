@@ -613,3 +613,41 @@ def test_ivm_null_date_hostile_parity(spark, tmp_path):
     assert r1.n_pairs == 4
     assert (r1.pairs_bb, r1.pairs_db, r1.pairs_bd, r1.pairs_dd) == (1, 1, 1, 1)
     assert r1.revenue_cents == 10000 + 5000 + 2500
+
+
+def test_embedding_queries_null_hostile_parity(spark, tmp_path):
+    """NULL vec_id / NULL embedding / NULL label rows must be excluded
+    identically in both engines for the round-9d embedding queries."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    def vec(seed: int) -> list[float]:
+        return [((seed * 31 + i * 7) % 13 - 6) / 6.0 for i in range(64)]
+
+    rows = []
+    for i in range(40):
+        rows.append((i, vec(i), i % 3))
+    rows.append((100, None, 0))       # NULL embedding
+    rows.append((None, vec(99), 1))   # NULL vec_id
+    rows.append((101, vec(7), None))  # NULL label
+    spark.createDataFrame(rows, TABLE_SCHEMAS["embeddings"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("matryoshka_prefix_recall", "bitext_margin_mining"):
+        sdf = registry.queries()[name](spark, str(tmp_path))
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(r) for r in sdf.select(cols).collect())
+        rel = con.execute(registry.oracle_sql()[name])
+        rcols = [d[0] for d in rel.description]
+        idx = [rcols.index(c) for c in cols]
+        drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+        assert srows == drows, (name, srows, drows)
+        assert srows, name
