@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "neardup_bfs_hops",
     "containment_root_resolution",
     "ldp_randomized_response",
+    "horvitz_thompson_total",
 ]
 
 

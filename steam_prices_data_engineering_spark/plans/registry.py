@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "neardup_bfs_hops",               # BSP frontier hop histogram
     "containment_root_resolution",    # pointer-jumping chain roots
     "ldp_randomized_response",        # local-DP debiased frequencies
+    "horvitz_thompson_total",         # pi-expansion sampling estimator
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -121,7 +122,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_sliding_window",
     "events_tumbling_window",
     "global_agg_stats",
-    "knn_join_topk",
     "left_join_nation_customer_stats",
     "multimodal_bytes",
     "neardup_ngram_jaccard",

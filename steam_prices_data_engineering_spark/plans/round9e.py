@@ -18,6 +18,9 @@ jumping, and local differential privacy.
   standard debiasing estimator pi_c = (obs_c/n - (1-p)/K) / p. The
   "coin" derives from the shared md5 primitive, so both engines replay
   the mechanism exactly and the estimator is deterministic.
+- `horvitz_thompson_total` — unequal-probability sampling with the
+  pi-expansion estimator (see its docstring): the inference step that
+  makes the existing weighted/reservoir sampling family actionable.
 
 No counterpart in the reference (a single-threaded pandas ETL,
 /root/reference/Scripts/transformers/steam_prices_transformer.py);
@@ -408,4 +411,116 @@ def ldp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         "n_reported",
         dround(est, 4).alias("est_true"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson total under unequal-probability sampling
+# ---------------------------------------------------------------------------
+
+_HT_BIG_CENTS = 5_000_000  # >= $50k extended price: the "certainty-ish" stratum
+_HT_HEX6 = 16_777_216  # md5-hex6 domain size
+
+
+def _ht_sql() -> str:
+    h = sql_md5_hex6_to_int(
+        "concat_ws('|', 'ht', CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR),"
+        " CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR))"
+    )
+    err = (
+        "(CAST(ht_cents AS DOUBLE) - CAST(true_cents AS DOUBLE))"
+        " / CAST(true_cents AS DOUBLE)"
+    )
+    return f"""
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           {h} AS h
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+),
+drawn AS (
+    SELECT l_returnflag, cents,
+           CASE WHEN cents >= {_HT_BIG_CENTS} THEN 2 ELSE 10 END AS expansion,
+           CASE WHEN cents >= {_HT_BIG_CENTS}
+                THEN CASE WHEN h * 2 < {_HT_HEX6} THEN 1 ELSE 0 END
+                ELSE CASE WHEN h * 10 < {_HT_HEX6} THEN 1 ELSE 0 END
+           END AS included
+    FROM li
+),
+agg AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_pop,
+           CAST(sum(included) AS BIGINT) AS n_sampled,
+           CAST(sum(cents) AS BIGINT) AS true_cents,
+           CAST(sum(included * expansion * cents) AS BIGINT) AS ht_cents
+    FROM drawn GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_pop, n_sampled, true_cents, ht_cents,
+       {R(err, 6)} AS rel_err
+FROM agg
+"""
+
+
+@register("horvitz_thompson_total", _ht_sql())
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unequal-probability sampling + the Horvitz-Thompson pi-expansion
+    estimator: big line items (>= $50k) sample at p=1/2, the rest at
+    p=1/10; the estimated revenue total per return flag is
+    sum(cents / p_i) over the included rows — ALL integer arithmetic
+    (expansion factors 2 and 10), so the estimate is exact in both
+    engines; only the final relative error divides."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            md5_hex6_to_int(
+                F.concat_ws(
+                    "|",
+                    F.lit("ht"),
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("long").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    big = F.col("cents") >= _HT_BIG_CENTS
+    drawn = li.select(
+        "l_returnflag",
+        "cents",
+        F.when(big, F.lit(2)).otherwise(F.lit(10)).alias("expansion"),
+        F.when(
+            big, F.when(F.col("h") * 2 < _HT_HEX6, 1).otherwise(0)
+        )
+        .otherwise(F.when(F.col("h") * 10 < _HT_HEX6, 1).otherwise(0))
+        .alias("included"),
+    )
+    agg = drawn.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("included").cast("long").alias("n_sampled"),
+        F.sum("cents").cast("long").alias("true_cents"),
+        F.sum(F.col("included") * F.col("expansion") * F.col("cents"))
+        .cast("long")
+        .alias("ht_cents"),
+    )
+    err = (
+        F.col("ht_cents").cast("double") - F.col("true_cents").cast("double")
+    ) / F.col("true_cents").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_pop",
+        "n_sampled",
+        "true_cents",
+        "ht_cents",
+        dround(err, 6).alias("rel_err"),
     )

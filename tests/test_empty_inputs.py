@@ -265,6 +265,7 @@ REPRESENTATIVES = [
     "neardup_bfs_hops",
     "containment_root_resolution",
     "ldp_randomized_response",
+    "horvitz_thompson_total",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

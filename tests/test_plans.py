@@ -307,6 +307,7 @@ def test_projection_prunes_scan_columns(spark):
         "neardup_bfs_hops",
         "containment_root_resolution",
         "ldp_randomized_response",
+        "horvitz_thompson_total",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
