@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "containment_root_resolution",
     "ldp_randomized_response",
     "horvitz_thompson_total",
+    "fd_violation_audit",
 ]
 
 

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "containment_root_resolution",    # pointer-jumping chain roots
     "ldp_randomized_response",        # local-DP debiased frequencies
     "horvitz_thompson_total",         # pi-expansion sampling estimator
+    "fd_violation_audit",             # functional-dependency profiling
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -117,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "cross_join_region_status",
     "dedup_exact_by_hash",
     "doc_fingerprint_simhash",
-    "doc_quality_scores",
     "events_json_props",
     "events_sliding_window",
     "events_tumbling_window",

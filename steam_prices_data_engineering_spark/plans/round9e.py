@@ -21,6 +21,9 @@ jumping, and local differential privacy.
 - `horvitz_thompson_total` — unequal-probability sampling with the
   pi-expansion estimator (see its docstring): the inference step that
   makes the existing weighted/reservoir sampling family actionable.
+- `fd_violation_audit` — functional-dependency profiling across the
+  warehouse (see its docstring): the dependency check run before
+  trusting a column as a dimension key.
 
 No counterpart in the reference (a single-threaded pandas ETL,
 /root/reference/Scripts/transformers/steam_prices_transformer.py);
@@ -524,3 +527,79 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ht_cents",
         dround(err, 6).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (data profiling)
+# ---------------------------------------------------------------------------
+
+# Candidate FDs X -> Y across the warehouse: a mix of ones that must
+# hold (key-based) and ones expected to fail (behavioral). The audit
+# grain is the LHS group: an FD holds iff every X-group sees exactly
+# one distinct non-NULL Y.
+_FD_CANDIDATES = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(max(n_rhs) AS BIGINT) AS max_distinct_rhs,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN grp_rows ELSE 0 END) AS BIGINT)
+           AS rows_in_violating
+FROM (
+    SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs, count(*) AS grp_rows
+    FROM {tbl} WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+    GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fd_violation_audit", _fd_sql())
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling FD audit (the Metanome-style dependency check a
+    warehouse runs before trusting a column as a dimension key): per
+    candidate X -> Y, the LHS-group census — groups, violating groups
+    (more than one distinct non-NULL Y), worst fan-out, and how many
+    rows sit inside violating groups. One map-side-combined aggregate
+    per table; the LHS shuffle is the only exchange per candidate."""
+    outs = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = (
+            read_table(spark, sf_dir, tbl)
+            .filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+            .select(lhs, rhs)
+        )
+        grp = t.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs"),
+            F.count(F.lit(1)).alias("grp_rows"),
+        )
+        outs.append(
+            grp.agg(
+                F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("long").alias("max_distinct_rhs"),
+                F.sum(
+                    F.when(F.col("n_rhs") > 1, F.col("grp_rows")).otherwise(0)
+                )
+                .cast("long")
+                .alias("rows_in_violating"),
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out

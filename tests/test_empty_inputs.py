@@ -390,3 +390,15 @@ def test_round8_null_stat_reports_on_empty(spark, empty_dir):
         spark, empty_dir
     ).collect()
     assert len(r) == 1 and r[0].n_rating_rows == 0 and r[0].alpha is None
+
+
+def test_fd_audit_reports_five_zero_rows_on_empty(spark, empty_dir):
+    """FD profiling over empty tables is still a 5-candidate report —
+    zero groups, zero violations, NULL worst fan-out (max over nothing
+    is NULL in both engines)."""
+    rows = registry.queries()["fd_violation_audit"](spark, empty_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_groups == 0
+        assert r.n_violating in (0, None)
+        assert r.max_distinct_rhs is None

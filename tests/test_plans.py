@@ -308,6 +308,7 @@ def test_projection_prunes_scan_columns(spark):
         "containment_root_resolution",
         "ldp_randomized_response",
         "horvitz_thompson_total",
+        "fd_violation_audit",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):
