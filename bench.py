@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "ldp_randomized_response",
     "horvitz_thompson_total",
     "fd_violation_audit",
+    "setjoin_prefix_filter",
+    "ams_f2_join_size",
 ]
 
 

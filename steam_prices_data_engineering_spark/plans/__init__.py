@@ -63,3 +63,4 @@ from . import round8c as _round8c  # noqa: E402,F401
 from . import round9 as _round9  # noqa: E402,F401
 from . import round9d as _round9d  # noqa: E402,F401
 from . import round9e as _round9e  # noqa: E402,F401  (needs graph_ops, semantic_dedup)
+from . import round9f as _round9f  # noqa: E402,F401  (needs semantic_dedup)

@@ -101,6 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "ldp_randomized_response",        # local-DP debiased frequencies
     "horvitz_thompson_total",         # pi-expansion sampling estimator
     "fd_violation_audit",             # functional-dependency profiling
+    # -- round-9f tier (plans/round9f.py): zero driver rows --
+    "setjoin_prefix_filter",          # AllPairs/PPJoin exact set join
+    "ams_f2_join_size",               # AMS F2 self-join-size sketch
     # -- code/oracle changed THIS round: re-verify on driver data --
     "youden_threshold_pick",          # per-query NULL guard removed (r9)
     "soundex_token_blocks",           # unbounded tail slice (r9)
@@ -115,11 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "anti_join_substring",
     "asof_join_events_orders",
     "broadcast_join_orders_nation",
-    "cross_join_region_status",
     "dedup_exact_by_hash",
     "doc_fingerprint_simhash",
     "events_json_props",
-    "events_sliding_window",
     "events_tumbling_window",
     "global_agg_stats",
     "left_join_nation_customer_stats",

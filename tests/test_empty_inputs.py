@@ -266,6 +266,10 @@ REPRESENTATIVES = [
     "containment_root_resolution",
     "ldp_randomized_response",
     "horvitz_thompson_total",
+    # setjoin_prefix_filter is group-keyed (vanishes on empty);
+    # ams_f2_join_size is an always-1-row global aggregate — excluded
+    # per the datasheet precedent above
+    "setjoin_prefix_filter",
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_probe",

@@ -309,6 +309,9 @@ def test_projection_prunes_scan_columns(spark):
         "ldp_randomized_response",
         "horvitz_thompson_total",
         "fd_violation_audit",
+        # round-9f (plans/round9f.py): pure-relational
+        "setjoin_prefix_filter",
+        "ams_f2_join_size",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

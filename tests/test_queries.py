@@ -88,6 +88,7 @@ def test_driver_sample_spans_families():
         round9,
         round9d,
         round9e,
+        round9f,
     )
 
     r9_tier = {
@@ -96,6 +97,7 @@ def test_driver_sample_spans_families():
         if getattr(round9, n, None) is not None
         or getattr(round9d, n, None) is not None
         or getattr(round9e, n, None) is not None
+        or getattr(round9f, n, None) is not None
     }
     assert r9_tier, "round-9 tier registered nothing"
     assert r9_tier <= set(first50), sorted(r9_tier - set(first50))

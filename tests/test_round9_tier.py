@@ -651,3 +651,66 @@ def test_embedding_queries_null_hostile_parity(spark, tmp_path):
         drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
         assert srows == drows, (name, srows, drows)
         assert srows, name
+
+
+def test_setjoin_prefix_filter_matches_bruteforce(spark):
+    """Independent brute-force mirror: distinct 3-gram shingle sets
+    (same token/shingle hash formulas), df-cap 50, ALL-pairs exact
+    Jaccard >= 0.7 — the query's prefix-filtered pair set must equal it
+    (completeness + correctness of the pruning)."""
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None and r.doc_id is not None
+    }
+
+    def shingles(text: str) -> set[int]:
+        th = [_tok_hash(t) for t in text.split(" ")]
+        return {
+            (((th[i] * 8191 + th[i + 1]) % _P) * 8191 + th[i + 2]) % _P
+            for i in range(len(th) - 2)
+        }
+
+    sets = {d: shingles(t) for d, t in docs.items()}
+    df: dict[int, int] = {}
+    for s in sets.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    capped = {
+        d: {h for h in s if df[h] <= 50} for d, s in sets.items()
+    }
+    want = set()
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        sa = capped[a]
+        if not sa:
+            continue
+        for b in ids[i + 1 :]:
+            sb = capped[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.7 - 1e-12:
+                import math as _m
+
+                jd = _m.floor(inter / (len(sa) + len(sb) - inter) * 1e6 + 0.5) / 1e6
+                if jd >= 0.7:
+                    want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.queries()["setjoin_prefix_filter"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert want  # replicas must produce real pairs
+
+
+def test_ams_f2_estimate_is_sane(spark):
+    """The md5-sign AMS estimate must land within the sketch's
+    statistical band (sigma/F2 = sqrt(2/16) ~ 0.35; allow 3 sigma) —
+    the correlated-affine family this replaced was 25x off."""
+    r = registry.queries()["ams_f2_join_size"](spark, SF).collect()[0]
+    assert r.exact_f2 > 0 and r.n_keys > 0
+    assert r.ams_f2_x16 >= 0
+    assert abs(r.rel_err) < 1.05, r

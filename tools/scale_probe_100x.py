@@ -120,6 +120,9 @@ QUERIES = [
     # pointer-jump forest (both ride the capped posting stages)
     "neardup_bfs_hops",
     "containment_root_resolution",
+    # round-9f: the prefix-filtered candidate law (rides the df-capped
+    # posting stages; prefix indexing must stay sublinear per decade)
+    "setjoin_prefix_filter",
 ]
 
 SCALES = [
