@@ -244,7 +244,8 @@ BENCH_QUERIES = [
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_autocorr",
-    "shard_order_probe",
+    "shard_order_probe_inputs",
+    "shard_order_probe_pairs",
     "streaming_state_introspection",
     "longest_dup_span_pairs",
     "pii_redaction_transform",

@@ -155,6 +155,26 @@ def sql_hex6_to_int(hexexpr: str) -> str:
     )
 
 
+def sql_hex_slice_to_int(hexexpr: str, start: int, width: int) -> str:
+    """Chars [start, start+width) (1-based) of an already-lowercase-hex
+    string expression parsed to a BIGINT (Spark twin:
+    functions/text.py:hex_slice_to_int). Generalizes sql_hex6_to_int so a
+    32-char md5 digest can be ordered as FOUR 8-char (32-bit) numeric
+    slices — a numeric total order that is collation-proof by
+    construction (VERDICT r9 Next-round #2). width <= 15 keeps the value
+    inside BIGINT."""
+    if not (1 <= width <= 15):
+        raise ValueError(f"width {width} not in [1, 15]")
+    stop = start + width
+    return (
+        f"list_sum(list_transform(range({start}, {stop}), i -> "
+        f"(CASE WHEN ascii(substr({hexexpr}, i, 1)) <= 57 "
+        f"THEN ascii(substr({hexexpr}, i, 1)) - 48 "
+        f"ELSE ascii(substr({hexexpr}, i, 1)) - 87 END) "
+        f"* CAST(pow(16.0, {stop - 1} - i) AS BIGINT)))"
+    )
+
+
 def sql_md5_hex6_to_int(expr: str) -> str:
     """First 6 lowercase-hex chars of md5(expr) parsed to an integer in
     [0, 16^6) — the cross-engine uniform-hash primitive (DuckDB has no

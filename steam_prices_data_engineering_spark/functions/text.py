@@ -195,6 +195,17 @@ def hex6_to_int(hexcol: Column) -> Column:
     return F.conv(F.substring(hexcol, 1, 6), 16, 10).cast("long")
 
 
+def hex_slice_to_int(hexcol: Column, start: int, width: int) -> Column:
+    """Chars [start, start+width) (1-based) of an already-lowercase-hex
+    string column as a BIGINT (SQL twin: sqlfrag.sql_hex_slice_to_int).
+    Four 8-char slices of an md5 digest give a numeric, collation-proof
+    total order equivalent to the lexicographic order of the fixed-width
+    lowercase-hex string."""
+    if not (1 <= width <= 15):
+        raise ValueError(f"width {width} not in [1, 15]")
+    return F.conv(F.substring(hexcol, start, width), 16, 10).cast("long")
+
+
 def md5_hex6_to_int(c: Column) -> Column:
     """First 6 hex chars of md5(c) as an integer in [0, 16^6): the
     cross-engine uniform-hash primitive (SQL twin:

@@ -80,9 +80,13 @@ def register(name: str, oracle: str | None):
 # only driver rows are r1/r2), keeping family span (pinned by
 # tests/test_queries.py::test_driver_sample_spans_families).
 _PRIORITY: tuple[str, ...] = (
-    # -- the r7+r8 driver-red row and its r9 bisection probe FIRST --
-    "shard_order_autocorr",           # digest-ordered lag fix (r9)
-    "shard_order_probe",              # integer-only stage isolator (r9)
+    # -- the r7+r8+r9 driver-red row and its STAGE-PURE r10 bisection
+    #    probes FIRST: three queries -> three independent driver hash
+    #    bits -> the truth table in plans/round6c.py localizes (or the
+    #    numeric lag order closes) the divergence --
+    "shard_order_autocorr",           # numeric h1..h4 lag order (r10)
+    "shard_order_probe_inputs",       # order-free input checksums (r10)
+    "shard_order_probe_pairs",        # composition-stage rollup (r10)
     # -- round-9 tier (plans/round9.py): zero driver rows --
     "longest_dup_substring",          # suffix-grain dup runs
     "streaming_restart_carryover",    # checkpoint stop/start carryover

@@ -588,20 +588,31 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than one shard file's rows. Aggregates are map-side combined on the
 # 16-row shard grain.
 #
-# Determinism (the r7+r8 driver-red history of this query): the lag
+# Determinism (the r7+r8+r9 driver-red history of this query): the lag
 # window's order must be TOTAL and TYPE-PROOF. Ordering by raw doc_id is
 # neither — a driver regeneration that flips doc_id's physical type
 # (events.ts precedent) orders differently raw-vs-canonical (DuckDB
 # reads the raw view; Spark reads read_table's canonical long), and
-# 24-bit h prefixes collide. So the order key is the FULL md5 DIGEST
-# STRING of the seeded key: both engines emit identical lowercase hex
-# for identical inputs, hex strings compare bytewise identically in
-# both, and the digest is collision-free across distinct keys. doc_id
-# itself is normalized to BIGINT before rendering on BOTH sides (the
-# read_table canonical cast, mirrored in the oracle), so the digest
-# inputs cannot drift either. Remaining ties = identical (doc_id,
-# source) rows, which leave lag(source) invariant. shard_order_probe
-# below bisects any residual divergence stage-by-stage.
+# 24-bit h prefixes collide. r9 switched to the FULL md5 DIGEST STRING
+# of the seeded key (collision-free, bytewise-comparable lowercase hex)
+# and STILL went driver-red, so r10 removes string collation from the
+# channel entirely: the order key is the digest parsed as FOUR 8-char
+# (32-bit) BIGINT slices (h1..h4) — numeric comparison is
+# collation-impossible-to-diverge and equivalent to the fixed-width hex
+# lexicographic order. doc_id itself is normalized to BIGINT before
+# rendering on BOTH sides (the read_table canonical cast, mirrored in
+# the oracle), so the digest inputs cannot drift either. Remaining ties
+# = identical (doc_id, source) rows, which leave lag(source) invariant.
+#
+# Bisection (VERDICT r9 Next-round #1): the driver emits ONE hash bit
+# per QUERY, so the r9 single-query probe could not distinguish
+# "input differs" from "lag order differs" — both produced the same red
+# bit. r10 splits it into stage-pure queries, each buying one
+# independent driver bit:
+#   shard_order_probe_inputs  red -> the md5 INPUT differs (doc_id
+#                                    rendering / physical type / rows);
+#   shard_order_probe_pairs   red -> the composition stage differs;
+#   both green + autocorr     red -> the lag ORDER is the channel.
 # ===========================================================================
 
 _SOA_N = 16
@@ -614,6 +625,17 @@ _SOA_KEY_SQL = (
 )
 
 
+# the digest as four 32-bit numeric slices: a collation-proof total
+# order (equivalent to fixed-width-hex lexicographic order)
+def _soa_digest_slices_sql() -> str:
+    from ..functions.sqlfrag import sql_hex_slice_to_int
+
+    return ", ".join(
+        f"{sql_hex_slice_to_int('m', s, 8)} AS h{k}"
+        for k, s in enumerate((1, 9, 17, 25), start=1)
+    )
+
+
 def _soa_sql() -> str:
     from ..functions.sqlfrag import sql_hex6_to_int
 
@@ -622,12 +644,15 @@ WITH keyed AS MATERIALIZED (
     SELECT {_SOA_KEY_SQL} AS m, source FROM documents
 ),
 sharded AS MATERIALIZED (
-    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard, m, source FROM keyed
+    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard,
+           {_soa_digest_slices_sql()}, source
+    FROM keyed
 ),
 lagged AS (
     SELECT shard, source,
            lag(source) OVER (PARTITION BY shard
-                             ORDER BY m, source NULLS FIRST) AS prev_source
+                             ORDER BY h1, h2, h3, h4, source NULLS FIRST
+                            ) AS prev_source
     FROM sharded
 ),
 obs AS (
@@ -656,11 +681,12 @@ WHERE o.n_docs > 1
 
 
 def _soa_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(shard, m, doc_id, source) over documents: m = full md5 digest of
-    the seeded canonical-BIGINT-rendered doc_id, shard = 24-bit prefix
-    mod 16. The single staged+cached input both shard-order queries
-    window and aggregate over."""
-    from ..functions.text import hex6_to_int
+    """(shard, m, h1..h4, doc_id, source) over documents: m = full md5
+    digest of the seeded canonical-BIGINT-rendered doc_id, h1..h4 = the
+    digest as four 32-bit numeric slices (the collation-proof lag
+    order), shard = 24-bit prefix mod 16. The single staged input every
+    shard-order query windows and aggregates over."""
+    from ..functions.text import hex6_to_int, hex_slice_to_int
 
     d = read_table(spark, sf_dir, "documents")
     keyed = d.select(
@@ -675,21 +701,30 @@ def _soa_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         F.pmod(hex6_to_int(F.col("m")), F.lit(_SOA_N)).alias("shard"),
         "m",
+        *[
+            hex_slice_to_int(F.col("m"), s, 8).alias(f"h{k}")
+            for k, s in enumerate((1, 9, 17, 25), start=1)
+        ],
         "doc_id",
         "source",
     )
 
 
+_SOA_LAG_ORDER = ("h1", "h2", "h3", "h4")
+
+
 @register("shard_order_autocorr", _soa_sql())
 def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 same-source rate vs random-permutation expectation, per
-    shard. Lag order = (full md5 digest, source NULLS FIRST) — total,
-    type-proof, collision-free; see the section comment for why raw
-    doc_id ordering was the r7/r8 cross-engine channel suspect."""
-    sharded = _soa_sharded(spark, sf_dir).drop("doc_id")
+    shard. Lag order = (digest quarters h1..h4 as BIGINTs, source NULLS
+    FIRST) — total, type-proof, collision-free, and NUMERIC so string
+    collation cannot be a cross-engine channel; see the section comment
+    for the r7-r9 driver-red history this design answers."""
+    sharded = _soa_sharded(spark, sf_dir).drop("doc_id", "m")
     sharded = sharded.cache()  # session-per-query (lag + composition)
     wlag = Window.partitionBy("shard").orderBy(
-        F.col("m").asc(), F.col("source").asc_nulls_first()
+        *[F.col(c).asc() for c in _SOA_LAG_ORDER],
+        F.col("source").asc_nulls_first(),
     )
     lagged = sharded.select(
         "shard",
@@ -735,21 +770,24 @@ def shard_order_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# shard_order_probe: integer-only bisection companion to
-# shard_order_autocorr (VERDICT r8 Next-round #1). Every column is an
-# exact integer (or a raw hex string), each isolating ONE stage of the
-# audit, so a driver-red row localizes the cross-engine channel:
-#   h_sum / m_min / m_max red  -> the md5 INPUT differs (doc_id
-#                                 rendering / physical type);
-#   those green + n_same red   -> the lag ORDER still has a channel;
-#   n_h_dup > 0                -> 24-bit prefix ties exist in the data
-#                                 (the channel raw-doc_id ordering had);
-#   doc_chk / n_null_* red     -> the rows themselves differ.
-# All aggregates except the lag stage under test are order-free.
+# shard_order_probe_inputs / shard_order_probe_pairs: STAGE-PURE
+# bisection companions to shard_order_autocorr (VERDICT r9 Next-round
+# #1). The driver emits ONE hash bit per QUERY, so the r9 single-query
+# probe (which bundled order-free input checksums AND the lag-stage
+# n_same) could not say WHICH stage diverged. Each query below contains
+# exactly one stage, so the r10 CORRECTNESS rows read as a truth table:
+#   inputs red                  -> the md5 INPUT differs (doc_id
+#                                  rendering / physical type / the rows
+#                                  themselves);
+#   inputs green, pairs red     -> the source-composition stage differs;
+#   both green, autocorr red    -> the lag ORDER is the channel
+#                                  (now numeric h1..h4 — see above).
+# Every column is an exact integer or a raw hex string; every aggregate
+# is order-free.
 # ===========================================================================
 
 
-def _soa_probe_sql() -> str:
+def _soa_probe_inputs_sql() -> str:
     from ..functions.sqlfrag import sql_hex6_to_int
 
     return f"""
@@ -761,83 +799,51 @@ sharded AS MATERIALIZED (
            {sql_hex6_to_int('m')} % {_SOA_N} AS shard,
            m, doc_id, source
     FROM keyed
-),
-lagged AS (
-    SELECT shard, source,
-           lag(source) OVER (PARTITION BY shard
-                             ORDER BY m, source NULLS FIRST) AS prev_source
-    FROM sharded
-),
-obs AS (
-    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_same
-    FROM lagged GROUP BY shard
-),
-chk AS (
-    SELECT shard,
-           CAST(sum(h) AS BIGINT) AS h_sum,
-           min(m) AS m_min,
-           max(m) AS m_max,
-           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_h_dup,
-           CAST(sum(CAST(floor(TRY_CAST(doc_id AS DOUBLE)) AS BIGINT))
-                AS BIGINT) AS doc_chk,
-           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_null_doc,
-           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_null_src
-    FROM sharded GROUP BY shard
-),
-pairs AS (
-    SELECT shard, CAST(sum(ns * (ns - 1)) AS BIGINT) AS num
-    FROM (
-        SELECT shard, source, CAST(count(*) AS BIGINT) AS ns
-        FROM sharded GROUP BY 1, 2
-    ) GROUP BY shard
 )
-SELECT o.shard, o.n_docs, o.n_same, p.num,
-       CAST(o.n_docs * (o.n_docs - 1) AS BIGINT) AS den,
-       c.h_sum, c.m_min, c.m_max, c.n_h_dup, c.doc_chk,
-       c.n_null_doc, c.n_null_src
-FROM obs o
-JOIN chk c ON c.shard = o.shard
-JOIN pairs p ON p.shard = o.shard
+SELECT shard,
+       CAST(sum(h) AS BIGINT) AS h_sum,
+       min(m) AS m_min,
+       max(m) AS m_max,
+       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_h_dup,
+       CAST(count(*) - count(DISTINCT m) AS BIGINT) AS n_m_dup,
+       CAST(count(DISTINCT concat_ws('|', m, source)) AS BIGINT) AS n_msrc,
+       CAST(sum(CAST(floor(TRY_CAST(doc_id AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS doc_chk,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_doc,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_src
+FROM sharded GROUP BY shard
 """
 
 
-@register("shard_order_probe", _soa_probe_sql())
-def shard_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage-isolating integer checksums for the shard-order audit; see
-    the section comment for the red-column -> diverging-stage map."""
+@register("shard_order_probe_inputs", _soa_probe_inputs_sql())
+def shard_order_probe_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLY the order-free input checksums of the shard-order audit:
+    digest sum/min/max, 24-bit and full-digest duplicate counts, the
+    (digest, source) census, the doc_id checksum and NULL censuses. A
+    red driver bit here means the INPUT rows/rendering differ — nothing
+    in this query depends on any ordering."""
     from ..functions.text import hex6_to_int
 
-    sharded = _soa_sharded(spark, sf_dir).withColumn(
-        "h", hex6_to_int(F.col("m"))
+    sharded = (
+        _soa_sharded(spark, sf_dir)
+        .drop("h1", "h2", "h3", "h4")
+        .withColumn("h", hex6_to_int(F.col("m")))
     )
-    sharded = sharded.cache()  # session-per-query (lag + 3 rollups)
-    wlag = Window.partitionBy("shard").orderBy(
-        F.col("m").asc(), F.col("source").asc_nulls_first()
-    )
-    lagged = sharded.select(
-        "shard",
-        "source",
-        F.lag("source").over(wlag).alias("prev_source"),
-    )
-    obs = lagged.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            F.when(F.col("source") == F.col("prev_source"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_same"),
-    )
-    chk = sharded.groupBy("shard").agg(
+    return sharded.groupBy("shard").agg(
         F.sum("h").cast("long").alias("h_sum"),
         F.min("m").alias("m_min"),
         F.max("m").alias("m_max"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("h")))
         .cast("long")
         .alias("n_h_dup"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("m")))
+        .cast("long")
+        .alias("n_m_dup"),
+        F.count_distinct(F.concat_ws("|", F.col("m"), F.col("source")))
+        .cast("long")
+        .alias("n_msrc"),
         F.sum(F.floor(F.col("doc_id").cast("double")).cast("long"))
         .cast("long")
         .alias("doc_chk"),
@@ -848,29 +854,43 @@ def shard_order_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_null_src"),
     )
-    pairs = (
-        sharded.groupBy("shard", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("ns"))
-        .groupBy("shard")
-        .agg(F.sum(F.col("ns") * (F.col("ns") - 1)).cast("long").alias("num"))
+
+
+def _soa_probe_pairs_sql() -> str:
+    from ..functions.sqlfrag import sql_hex6_to_int
+
+    return f"""
+WITH keyed AS MATERIALIZED (
+    SELECT {_SOA_KEY_SQL} AS m, source FROM documents
+),
+sharded AS MATERIALIZED (
+    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard, source FROM keyed
+),
+comp AS (
+    SELECT shard, source, CAST(count(*) AS BIGINT) AS ns
+    FROM sharded GROUP BY 1, 2
+)
+SELECT shard,
+       CAST(sum(ns) AS BIGINT) AS n_docs,
+       CAST(sum(ns * (ns - 1)) AS BIGINT) AS num,
+       CAST(sum(ns) * (sum(ns) - 1) AS BIGINT) AS den
+FROM comp GROUP BY shard
+"""
+
+
+@register("shard_order_probe_pairs", _soa_probe_pairs_sql())
+def shard_order_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLY the source-composition stage of the shard-order audit: the
+    same-source pair count num = sum_s ns(ns-1) and the total pair
+    count den = n(n-1) per shard (the expected-rate numerator and
+    denominator). Order-free; a red driver bit here with green inputs
+    means the composition rollup itself diverges."""
+    sharded = _soa_sharded(spark, sf_dir).select("shard", "source")
+    comp = sharded.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
     )
-    return (
-        obs.join(chk, "shard")
-        .join(pairs, "shard")
-        .select(
-            "shard",
-            "n_docs",
-            "n_same",
-            "num",
-            (F.col("n_docs") * (F.col("n_docs") - 1))
-            .cast("long")
-            .alias("den"),
-            "h_sum",
-            "m_min",
-            "m_max",
-            "n_h_dup",
-            "doc_chk",
-            "n_null_doc",
-            "n_null_src",
-        )
+    return comp.groupBy("shard").agg(
+        F.sum("ns").cast("long").alias("n_docs"),
+        F.sum(F.col("ns") * (F.col("ns") - 1)).cast("long").alias("num"),
+        (F.sum("ns") * (F.sum("ns") - 1)).cast("long").alias("den"),
     )

@@ -272,7 +272,8 @@ REPRESENTATIVES = [
     "setjoin_prefix_filter",
     "dedup_index_compaction",
     "embedding_source_psi",
-    "shard_order_probe",
+    "shard_order_probe_inputs",
+    "shard_order_probe_pairs",
     "streaming_restart_carryover",
     "streaming_state_introspection",
 ]

@@ -293,7 +293,8 @@ def test_projection_prunes_scan_columns(spark):
         # round-9 (plans/round6c.py probe + round9.py): all
         # pure-relational except the streaming restart query (memory
         # sink, plan is post-hoc)
-        "shard_order_probe",
+        "shard_order_probe_inputs",
+        "shard_order_probe_pairs",
         "longest_dup_substring",
         "longest_dup_span_pairs",
         "pii_redaction_transform",

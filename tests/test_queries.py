@@ -82,7 +82,8 @@ def test_driver_sample_spans_families():
     assert len(set(first50)) == 50
 
     assert first50[0] == "shard_order_autocorr"
-    assert first50[1] == "shard_order_probe"
+    assert first50[1] == "shard_order_probe_inputs"
+    assert first50[2] == "shard_order_probe_pairs"
 
     from steam_prices_data_engineering_spark.plans import (
         round9,
@@ -128,7 +129,11 @@ def test_driver_sample_spans_families():
             (early if i <= 2 else recent).update(names)
     fillers = (
         set(first50)
-        - {"shard_order_autocorr", "shard_order_probe"}
+        - {
+            "shard_order_autocorr",
+            "shard_order_probe_inputs",
+            "shard_order_probe_pairs",
+        }
         - r9_tier
         - changed_r9
     )

@@ -307,3 +307,58 @@ def test_shard_order_tie_proof(spark, tmp_path):
             r.expected_rate,
             r.order_bias_ratio,
         ), f"shard {shard}"
+
+
+def test_shard_order_probes_hostile_parity(spark, tmp_path):
+    """The r10 stage-pure bisection probes on the SAME hostile fixture
+    the tie-proof test uses (duplicate doc_ids with differing sources,
+    NULL doc_ids): every order-free checksum and the composition rollup
+    must match DuckDB exactly, and the inputs probe must actually see
+    the full-digest duplicates (n_m_dup > 0 on the shard holding the
+    doc_id=7 trio) — proving the probe can detect input-stage
+    divergence, not just trivially agree."""
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    rows = [
+        (7, "t", "en", "web", 1),
+        (7, "t", "en", "books", 1),
+        (7, "t", "en", "web", 1),
+        (None, "t", "en", "books", 1),
+        (None, "t", "en", "web", 1),
+    ]
+    rows += [(i, "t", "en", "wiki", 1) for i in range(100, 140)]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("shard_order_probe_inputs", "shard_order_probe_pairs"):
+        got = sorted(
+            tuple(r)
+            for r in registry.queries()[name](
+                spark, str(tmp_path)
+            ).collect()
+        )
+        duck = sorted(
+            tuple(r) for r in con.execute(registry.oracle_sql()[name]).fetchall()
+        )
+        assert got == duck, name
+
+    inputs = {
+        r.shard: r
+        for r in registry.queries()["shard_order_probe_inputs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    trio_shard = _md5i("shard1|7") % 16
+    assert inputs[trio_shard].n_m_dup >= 2  # the doc_id=7 trio
+    null_shard = _md5i("shard1") % 16
+    assert inputs[null_shard].n_null_doc >= 2  # NULL doc_ids counted

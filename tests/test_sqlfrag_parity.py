@@ -97,6 +97,56 @@ def test_md5_hex6_matches_duckdb(spark, s):
     assert got == duck
 
 
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    s=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+)
+def test_hex_slice_to_int_matches_duckdb(spark, s):
+    """The numeric digest-quarter order behind shard_order_autocorr's
+    lag window (r10): the four 8-char md5 slices must parse identically
+    in both engines, and their tuple order must equal the lexicographic
+    order of the full digest (fixed-width lowercase hex)."""
+    import hashlib
+
+    from steam_prices_data_engineering_spark.functions.sqlfrag import (
+        sql_hex_slice_to_int,
+    )
+    from steam_prices_data_engineering_spark.functions.text import (
+        hex_slice_to_int,
+    )
+
+    digest = hashlib.md5(s.encode()).hexdigest()
+    starts = (1, 9, 17, 25)
+    row = (
+        spark.createDataFrame([(digest,)], "m string")
+        .select(
+            *[
+                hex_slice_to_int(F.col("m"), st_, 8).alias(f"h{k}")
+                for k, st_ in enumerate(starts, start=1)
+            ]
+        )
+        .collect()[0]
+    )
+    duck = duckdb.execute(
+        "WITH t AS (SELECT ? AS m) SELECT "
+        + ", ".join(sql_hex_slice_to_int("m", st_, 8) for st_ in starts)
+        + " FROM t",
+        [digest],
+    ).fetchone()
+    expected = tuple(
+        int(digest[st_ - 1 : st_ + 7], 16) for st_ in starts
+    )
+    assert tuple(row) == expected
+    assert tuple(duck) == expected
+
+
 def test_quality_fragments_null_text_parity(spark):
     """r9 fragment hardening (VERDICT r8 #2): the quality-feature
     fragments must NULL-propagate on NULL text in BOTH engines (this

@@ -109,7 +109,8 @@ QUERIES = [
     "dedup_index_compaction",
     "embedding_source_psi",
     "shard_order_autocorr",
-    "shard_order_probe",
+    "shard_order_probe_inputs",
+    "shard_order_probe_pairs",
     # round-9d: panel-bounded embedding scans (16 fixed queries x N —
     # linear per decade), and the delta-quadrant join view (FK-kept
     # amplification scales every quadrant linearly)
