@@ -36,6 +36,7 @@ same engine.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -214,6 +215,9 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lesson (spark.sql.shuffle.partitions already session-tuned).
 # ===========================================================================
 
+# WHERE mirrors the builder's NULL guard on the event_id batch split: a
+# NULL event_id row falls in NEITHER parity batch (the r9 NULL-branch-
+# predicate gotcha), so it must not land in the oracle's count either.
 _RESTART_SQL = f"""
 SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
            AS hour_start,
@@ -223,6 +227,7 @@ SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
                            + CAST(0.5 AS DOUBLE)) AS BIGINT))
             AS BIGINT) AS sum_value_micro
 FROM events
+WHERE event_id IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -278,32 +283,45 @@ def streaming_restart_carryover(
     """Hourly event aggregate computed ACROSS a checkpoint stop/start
     (two availableNow runs, second sees only new files); equals the
     batch aggregate iff checkpointed state carried over."""
-    ev = read_table(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="spde_restart_")
-    src = os.path.join(scratch, "src")
-    ckpt = os.path.join(scratch, "ckpt")
-    evens = ev.filter(F.col("event_id") % 2 == 0)
-    odds = ev.filter(F.col("event_id") % 2 == 1)
-    n_even, n_odd = evens.count(), odds.count()
-    evens.write.mode("append").parquet(src)
-    sink1 = _restart_run_once(spark, src, ckpt)
-    n1 = spark.table(sink1).agg(F.sum("n_events")).collect()[0][0] or 0
-    odds.write.mode("append").parquet(src)
-    sink2 = _restart_run_once(spark, src, ckpt)
-    n2 = spark.table(sink2).agg(F.sum("n_events")).collect()[0][0] or 0
-    # exact carryover proof (empty-input safe: 0 == 0 on empty events):
-    # run 1 saw exactly the even batch; the restarted run's state covers
-    # even + odd — a rebuilt state would total only n_odd.
-    if n1 != n_even or n2 != n_even + n_odd:
-        raise RuntimeError(
-            f"checkpoint carryover violated: run1 totals {n1} (expected "
-            f"{n_even}), restarted run totals {n2} (expected "
-            f"{n_even + n_odd}) — state was rebuilt or batch 2 leaked "
-            "into run 1"
-        )
-    return spark.table(sink2).select(
-        "hour_start", "event_type", "n_events", "sum_value_micro"
+    # NULL guard + pmod: a NULL event_id falls in neither parity batch
+    # and a negative id under `%` gives remainder -1, also neither — the
+    # r9 NULL-branch-predicate gotcha. The oracle carries the same
+    # IS NOT NULL filter.
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
     )
+    scratch = tempfile.mkdtemp(prefix="spde_restart_")
+    try:
+        src = os.path.join(scratch, "src")
+        ckpt = os.path.join(scratch, "ckpt")
+        evens = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        odds = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        n_even, n_odd = evens.count(), odds.count()
+        evens.write.mode("append").parquet(src)
+        sink1 = _restart_run_once(spark, src, ckpt)
+        n1 = spark.table(sink1).agg(F.sum("n_events")).collect()[0][0] or 0
+        odds.write.mode("append").parquet(src)
+        sink2 = _restart_run_once(spark, src, ckpt)
+        n2 = spark.table(sink2).agg(F.sum("n_events")).collect()[0][0] or 0
+        # exact carryover proof (empty-input safe: 0 == 0 on empty
+        # events): run 1 saw exactly the even batch; the restarted run's
+        # state covers even + odd — a rebuilt state would total only
+        # n_odd.
+        if n1 != n_even or n2 != n_even + n_odd:
+            raise RuntimeError(
+                f"checkpoint carryover violated: run1 totals {n1} "
+                f"(expected {n_even}), restarted run totals {n2} "
+                f"(expected {n_even + n_odd}) — state was rebuilt or "
+                "batch 2 leaked into run 1"
+            )
+        spark.catalog.dropTempView(sink1)
+        return spark.table(sink2).select(
+            "hour_start", "event_type", "n_events", "sum_value_micro"
+        )
+    finally:
+        # the memory sink holds its rows driver-side — the returned
+        # frame does not read the scratch files or checkpoint again
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ===========================================================================
@@ -626,39 +644,48 @@ def streaming_state_introspection(
     every window after one availableNow batch)."""
     ev = read_table(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="spde_ssi_")
-    src = os.path.join(scratch, "src")
-    ckpt = os.path.join(scratch, "ckpt")
-    ev.write.parquet(src)
-    stream = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
-        .format("parquet")
-        .load(src)
-    )
-    sink = f"ssi_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    state = spark.read.format("statestore").load(ckpt)
-    return state.groupBy(
-        F.col("key.event_type").alias("event_type")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_state_rows"),
-        F.sum(F.col("value.count")).cast("long").alias("sum_state_count"),
-        F.min(F.col("key.window.start").cast("long"))
-        .cast("long")
-        .alias("first_hour"),
-        F.max(F.col("key.window.start").cast("long"))
-        .cast("long")
-        .alias("last_hour"),
-    )
+    try:
+        src = os.path.join(scratch, "src")
+        ckpt = os.path.join(scratch, "ckpt")
+        ev.write.parquet(src)
+        stream = (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .format("parquet")
+            .load(src)
+        )
+        sink = f"ssi_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ckpt)
+        audited = state.groupBy(
+            F.col("key.event_type").alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_state_rows"),
+            F.sum(F.col("value.count")).cast("long").alias("sum_state_count"),
+            F.min(F.col("key.window.start").cast("long"))
+            .cast("long")
+            .alias("first_hour"),
+            F.max(F.col("key.window.start").cast("long"))
+            .cast("long")
+            .alias("last_hour"),
+        )
+        # the statestore read is FILE-backed and lazy — materialize the
+        # bounded (event_type-grain) audit before the finally deletes
+        # the checkpoint, and hand back a local relation
+        rows = audited.collect()
+        spark.catalog.dropTempView(sink)
+        return spark.createDataFrame(rows, audited.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 # ===========================================================================
 # Pairwise longest-shared-span attribution (round 9b): the TRUE

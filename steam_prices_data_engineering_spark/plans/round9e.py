@@ -280,6 +280,19 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    # Convergence guard (ADVICE r9): _PJ_ROUNDS rounds resolve chains to
+    # depth 2^_PJ_ROUNDS; the oracle's recursive CTE walks ANY depth. A
+    # fixture deeper than that must fail LOUDLY here, not hash-red at
+    # the driver — converged iff no remaining parent is itself a child.
+    unresolved = ptr.join(
+        ptr.select(F.col("doc_id").alias("parent")), "parent", "left_semi"
+    ).count()
+    if unresolved:
+        raise RuntimeError(
+            f"pointer jumping did not converge: {unresolved} docs still "
+            f"point at a non-root parent after {_PJ_ROUNDS} rounds "
+            f"(chain deeper than {2 ** _PJ_ROUNDS}) — raise _PJ_ROUNDS"
+        )
     return ptr.select(
         "doc_id", F.col("parent").alias("root_doc"), F.col("depth")
     )

@@ -83,7 +83,7 @@ SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_shared,
 FROM i
 JOIN sz sa ON sa.doc_id = i.doc_a
 JOIN sz sb ON sb.doc_id = i.doc_b
-WHERE {jacc} >= CAST({_SSJ_TAU_NUM} AS DOUBLE) / {_SSJ_TAU_DEN}
+WHERE i.i * {_SSJ_TAU_DEN} >= (sa.s + sb.s - i.i) * {_SSJ_TAU_NUM}
 """
 
 
@@ -154,9 +154,20 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("s_a") + F.col("s_b") - F.col("i")),
         6,
     )
+    # verify on the EXACT integer inequality 10*i >= 7*(union) in BOTH
+    # engines: the prefix-filter completeness theorem covers pairs with
+    # TRUE Jaccard >= t, but a rounded jaccard in [t - 5e-7, t) would
+    # pass a dround(6)-threshold verify in the brute-force oracle while
+    # the prefix index may legitimately prune it (ADVICE r9). dround
+    # stays only on the REPORTED jaccard column.
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            F.col("i") * F.lit(_SSJ_TAU_DEN)
+            >= (F.col("s_a") + F.col("s_b") - F.col("i"))
+            * F.lit(_SSJ_TAU_NUM)
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -164,9 +175,6 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_a").cast("long").alias("size_a"),
             F.col("s_b").cast("long").alias("size_b"),
             jacc.alias("jaccard"),
-        )
-        .filter(
-            F.col("jaccard") >= F.lit(_SSJ_TAU_NUM / _SSJ_TAU_DEN)
         )
     )
 

@@ -86,7 +86,9 @@ def test_streaming_restart_equals_batch(spark):
             spark, SF
         ).collect()
     }
-    ev = read_table(spark, SF, "events")
+    ev = read_table(spark, SF, "events").filter(
+        F.col("event_id").isNotNull()
+    )
     want = {
         (r.hour_start, r.event_type): (r.n_events, r.sum_value_micro)
         for r in ev.groupBy(
@@ -111,6 +113,61 @@ def test_streaming_restart_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_restart_null_and_negative_event_id_hostile_parity(
+    spark, tmp_path
+):
+    """NULL and negative event_ids must not leak through the restart
+    query's parity batch split (the r9 NULL-branch-predicate gotcha,
+    ADVICE r10): a NULL id falls in neither batch under any split, and
+    a negative odd id under `%` gives remainder -1 (also neither) —
+    the builder filters NULLs (mirrored in the oracle) and splits on
+    pmod so negatives land in a batch. Cross-engine parity plus an
+    exact row census pin it."""
+    import datetime as dt
+
+    import duckdb
+
+    from steam_prices_data_engineering_spark.sources.tables import (
+        TABLE_SCHEMAS,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (1, t0, 1, "click", 1.0, None),
+        (2, t0, 1, "click", 2.0, None),
+        (-3, t0, 1, "click", 4.0, None),  # negative ODD id: pmod -> 1
+        (-4, t0, 1, "view", 8.0, None),   # negative EVEN id
+        (None, t0, 1, "click", 16.0, None),  # NULL id: excluded
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    sdf = registry.queries()["streaming_restart_carryover"](
+        spark, str(tmp_path)
+    )
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    rel = con.execute(
+        registry.oracle_sql()["streaming_restart_carryover"]
+    )
+    cols = [d[0] for d in rel.description]
+    idx = [cols.index(c) for c in sdf.columns]
+    want = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    assert got == want, (got, want)
+    # the NULL-id row (value 16.0) is in NEITHER engine's totals; the
+    # negative ids are in BOTH
+    by_type = {r[1]: r for r in got}
+    assert by_type["click"][2] == 3  # ids 1, 2, -3 — not the NULL row
+    assert by_type["click"][3] == 1_000_000 + 2_000_000 + 4_000_000
+    assert by_type["view"][2] == 1  # id -4
 
 
 def test_dedup_index_compaction_invariants(spark):
