@@ -259,6 +259,12 @@ BENCH_QUERIES = [
     "fd_violation_audit",
     "setjoin_prefix_filter",
     "ams_f2_join_size",
+    # round-10 tier
+    "dedup_membership_probe",
+    "ivf_pq_nprobe_curve",
+    "layout_zorder_vs_linear_eval",
+    "repeated_ngram_loop_gate",
+    "dp_budget_ledger",
 ]
 
 

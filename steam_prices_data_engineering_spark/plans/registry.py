@@ -71,79 +71,75 @@ def register(name: str, oracle: str | None):
 # so the exported order is not cosmetic: it decides which operators get
 # driver-verified rows each round.
 #
-# ROUND-8 ROTATION (per VERDICT.md r7 task 2): rounds 1-7 drove 346
-# distinct queries: after a green r8 EVERY registered query has a
-# driver row (376 sampled r1-r8). Round 9 leads with the one red row
-# (shard_order_autocorr) + its bisection probe, then the new r9 tier
-# and every query whose code/oracle changed this round, and starts
-# the SECOND full rotation pass ordered by staleness (names whose
-# only driver rows are r1/r2), keeping family span (pinned by
+# ROUND-10 ROTATION (per VERDICT.md r9 tasks 1 + 6): the three-way
+# shard-order split leads (three independent driver hash bits = the
+# bisection), then the new r10 tier, then every query whose code or
+# oracle changed this round, then family anchors, and the rest
+# continues the THIRD rotation pass ordered by staleness — every
+# filler's most recent driver row is r1/r2 (pinned by
 # tests/test_queries.py::test_driver_sample_spans_families).
 _PRIORITY: tuple[str, ...] = (
-    # -- the r7+r8+r9 driver-red row and its STAGE-PURE r10 bisection
+    # -- the r7-r9 driver-red row and its STAGE-PURE r10 bisection
     #    probes FIRST: three queries -> three independent driver hash
     #    bits -> the truth table in plans/round6c.py localizes (or the
     #    numeric lag order closes) the divergence --
     "shard_order_autocorr",           # numeric h1..h4 lag order (r10)
     "shard_order_probe_inputs",       # order-free input checksums (r10)
     "shard_order_probe_pairs",        # composition-stage rollup (r10)
-    # -- round-9 tier (plans/round9.py): zero driver rows --
-    "longest_dup_substring",          # suffix-grain dup runs
-    "streaming_restart_carryover",    # checkpoint stop/start carryover
-    "dedup_index_compaction",         # band-index merge w/ tombstones
-    "embedding_source_psi",           # per-source embedding drift
-    "streaming_state_introspection",  # statestore batch-reader audit
-    "longest_dup_span_pairs",         # pairwise shared-span attribution
-    "pii_redaction_transform",        # governance rewrite + checksum
-    # -- round-9d tier (plans/round9d.py): zero driver rows --
-    "ivm_join_delta_merge",           # join-view delta maintenance
-    "matryoshka_prefix_recall",       # prefix-dim retrieval fidelity
-    "bitext_margin_mining",           # margin-scored pair mining
-    # -- round-9e tier (plans/round9e.py): zero driver rows --
-    "neardup_bfs_hops",               # BSP frontier hop histogram
-    "containment_root_resolution",    # pointer-jumping chain roots
-    "ldp_randomized_response",        # local-DP debiased frequencies
-    "horvitz_thompson_total",         # pi-expansion sampling estimator
-    "fd_violation_audit",             # functional-dependency profiling
-    # -- round-9f tier (plans/round9f.py): zero driver rows --
-    "setjoin_prefix_filter",          # AllPairs/PPJoin exact set join
-    "ams_f2_join_size",               # AMS F2 self-join-size sketch
+    # -- round-10 tier (plans/round10.py): zero driver rows --
+    "dedup_membership_probe",         # online probe vs compacted index
+    "ivf_pq_nprobe_curve",            # ANN operating curve
+    "layout_zorder_vs_linear_eval",   # 2-D pruning design table
+    "repeated_ngram_loop_gate",       # degenerate-repetition gate
+    "dp_budget_ledger",               # DP composition accounting
     # -- code/oracle changed THIS round: re-verify on driver data --
-    "youden_threshold_pick",          # per-query NULL guard removed (r9)
-    "soundex_token_blocks",           # unbounded tail slice (r9)
-    "quantile_sketch_error_eval",     # oracle n = count(col) (r9)
-    "eval_reservoir_sample",          # BIGINT-cast md5 key (r9)
-    "shard_skew_audit",               # BIGINT-cast md5 key (r9)
-    "stratified_three_way_split",     # BIGINT-cast md5 key (r9)
-    "shard_rebalance_movement",       # BIGINT-cast md5 key (r9)
-    # -- second full pass, stalest first: every name below last had a
-    #    driver row in r1/r2 (pinned by the staleness rule in
-    #    tests/test_queries.py::test_driver_sample_spans_families) --
-    "anti_join_substring",
-    "asof_join_events_orders",
-    "broadcast_join_orders_nation",
-    "dedup_exact_by_hash",
-    "doc_fingerprint_simhash",
-    "events_json_props",
-    "events_tumbling_window",
-    "global_agg_stats",
-    "left_join_nation_customer_stats",
-    "multimodal_bytes",
-    "neardup_ngram_jaccard",
-    "proj_filter_customers",
-    "range_join_price_bands",
-    "ranking_top_customers",
-    "streaming_tumbling_window",
-    "string_agg_types_per_brand",
-    "token_topk",
-    "top1_recency",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "window_max_fill",
-    # family-variety anchors from the r2-stale set
-    "substring_dup_spans",            # semantic/substring dedup family
-    "simsearch_lsh_topk",             # ANN-at-scale family
-    "bloom_prefilter_decontam",       # sketch/selection family
+    "streaming_restart_carryover",    # NULL-safe pmod split (r10)
+    "streaming_state_introspection",  # collected local relation (r10)
+    "setjoin_prefix_filter",          # exact integer verify (r10)
+    "containment_root_resolution",    # convergence guard (r10)
+    # -- family anchors whose whole family was recently green (kept so
+    #    the sample spans every operator family; exempt from the
+    #    staleness rule) --
+    "dedup_exact_groups",             # exact-dedup family
+    "neardup_minhash_lsh",            # near-dup family
+    "semdedup_prune",                 # semantic-dedup family
+    "multimodal_audio_windows",       # multimodal family
+    "eval_reservoir_sample",          # splits-sampling family
+    "embedding_dim_stats",            # embedding-monitoring family
+    # -- third rotation pass, stalest first: every name below last had
+    #    a driver row in r1/r2 --
+    "bitwise_agg_funcs",
+    "case_remap_counts",
+    "cross_join_region_status",
+    "cube_returnflag_linestatus",
+    "date_scalar_funcs",
+    "distinct_agg_per_status",
+    "doc_quality_scores",
+    "events_sliding_window",
+    "full_outer_join_nation_counts",
+    "hash_scalar_funcs",
+    "knn_join_topk",
+    "map_column_funcs",
+    "math_scalar_funcs",
+    "moments_skew_kurtosis",
+    "nullsafe_join_status",
+    "rollup_status_priority",
+    "setops_custkeys",
+    "streaming_sliding_window",
+    "string_scalar_funcs",
+    "tpch_q5_local_volume",
+    "try_arithmetic_funcs",
+    "apply_in_pandas_zscore",
+    "approx_aggregates",
+    "attribution_last_touch",
+    "cms_heavy_hitters",
+    "dedup_connected_components",
+    "gdpr_delete_cascade",
+    "kmeans_embeddings",
+    "lang_id_ngram",
+    "merge_upsert_user_state",
+    "price_parse_locale",
+    "steam_api_json_extract",
 )
 # Deliberately under the FULL LOCAL GATE only this round: every other
 # driver-green query. All are hash-checked by

@@ -87,17 +87,12 @@ WHERE i.i * {_SSJ_TAU_DEN} >= (sa.s + sb.s - i.i) * {_SSJ_TAU_NUM}
 """
 
 
-@register("setjoin_prefix_filter", _ssj_sql())
-def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.7 pairs over df-capped distinct shingle sets,
-    with candidates from PREFIX FILTERING: under the global
-    (df ASC, hash ASC) order, only each doc's first
-    s - ceil(0.7*s) + 1 postings are indexed — any qualifying pair
-    provably shares a prefix entry, so pruning ~70% of the index loses
-    nothing. The oracle mines candidates from EVERY co-shingle pair;
-    equality of the final sets is the completeness theorem, checked on
-    real data. ceil uses integer arithmetic ((7s+9) div 10) — float
-    0.7*s would ceil wrong on exact multiples in either engine."""
+def _ssj_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings p, sizes sz, candidate pairs cand) of the prefix-filter
+    join — shared by the registered query and the scale probe's
+    candidate-law counter (tools/scale_probe_100x.py)."""
     from ..operators.dedup import hashed_shingle_table
 
     docs = read_table(spark, sf_dir, "documents")
@@ -139,6 +134,29 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return p, sz, cand
+
+
+def setjoin_candidate_count(spark: SparkSession, sf_dir: str) -> int:
+    """Candidate pairs the prefix index generates BEFORE verification —
+    the growth-law counter the 100x decade probe records next to the
+    MinHash-LSH table (tools/scale_probe_100x.py)."""
+    _, _, cand = _ssj_stages(spark, sf_dir)
+    return cand.count()
+
+
+@register("setjoin_prefix_filter", _ssj_sql())
+def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 pairs over df-capped distinct shingle sets,
+    with candidates from PREFIX FILTERING: under the global
+    (df ASC, hash ASC) order, only each doc's first
+    s - ceil(0.7*s) + 1 postings are indexed — any qualifying pair
+    provably shares a prefix entry, so pruning ~70% of the index loses
+    nothing. The oracle mines candidates from EVERY co-shingle pair;
+    equality of the final sets is the completeness theorem, checked on
+    real data. ceil uses integer arithmetic ((7s+9) div 10) — float
+    0.7*s would ceil wrong on exact multiples in either engine."""
+    p, sz, cand = _ssj_stages(spark, sf_dir)
     pa = p.select(F.col("doc_id").alias("doc_a"), "h")
     pb = p.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (

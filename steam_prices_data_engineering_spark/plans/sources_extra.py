@@ -246,25 +246,35 @@ def source_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 12  # matches functions/zorder.py:BITS
 
 
-def _zorder_sql() -> str:
-    # normalize both columns with the SAME floor(frac*4095+0.5) clamp the
-    # Spark expression uses.
-    def norm(c: str, lo: str, hi: str) -> str:
-        top = (1 << _Z_BITS) - 1
-        return (
-            f"greatest(0, least({top}, CAST(floor("
-            f"(CAST({c} AS DOUBLE) - {lo}) / "
-            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END) "
-            f"* {top} + 0.5) AS BIGINT)))"
-        )
+def sql_znorm(c: str, lo: str, hi: str) -> str:
+    """Normalize column `c` to [0, 2^BITS) with the SAME
+    floor(frac*4095+0.5) clamp the Spark expression
+    (functions/zorder.py:_normalize) uses. Shared by zorder_cell_stats
+    and the round-10 layout comparison — never inline a copy."""
+    top = (1 << _Z_BITS) - 1
+    return (
+        f"greatest(0, least({top}, CAST(floor("
+        f"(CAST({c} AS DOUBLE) - {lo}) / "
+        f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END) "
+        f"* {top} + 0.5) AS BIGINT)))"
+    )
 
-    interleave = (
+
+def sql_zinterleave(na: str = "na", nb: str = "nb") -> str:
+    """Morton bit-interleave of two normalized BIGINT columns (SQL twin
+    of functions/zorder.py:_interleave)."""
+    return (
         f"list_sum(list_transform(range(0, {_Z_BITS}), i -> "
-        f"((na // CAST(pow(2.0, i) AS BIGINT)) % 2) "
+        f"(({na} // CAST(pow(2.0, i) AS BIGINT)) % 2) "
         f"* CAST(pow(2.0, 2 * i + 1) AS BIGINT) "
-        f"+ ((nb // CAST(pow(2.0, i) AS BIGINT)) % 2) "
+        f"+ (({nb} // CAST(pow(2.0, i) AS BIGINT)) % 2) "
         f"* CAST(pow(2.0, 2 * i) AS BIGINT)))"
     )
+
+
+def _zorder_sql() -> str:
+    norm = sql_znorm
+    interleave = sql_zinterleave()
     return f"""
 WITH mm AS (
     SELECT CAST(min(l_partkey) AS DOUBLE) AS lo_a,

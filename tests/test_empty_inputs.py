@@ -276,6 +276,12 @@ REPRESENTATIVES = [
     "shard_order_probe_pairs",
     "streaming_restart_carryover",
     "streaming_state_introspection",
+    # round-10 (the nprobe curve and layout eval are fixed-grain
+    # reporters on empty — NULL/NaN stat rows, excluded per the
+    # datasheet precedent)
+    "dedup_membership_probe",
+    "repeated_ngram_loop_gate",
+    "dp_budget_ledger",
 ]
 
 

@@ -313,6 +313,14 @@ def test_projection_prunes_scan_columns(spark):
         # round-9f (plans/round9f.py): pure-relational
         "setjoin_prefix_filter",
         "ams_f2_join_size",
+        # round-10 (plans/round10.py): relational (the nprobe curve
+        # collects its bounded truth top-10 driver-side, then every
+        # distributed stage is JVM expressions)
+        "dedup_membership_probe",
+        "ivf_pq_nprobe_curve",
+        "layout_zorder_vs_linear_eval",
+        "repeated_ngram_loop_gate",
+        "dp_budget_ledger",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

@@ -66,17 +66,20 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_driver_sample_spans_families():
     """The driver's CORRECTNESS gate samples the first 50 exported
-    queries; pin the round-9 rotation (VERDICT.md r8 tasks 1 + 5):
+    queries; pin the round-10 rotation (VERDICT.md r9 tasks 1 + 6):
 
-    1. the one driver-red row (shard_order_autocorr) leads, with its
-       integer-only bisection probe right behind it;
-    2. every round-9 tier query (plans/round9.py) gets its first row;
+    1. the driver-red row (shard_order_autocorr) leads with its TWO
+       stage-pure bisection probes — three queries, three independent
+       driver hash bits;
+    2. every round-10 tier query (plans/round10.py) gets its first row;
     3. every query whose CODE or ORACLE changed this round re-verifies
        on driver data;
-    4. the rest starts the SECOND full rotation pass ordered by
-       staleness: each filler's most recent driver row is r1/r2 — never
-       an accidental repeat of a recently-green query;
-    5. the sample still spans every operator family.
+    4. six family anchors keep the span when a whole family was
+       recently green (exempt from the staleness rule);
+    5. the rest continues the THIRD rotation pass ordered by
+       staleness: each filler's most recent driver row is r1/r2 —
+       never an accidental repeat of a recently-green query;
+    6. the sample still spans every operator family.
     """
     first50 = list(registry.queries())[:50]
     assert len(set(first50)) == 50
@@ -85,44 +88,43 @@ def test_driver_sample_spans_families():
     assert first50[1] == "shard_order_probe_inputs"
     assert first50[2] == "shard_order_probe_pairs"
 
-    from steam_prices_data_engineering_spark.plans import (
-        round9,
-        round9d,
-        round9e,
-        round9f,
-    )
+    from steam_prices_data_engineering_spark.plans import round10
 
-    r9_tier = {
+    r10_tier = {
         n
         for n in registry.queries()
-        if getattr(round9, n, None) is not None
-        or getattr(round9d, n, None) is not None
-        or getattr(round9e, n, None) is not None
-        or getattr(round9f, n, None) is not None
+        if getattr(round10, n, None) is not None
     }
-    assert r9_tier, "round-9 tier registered nothing"
-    assert r9_tier <= set(first50), sorted(r9_tier - set(first50))
+    assert r10_tier, "round-10 tier registered nothing"
+    assert r10_tier <= set(first50), sorted(r10_tier - set(first50))
 
-    changed_r9 = {
-        "youden_threshold_pick",
-        "soundex_token_blocks",
-        "quantile_sketch_error_eval",
-        "eval_reservoir_sample",
-        "shard_skew_audit",
-        "stratified_three_way_split",
-        "shard_rebalance_movement",
+    changed_r10 = {
+        "streaming_restart_carryover",
+        "streaming_state_introspection",
+        "setjoin_prefix_filter",
+        "containment_root_resolution",
     }
-    assert changed_r9 <= set(first50)
+    assert changed_r10 <= set(first50)
+
+    anchors = {
+        "dedup_exact_groups",
+        "neardup_minhash_lsh",
+        "semdedup_prune",
+        "multimodal_audio_windows",
+        "eval_reservoir_sample",
+        "embedding_dim_stats",
+    }
+    assert anchors <= set(first50)
 
     # staleness rule: every OTHER sampled name must have been driver-
-    # sampled ONLY in r1/r2 (second-pass rotation, stalest first)
+    # sampled ONLY in r1/r2 across r1-r9 (third-pass rotation)
     import json
     import os
 
     base = os.path.join(os.path.dirname(__file__), "..")
     recent: set[str] = set()
     early: set[str] = set()
-    for i in range(1, 9):
+    for i in range(1, 10):
         p = os.path.join(base, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(p):
             names = set(json.load(open(p)))
@@ -134,8 +136,9 @@ def test_driver_sample_spans_families():
             "shard_order_probe_inputs",
             "shard_order_probe_pairs",
         }
-        - r9_tier
-        - changed_r9
+        - r10_tier
+        - changed_r10
+        - anchors
     )
     if early:  # CORRECTNESS history present
         stale_violations = {
@@ -160,7 +163,8 @@ def test_driver_sample_spans_families():
         "semantic-substring-dedup": {"substring_dup_spans", "semdedup_prune",
                                      "longest_dup_substring"},
         "dedup-maintenance": {"dedup_index_compaction",
-                              "dedup_incremental_delta"},
+                              "dedup_incremental_delta",
+                              "dedup_membership_probe"},
         "similarity-search": {"knn_join_topk", "simsearch_lsh_topk",
                               "simsearch_topk_cosine"},
         "selection-sketch": {"bloom_prefilter_decontam",
@@ -183,6 +187,12 @@ def test_driver_sample_spans_families():
         "quantiles": {"quantile_sketch_error_eval", "math_scalar_funcs"},
         "function-surface": {"math_scalar_funcs",
                              "string_agg_types_per_brand"},
+        "ann-tuning": {"ivf_pq_nprobe_curve", "lsh_parameter_curve"},
+        "storage-layout": {"layout_zorder_vs_linear_eval",
+                           "zonemap_pruning_audit", "zorder_cell_stats"},
+        "governance-privacy": {"dp_budget_ledger", "gdpr_delete_cascade",
+                               "k_anonymity_report",
+                               "pii_redaction_transform"},
     }
     missing = {
         fam for fam, members in families.items()

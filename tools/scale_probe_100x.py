@@ -123,7 +123,13 @@ QUERIES = [
     "containment_root_resolution",
     # round-9f: the prefix-filtered candidate law (rides the df-capped
     # posting stages; prefix indexing must stay sublinear per decade)
+    # and the one-scan AMS sketch (pure linear-scan sanity row)
     "setjoin_prefix_filter",
+    "ams_f2_join_size",
+    # round-10: the online index probe (candidate law = probe-side band
+    # fan-out) and the trigram-multiset gate (linear stride-1 scan)
+    "dedup_membership_probe",
+    "repeated_ngram_loop_gate",
 ]
 
 SCALES = [
@@ -179,6 +185,20 @@ def main():
         }
         spark.catalog.clearCache()
 
+    # the prefix-filter join's candidate law (VERDICT r9 task 3): pairs
+    # the prefix index generates BEFORE verification, per scale.
+    from steam_prices_data_engineering_spark.plans.round9f import (
+        setjoin_candidate_count,
+    )
+
+    ssj_counters = {}
+    for lbl, sf_dir in scales:
+        ssj_counters[lbl] = {
+            "n_candidates": setjoin_candidate_count(spark, sf_dir),
+            "n_verified": results["setjoin_prefix_filter"][lbl]["rows"],
+        }
+        spark.catalog.clearCache()
+
     lines = [
         "",
         "## 100x decade probe (dedup/retrieval heavy-hitters)",
@@ -226,6 +246,18 @@ def main():
         lines.append(
             f"| {lbl} | {c['n_truth']} | {c['n_candidates']} "
             f"| {c['n_verified']} |"
+        )
+    lines += [
+        "",
+        "Prefix-filter set-join candidate law (setjoin_prefix_filter's "
+        "pre-verify candidate pairs vs verified pairs):",
+        "",
+        "| scale | n_candidates | n_verified |",
+        "|---|---|---|",
+    ]
+    for lbl, c in ssj_counters.items():
+        lines.append(
+            f"| {lbl} | {c['n_candidates']} | {c['n_verified']} |"
         )
     lines.append("")
 
