@@ -265,6 +265,9 @@ BENCH_QUERIES = [
     "layout_zorder_vs_linear_eval",
     "repeated_ngram_loop_gate",
     "dp_budget_ledger",
+    "minhash_merge_maintenance",
+    "ams_innerprod_join_size",
+    "bloom_fpr_operating_curve",
 ]
 
 

@@ -65,3 +65,4 @@ from . import round9d as _round9d  # noqa: E402,F401
 from . import round9e as _round9e  # noqa: E402,F401  (needs graph_ops, semantic_dedup)
 from . import round9f as _round9f  # noqa: E402,F401  (needs semantic_dedup)
 from . import round10 as _round10  # noqa: E402,F401  (needs ann_pq, trainset)
+from . import round10b as _round10b  # noqa: E402,F401  (needs trainset)

@@ -86,12 +86,16 @@ _PRIORITY: tuple[str, ...] = (
     "shard_order_autocorr",           # numeric h1..h4 lag order (r10)
     "shard_order_probe_inputs",       # order-free input checksums (r10)
     "shard_order_probe_pairs",        # composition-stage rollup (r10)
-    # -- round-10 tier (plans/round10.py): zero driver rows --
+    # -- round-10 tier (plans/round10.py + round10b.py): zero driver
+    #    rows --
     "dedup_membership_probe",         # online probe vs compacted index
     "ivf_pq_nprobe_curve",            # ANN operating curve
     "layout_zorder_vs_linear_eval",   # 2-D pruning design table
     "repeated_ngram_loop_gate",       # degenerate-repetition gate
     "dp_budget_ledger",               # DP composition accounting
+    "minhash_merge_maintenance",      # signature monoid invariant
+    "ams_innerprod_join_size",        # cross-relation join-size sketch
+    "bloom_fpr_operating_curve",      # Bloom sizing design table
     # -- code/oracle changed THIS round: re-verify on driver data --
     "streaming_restart_carryover",    # NULL-safe pmod split (r10)
     "streaming_state_introspection",  # collected local relation (r10)
@@ -137,9 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "gdpr_delete_cascade",
     "kmeans_embeddings",
     "lang_id_ngram",
-    "merge_upsert_user_state",
-    "price_parse_locale",
-    "steam_api_json_extract",
 )
 # Deliberately under the FULL LOCAL GATE only this round: every other
 # driver-green query. All are hash-checked by

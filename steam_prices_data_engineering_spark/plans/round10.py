@@ -713,7 +713,7 @@ def repeated_ngram_loop_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select("doc_id", token_hash_array(F.col("text")).alias("th"))
     sh = th.select(
         "doc_id", shingle_hash_array(F.col("th"), 3).alias("sh")
-    ).cache()  # interpreted-HOF array: cache BEFORE explode (CLAUDE.md)
+    ).cache()  # session-per-query (HOF array cached BEFORE explode)
     tri = sh.select("doc_id", F.explode("sh").alias("h"))
     per_h = tri.groupBy("doc_id", "h").agg(
         F.count(F.lit(1)).cast("long").alias("c")

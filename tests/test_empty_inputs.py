@@ -282,6 +282,9 @@ REPRESENTATIVES = [
     "dedup_membership_probe",
     "repeated_ngram_loop_gate",
     "dp_budget_ledger",
+    # round-10b (ams_innerprod and the bloom curve are 1-/4-row
+    # reporters on empty — excluded per the datasheet precedent)
+    "minhash_merge_maintenance",
 ]
 
 

@@ -321,6 +321,11 @@ def test_projection_prunes_scan_columns(spark):
         "layout_zorder_vs_linear_eval",
         "repeated_ngram_loop_gate",
         "dp_budget_ledger",
+        # round-10b (plans/round10b.py): relational (the bloom curve
+        # collects its bounded member/probe census driver-side)
+        "minhash_merge_maintenance",
+        "ams_innerprod_join_size",
+        "bloom_fpr_operating_curve",
     ],
 )
 def test_no_python_eval_in_jvm_expressible_plans(spark, name):

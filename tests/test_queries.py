@@ -88,12 +88,13 @@ def test_driver_sample_spans_families():
     assert first50[1] == "shard_order_probe_inputs"
     assert first50[2] == "shard_order_probe_pairs"
 
-    from steam_prices_data_engineering_spark.plans import round10
+    from steam_prices_data_engineering_spark.plans import round10, round10b
 
     r10_tier = {
         n
         for n in registry.queries()
         if getattr(round10, n, None) is not None
+        or getattr(round10b, n, None) is not None
     }
     assert r10_tier, "round-10 tier registered nothing"
     assert r10_tier <= set(first50), sorted(r10_tier - set(first50))

@@ -248,6 +248,182 @@ def test_loop_gate_flags_degenerate_doc(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# minhash_merge_maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_merge_invariant_holds_everywhere(spark):
+    """sig(A∪B) == least(sigA, sigB) must hold for EVERY permutation of
+    EVERY pair — recompute and merge run different code paths, so 8/8
+    pins the incremental-maintenance implementation; exact jaccard per
+    pair is mirrored in python."""
+    from steam_prices_data_engineering_spark.operators.dedup import (
+        hashed_shingle_table,
+    )
+
+    rows = registry.queries()["minhash_merge_maintenance"](
+        spark, SF
+    ).collect()
+    assert rows
+    hs = {
+        r.doc_id: set(r.hs)
+        for r in hashed_shingle_table(
+            read_table(spark, SF, "documents")
+        ).collect()
+    }
+    for r in rows:
+        assert r.n_perm == 8
+        assert r.n_merge_ok == 8, (r.doc_a, r.doc_b)
+        a, b = hs[r.doc_a], hs[r.doc_b]
+        u = a | b
+        want = len(a & b) / len(u) if u else 0.0
+        assert abs(r.exact_jaccard - want) < 1e-6
+        assert abs(r.est_jaccard - r.n_sig_match / 8) < 1e-9
+
+
+def test_minhash_merge_on_neardup_pair(spark, tmp_path):
+    """On a manufactured near-dup pair (large overlap) the invariant
+    still holds AND the 8-perm estimate is driven by real signature
+    collisions — plus cross-engine parity on the fixture."""
+    base = " ".join(f"w{i}" for i in range(40))
+    variant = base + " extra tail tokens here"
+    # knuth(doc_id) % 64 pairs min/max per bucket; ids 0 and 64 land in
+    # DIFFERENT buckets generally — instead use two ids and rely on the
+    # per-bucket (min, max) pairing among the docs present.
+    rows = [
+        (1, base, "en", "web", 1),
+        (2, variant, "en", "web", 1),
+    ]
+    spark.createDataFrame(rows, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = registry.queries()["minhash_merge_maintenance"](
+        spark, str(tmp_path)
+    ).collect()
+    paired = [r for r in got if {r.doc_a, r.doc_b} == {1, 2}]
+    if paired:  # same knuth bucket — strongest case
+        r = paired[0]
+        assert r.n_merge_ok == 8
+        assert r.exact_jaccard > 0.8
+    for r in got:
+        assert r.n_merge_ok == 8
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            registry.oracle_sql()["minhash_merge_maintenance"]
+        ).fetchall()
+    )
+    assert duck == sorted(tuple(r) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# ams_innerprod_join_size
+# ---------------------------------------------------------------------------
+
+
+def test_ams_innerprod_matches_python_replay(spark):
+    """Exact inner product AND the 16-estimator sketch replayed in pure
+    Python from the same md5 sign family."""
+    import hashlib
+
+    r = registry.queries()["ams_innerprod_join_size"](
+        spark, SF
+    ).collect()[0]
+
+    def day_counts(table, col):
+        return {
+            x.day: x.n
+            for x in read_table(spark, SF, table)
+            .filter(F.col(col).isNotNull())
+            .groupBy(
+                F.floor(F.col(col).cast("long") / 86400)
+                .cast("long")
+                .alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    a = day_counts("orders", "o_orderdate")
+    b = day_counts("lineitem", "l_shipdate")
+    exact = sum(na * b.get(d, 0) for d, na in a.items())
+    assert r.exact_join_rows == exact
+    assert r.n_days_a == len(a) and r.n_days_b == len(b)
+
+    def sign(i, day):
+        h = int(
+            hashlib.md5(f"amsj|{i}|{day}".encode()).hexdigest()[:6], 16
+        )
+        return 1 - 2 * (h % 2)
+
+    est = sum(
+        sum(n * sign(i, d) for d, n in a.items())
+        * sum(n * sign(i, d) for d, n in b.items())
+        for i in range(16)
+    )
+    assert r.ams_x16 == est
+    assert abs(r.ams_est - est / 16.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_operating_curve
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_curve_matches_python_replay(spark):
+    """False-positive census replayed in pure Python from the same md5
+    draws; theoretical column equals the closed form; more bits per key
+    never increases the measured FPR on this deterministic fixture."""
+    import hashlib
+
+    rows = sorted(
+        registry.queries()["bloom_fpr_operating_curve"](
+            spark, SF
+        ).collect(),
+        key=lambda r: r.bits_per_key,
+    )
+    pks = [
+        r.pk
+        for r in read_table(spark, SF, "part")
+        .filter(F.col("p_partkey").isNotNull())
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+        .collect()
+    ]
+    members = [p for p in pks if p % 2 == 0]
+    probes = [p for p in pks if p % 2 != 0]
+
+    def draw(j, pk):
+        return int(
+            hashlib.md5(f"bfp|{j}|{pk}".encode()).hexdigest()[:6], 16
+        )
+
+    for r in rows:
+        bpe, k = r.bits_per_key, r.k_hashes
+        m = len(members) * bpe
+        assert r.m_bits == m
+        member_bits = {
+            draw(j, p) % m for p in members for j in range(k)
+        }
+        fp = sum(
+            1
+            for p in probes
+            if all(draw(j, p) % m in member_bits for j in range(k))
+        )
+        assert r.n_false_pos == fp, bpe
+        assert abs(
+            r.theoretical_fpr
+            - math.pow(1.0 - math.exp(-float(k) / bpe), float(k))
+        ) < 1e-6
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.measured_fpr <= lo.measured_fpr + 1e-9
+
+
+# ---------------------------------------------------------------------------
 # dp_budget_ledger
 # ---------------------------------------------------------------------------
 

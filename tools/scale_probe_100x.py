@@ -130,6 +130,10 @@ QUERIES = [
     # fan-out) and the trigram-multiset gate (linear stride-1 scan)
     "dedup_membership_probe",
     "repeated_ngram_loop_gate",
+    # round-10b: sig-stage rider (bounded 64-pair report) and the
+    # key-grain hash pass (linear scan)
+    "minhash_merge_maintenance",
+    "bloom_fpr_operating_curve",
 ]
 
 SCALES = [
