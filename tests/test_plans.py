@@ -928,6 +928,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "youden_threshold_pick": "distinct-score-value grain (documented)",
     # round-9e addition
     "ldp_randomized_response": "event-type grain (bounded vocabulary)",
+    # round-10 addition
+    "dp_budget_ledger": "release-day grain (calendar-bounded ledger)",
 }
 
 
