@@ -52,6 +52,19 @@ _PANEL_ROWS = [
 _PANEL_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _PANEL_ROWS)
 
 
+def panel_df(spark: SparkSession) -> DataFrame:
+    """The query panel as a SQL VALUES local relation — NOT
+    createDataFrame: a LogicalRDD plan never sameResult-matches across
+    builder calls (CLAUDE.md), which silently defeats CacheManager
+    substitution for ANY cached frame whose plan embeds the panel. The
+    VALUES plan compares equal, so the cached BM25 ranking below is
+    reused by every consumer (rm3, hybrid fusion) instead of re-running
+    the explode/join chain per invocation."""
+    return spark.sql(
+        f"SELECT * FROM VALUES {_PANEL_VALUES} AS panel(q_id, term)"
+    )
+
+
 def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CACHED (doc_id, th: array<string>) token projection of the
     documents corpus, shared by the BM25 stage and its downstream
@@ -114,29 +127,17 @@ FROM ranked WHERE rank <= {_BM25_TOP_K}
 """
 
 
-@register("bm25_search_topk", _BM25_SQL)
-def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 documents per panel query (k1=1.2, b=0.75, idf =
-    ln(1 + (N-df+0.5)/(df+0.5))). Rank ties break on doc_id over the
-    ROUNDED score so both engines rank identically.
-
-    spread() the corpus scan: the documents landing is one row group, so
-    the tokenize pass otherwise runs on ONE task (A/B measured 1.85 s ->
-    1.56 s at sf0.1; shipping 5k text rows round-robin is cheaper than a
-    serial corpus tokenize).
-
-    The corpus tokenizes ONCE: the token-array projection is cached
-    BEFORE the explode (the CLAUDE.md cache-before-explode rule) and
-    BOTH consumers — the (N, avgdl) globals and the token stream — read
-    the cached arrays, so the text column is scanned and split a single
-    time (was two full tokenize passes; plan-pinned in
-    tests/test_retrieval_dedup.py)."""
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (uncached) BM25 top-k plan — see bm25_search_topk for
+    the ranking contract and the staging rationale. Kept separate so
+    the plan-shape test pins the real computation, not the cache
+    wrapper."""
     d = corpus_tokens(spark, sf_dir)
     glob = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size("th")).alias("avgdl"),
     )
-    panel = spark.createDataFrame(_PANEL_ROWS, "q_id int, term string")
+    panel = panel_df(spark)
     terms = panel.select("term").distinct()
     tok = d.select(
         "doc_id",
@@ -181,6 +182,34 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOP_K)
         .select("q_id", "doc_id", "n_hit_terms", "score", "rank")
     )
+
+
+@register("bm25_search_topk", _BM25_SQL)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents per panel query (k1=1.2, b=0.75, idf =
+    ln(1 + (N-df+0.5)/(df+0.5))). Rank ties break on doc_id over the
+    ROUNDED score so both engines rank identically.
+
+    spread() the corpus scan: the documents landing is one row group, so
+    the tokenize pass otherwise runs on ONE task (A/B measured 1.85 s ->
+    1.56 s at sf0.1; shipping 5k text rows round-robin is cheaper than a
+    serial corpus tokenize).
+
+    The corpus tokenizes ONCE: the token-array projection is cached
+    BEFORE the explode (the CLAUDE.md cache-before-explode rule) and
+    BOTH consumers — the (N, avgdl) globals and the token stream — read
+    the cached arrays, so the text column is scanned and split a single
+    time (was two full tokenize passes; plan-pinned in
+    tests/test_retrieval_dedup.py).
+
+    The RANKED RESULT is cached (r10): it is a bounded top-k stage
+    (panel x 10 rows) that rm3_query_expansion and hybrid_rrf_fusion
+    embed as their lexical input, and with the VALUES panel (panel_df)
+    the plan sameResult-matches across builder calls, so CacheManager
+    substitutes the in-memory ranking into every consumer instead of
+    re-running the token explode + joins per invocation (the
+    corpus_tokens stage-reuse discipline, one level higher)."""
+    return _bm25_ranked(spark, sf_dir).cache()  # session-per-query
 
 
 # ---------------------------------------------------------------------------

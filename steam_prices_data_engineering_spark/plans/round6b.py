@@ -490,7 +490,7 @@ FROM ranked WHERE rnk <= {_RM3_TOP}
 @register("rm3_query_expansion", _rm3_sql())
 def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 RM3 expansion terms per panel query (lambda=0.5, fb=5)."""
-    from .retrieval import _PANEL_ROWS, bm25_search_topk
+    from .retrieval import bm25_search_topk, panel_df
 
     fb = (
         bm25_search_topk(spark, sf_dir)
@@ -543,7 +543,7 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pd") * F.col("tf") / F.col("dl")).alias("p_rel")
         )
     )
-    panel = spark.createDataFrame(_PANEL_ROWS, "q_id int, term string")
+    panel = panel_df(spark)
     qn = panel.groupBy("q_id").agg(
         F.count(F.lit(1)).cast("double").alias("nq")
     )

@@ -261,8 +261,24 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # Pointer jumping: parent <- parent(parent), depth accumulates.
+    # ADAPTIVE round count (r10, guide §1.2 — don't run jobs that do
+    # nothing): each round is a localCheckpointed join (~0.5 s of fixed
+    # job overhead at toy scale), but convergence — no remaining parent
+    # is itself a child — is a cheap semi-join count on the SMALL
+    # checkpointed forest. Checking before every round runs ZERO rounds
+    # on the fixture's depth-1 stars and exactly ceil(log2(depth))
+    # rounds on deep chains (the nested-prefix fixture test still
+    # exercises multi-round jumping); extra rounds past convergence are
+    # identity maps, so the result is unchanged by construction.
+    def _unresolved(df: DataFrame) -> int:
+        return df.join(
+            df.select(F.col("doc_id").alias("parent")), "parent", "left_semi"
+        ).count()
+
     ptr = forest
-    for _ in range(_PJ_ROUNDS):
+    rounds = 0
+    unresolved = _unresolved(ptr)
+    while unresolved and rounds < _PJ_ROUNDS:
         p = ptr.select(
             F.col("doc_id").alias("p_doc"),
             F.col("parent").alias("p_parent"),
@@ -280,13 +296,12 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        rounds += 1
+        unresolved = _unresolved(ptr)
     # Convergence guard (ADVICE r9): _PJ_ROUNDS rounds resolve chains to
     # depth 2^_PJ_ROUNDS; the oracle's recursive CTE walks ANY depth. A
     # fixture deeper than that must fail LOUDLY here, not hash-red at
     # the driver — converged iff no remaining parent is itself a child.
-    unresolved = ptr.join(
-        ptr.select(F.col("doc_id").alias("parent")), "parent", "left_semi"
-    ).count()
     if unresolved:
         raise RuntimeError(
             f"pointer jumping did not converge: {unresolved} docs still "
