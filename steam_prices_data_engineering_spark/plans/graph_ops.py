@@ -213,6 +213,15 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    # Early exit at the fixed point (r10): peeling is MONOTONE — the
+    # edge set only shrinks — so an unchanged row count means the
+    # survivor set is stable and every remaining round is an identity
+    # map; stopping there returns exactly what _KCORE_ROUNDS unrolled
+    # rounds would (the oracle's fixed unroll included). count() on the
+    # just-checkpointed frame is ~free (already materialized); at sf0.1
+    # the graph stabilizes after round 1 of 4 (measured, rounds ~0.5 s
+    # each).
+    prev_rows = bidir.count()
     for _ in range(_KCORE_ROUNDS):
         survivors = (
             bidir.groupBy("u")
@@ -225,6 +234,10 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(
             survivors, bidir.v == survivors.node, "left_semi"
         ).localCheckpoint()
+        rows = bidir.count()
+        if rows == prev_rows:
+            break
+        prev_rows = rows
     return (
         bidir.groupBy(F.col("u").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))

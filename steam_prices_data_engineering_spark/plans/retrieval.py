@@ -66,9 +66,10 @@ def panel_df(spark: SparkSession) -> DataFrame:
 
 
 def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CACHED (doc_id, th: array<string>) token projection of the
-    documents corpus, shared by the BM25 stage and its downstream
-    consumers (rm3's feedback-doc token stage). The plan is identical
+    """CACHED (doc_id, source, th: array<string>) token projection of
+    the documents corpus, shared by the BM25 stage and its downstream
+    consumers (rm3's feedback-doc token stage; bigram_entropy_rate's
+    unigram/bigram streams ride `source`). The plan is identical
     across builders, so repeat calls get CacheManager same-plan hits —
     the corpus text is scanned and tokenized ONCE per session/sf_dir
     even when rm3 embeds a full BM25 run. spread() lands the one-row-
@@ -77,7 +78,7 @@ def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread
 
     d = spread(read_table(spark, sf_dir, "documents")).select(
-        "doc_id", tokens(F.col("text")).alias("th")
+        "doc_id", "source", tokens(F.col("text")).alias("th")
     )
     return d.cache()  # session-per-query (same-plan reuse across builders)
 

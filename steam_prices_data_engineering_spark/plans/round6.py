@@ -1001,13 +1001,36 @@ FROM hb JOIN hu ON hu.source = hb.source
 
 @register("bigram_entropy_rate", _ENTROPY_RATE_SQL)
 def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H(next|prev) vs H(tok) per source (sequence predictability)."""
-    from ..functions.text import shingles
+    """H(next|prev) vs H(tok) per source (sequence predictability).
 
-    d = read_table(spark, sf_dir, "documents")
-    big = d.select(
-        "source", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    r10 shape: both the unigram and the bigram stream derive from the
+    SHARED cached corpus_tokens projection (one text scan + split per
+    session instead of two scans here). The old bigram path exploded
+    `shingles(text, 2)` — an HOF inside when().otherwise(), i.e. the
+    CodegenFallback-conditional trap (CLAUDE.md) — straight off the
+    parquet scan; now the bigram array is a staged transform over the
+    CACHED token arrays, itself cached BEFORE the explode (the
+    cache-before-explode rule: Generate re-evaluates an interpreted
+    chain per exploded row). Docs with <2 tokens are filtered (empty
+    shingle array before; no rows either way), so results are
+    identical."""
+    from .retrieval import corpus_tokens
+
+    ct = corpus_tokens(spark, sf_dir)
+    bigarr = (
+        ct.filter(F.size("th") >= 2)
+        .select(
+            "source",
+            F.transform(
+                F.sequence(F.lit(1), F.size("th") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("th", i), F.element_at("th", i + 1)
+                ),
+            ).alias("bga"),
+        )
+        .cache()  # session-per-query (cache-before-explode)
     )
+    big = bigarr.select("source", F.explode("bga").alias("bg"))
     bc = big.groupBy("source", "bg").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     ).withColumn("prev", F.split(F.col("bg"), " ").getItem(0))
@@ -1023,7 +1046,7 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_bigram"),
         )
     )
-    uni = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    uni = ct.select("source", F.explode("th").alias("tok"))
     uc = uni.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )

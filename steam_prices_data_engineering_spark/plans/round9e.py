@@ -118,6 +118,13 @@ def neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "doc_id", "left_anti")
             .localCheckpoint()
         )
+        # Early exit on an empty frontier (r10): BFS frontiers only ever
+        # shrink to empty once the component is exhausted, and an empty
+        # frontier makes every remaining superstep a no-op (empty layers
+        # add no histogram rows) — count() on the just-checkpointed
+        # frame is ~free.
+        if nxt.count() == 0:
+            break
         layers.append(nxt.withColumn("hop", F.lit(k)))
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
@@ -207,27 +214,12 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop-by-hop with a recursive CTE. The driver fixture's duplicates
     are equal-size replicas (depth-1 stars — probed); deep chains are
     pinned by the nested-prefix fixture test."""
-    from ..operators.dedup import hashed_shingle_table
+    # Shared containment candidate stage (r10): bit-identical to
+    # containment_dedup_pairs' subtree, now built+cached once per
+    # session in semantic_dedup.containment_shared_pairs.
+    from .semantic_dedup import containment_shared_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
-    hashed = hashed_shingle_table(docs)
-    posting0 = hashed.select("doc_id", F.explode("hs").alias("h"))
-    keep = (
-        posting0.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _CONT_DF_CAP)
-        .select("h")
-    )
-    posting = posting0.join(keep, "h", "left_semi").cache()  # session-per-query
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = posting.select(F.col("doc_id").alias("inner_doc"), "h")
-    b = posting.select(F.col("doc_id").alias("outer_doc"), "h")
-    shared = (
-        a.join(b, "h")
-        .filter(F.col("inner_doc") != F.col("outer_doc"))
-        .groupBy("inner_doc", "outer_doc")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared, sizes = containment_shared_pairs(spark, sf_dir)
     cont = dround(F.col("shared") / F.col("isz").cast("double"), 6)
     cand = (
         shared.join(
@@ -262,23 +254,19 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pointer jumping: parent <- parent(parent), depth accumulates.
     # ADAPTIVE round count (r10, guide §1.2 — don't run jobs that do
-    # nothing): each round is a localCheckpointed join (~0.5 s of fixed
-    # job overhead at toy scale), but convergence — no remaining parent
-    # is itself a child — is a cheap semi-join count on the SMALL
-    # checkpointed forest. Checking before every round runs ZERO rounds
-    # on the fixture's depth-1 stars and exactly ceil(log2(depth))
-    # rounds on deep chains (the nested-prefix fixture test still
-    # exercises multi-round jumping); extra rounds past convergence are
-    # identity maps, so the result is unchanged by construction.
-    def _unresolved(df: DataFrame) -> int:
-        return df.join(
-            df.select(F.col("doc_id").alias("parent")), "parent", "left_semi"
-        ).count()
-
+    # nothing): each round's left join already knows whether any row
+    # moved (its parent had a parent), so carry that as a `jumped` flag
+    # and stop when a round moves nothing — that round was an identity
+    # map, hence so would every later one be, and the result equals the
+    # fixed _PJ_ROUNDS unroll by construction. The flag count is a
+    # plain filter-count on the just-checkpointed frame (no join, no
+    # broadcast — the semi-join convergence probe measured ~0.5 s per
+    # check at sf0.1, the flag count ~0.1 s). Chains converge in
+    # ceil(log2(depth)) rounds (the nested-prefix fixture still
+    # exercises multi-round jumping).
     ptr = forest
-    rounds = 0
-    unresolved = _unresolved(ptr)
-    while unresolved and rounds < _PJ_ROUNDS:
+    converged = False
+    for _ in range(_PJ_ROUNDS):
         p = ptr.select(
             F.col("doc_id").alias("p_doc"),
             F.col("parent").alias("p_parent"),
@@ -293,15 +281,30 @@ def containment_root_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("depth")
                     + F.coalesce(F.col("p_depth"), F.lit(0))
                 ).alias("depth"),
+                F.col("p_parent").isNotNull().alias("jumped"),
             )
             .localCheckpoint()
         )
-        rounds += 1
-        unresolved = _unresolved(ptr)
+        n_changed = ptr.filter(F.col("jumped")).count()
+        ptr = ptr.drop("jumped")
+        if n_changed == 0:
+            converged = True
+            break
     # Convergence guard (ADVICE r9): _PJ_ROUNDS rounds resolve chains to
     # depth 2^_PJ_ROUNDS; the oracle's recursive CTE walks ANY depth. A
     # fixture deeper than that must fail LOUDLY here, not hash-red at
-    # the driver — converged iff no remaining parent is itself a child.
+    # the driver — converged iff no remaining parent is itself a child
+    # (only worth re-probing when the loop exhausted its rounds while
+    # still moving rows).
+    unresolved = (
+        0
+        if converged
+        else ptr.join(
+            ptr.select(F.col("doc_id").alias("parent")),
+            "parent",
+            "left_semi",
+        ).count()
+    )
     if unresolved:
         raise RuntimeError(
             f"pointer jumping did not converge: {unresolved} docs still "

@@ -104,9 +104,12 @@ def _ssj_stages(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _CONT_DF_CAP)
     )
-    p = p0.join(keep, "h", "left_semi").cache()  # session-per-query
-    df_per_h = p.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = p.join(df_per_h, "h").withColumn(
+    # INNER join carries df along (r10): the old semi-join + a SECOND
+    # per-h aggregate re-derived exactly the df that `keep` already
+    # holds (the cap filter drops whole h-groups, so df over the kept
+    # postings equals df over p0) — one join replaces semi-join + re-agg.
+    p = p0.join(keep, "h").cache()  # (doc_id, h, df)  session-per-query
+    ranked = p.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(
@@ -157,16 +160,37 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     real data. ceil uses integer arithmetic ((7s+9) div 10) — float
     0.7*s would ceil wrong on exact multiples in either engine."""
     p, sz, cand = _ssj_stages(spark, sf_dir)
-    pa = p.select(F.col("doc_id").alias("doc_a"), "h")
-    pb = p.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # PPJoin-style verify (r10): attach each side's CAPPED POSTING SET
+    # as an array and count the intersection in codegen. The old shape
+    # re-exploded both sides' postings through two shuffle joins and a
+    # groupBy — ~|cand| x avg-set-size (10.5M at sf0.1, for 202k
+    # candidates over 260k postings) rows through an exchange plus an
+    # aggregation exchange; here the per-pair work is the same O(s)
+    # intersection but the aggregate shuffle is gone and each doc's set
+    # ships once per candidate pair (measured 3.67 s -> see
+    # OPTIMIZATION_r10.md). array_intersect over distinct elements
+    # yields exactly the old co-occurrence count.
+    csets = p.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hh"),
+        F.count(F.lit(1)).alias("s"),
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    ca = csets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hh").alias("ha"),
+        F.col("s").alias("s_a"),
+    )
+    cb = csets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hh").alias("hb"),
+        F.col("s").alias("s_b"),
+    )
+    inter = (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "i", F.size(F.array_intersect("ha", "hb")).cast("long")
+        )
+    )
     jacc = dround(
         F.col("i").cast("double")
         / (F.col("s_a") + F.col("s_b") - F.col("i")),
@@ -179,9 +203,7 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix index may legitimately prune it (ADVICE r9). dround
     # stays only on the REPORTED jaccard column.
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
+        inter.filter(
             F.col("i") * F.lit(_SSJ_TAU_DEN)
             >= (F.col("s_a") + F.col("s_b") - F.col("i"))
             * F.lit(_SSJ_TAU_NUM)

@@ -323,13 +323,13 @@ WHERE {R("s.shared / CAST(sa.sz AS DOUBLE)", 6)} >= {_CONT_TAU}
 """
 
 
-@register("containment_dedup_pairs", _CONTAIN_SQL)
-def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional containment pairs (inner ⊆ outer at >= 0.8) over
-    df-capped distinct shingle sets; inverted-index candidates only.
-
-    Composes `operators/dedup.py:hashed_shingle_table` (the cached
-    shared first stage of the shingle family)."""
+def capped_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHED df-capped shingle posting list (doc_id, h) — the shared
+    candidate-index base of the containment family
+    (containment_dedup_pairs here, containment_root_resolution in
+    round9e). Composes `operators/dedup.py:hashed_shingle_table` (the
+    cached shared first stage of the shingle family); identical plan
+    across builders, so repeat calls are CacheManager same-plan hits."""
     from ..operators.dedup import hashed_shingle_table
 
     docs = read_table(spark, sf_dir, "documents")
@@ -341,8 +341,25 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _CONT_DF_CAP)
         .select("h")
     )
-    posting = posting0.join(keep, "h", "left_semi").cache()  # session-per-query
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return posting0.join(keep, "h", "left_semi").cache()  # session-per-query
+
+
+def containment_shared_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shared, sizes) of the containment candidate stage: per ordered
+    doc pair the co-shingle count over the capped postings, and per doc
+    its capped set size. `shared` is the expensive inverted-index
+    self-join + pair aggregation, CACHED (r10) because
+    containment_dedup_pairs and containment_root_resolution build the
+    bit-identical subtree — the second consumer in a session was paying
+    the full self-join again for nothing."""
+    posting = capped_shingle_postings(spark, sf_dir)
+    # sizes is referenced twice by root resolution's candidate filter
+    # (inner + outer side) and once here — cache the doc-grain frame
+    sizes = posting.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).cache()  # session-per-query
     a = posting.select(F.col("doc_id").alias("inner_doc"), "h")
     b = posting.select(F.col("doc_id").alias("outer_doc"), "h")
     shared = (
@@ -350,7 +367,18 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("inner_doc") != F.col("outer_doc"))
         .groupBy("inner_doc", "outer_doc")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    ).cache()  # session-per-query (two containment consumers)
+    return shared, sizes
+
+
+@register("containment_dedup_pairs", _CONTAIN_SQL)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (inner ⊆ outer at >= 0.8) over
+    df-capped distinct shingle sets; inverted-index candidates only.
+
+    Composes the shared containment candidate stage
+    (containment_shared_pairs) over the cached shingle family base."""
+    shared, sizes = containment_shared_pairs(spark, sf_dir)
     cont = dround(F.col("shared") / F.col("sz").cast("double"), 6)
     return (
         shared.join(
