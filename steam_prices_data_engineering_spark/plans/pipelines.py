@@ -82,6 +82,25 @@ def _sql_values(rows: list[tuple], cols: list[str], name: str) -> str:
     return f"{name}({', '.join(cols)}) AS (VALUES {body})"
 
 
+def _values_frame(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Static dim as a SQL VALUES local relation. NOT createDataFrame:
+    a LogicalRDD pays a py4j/RDD conversion per builder call (~0.1s of
+    driver time each; the job-2 plan carried four of them) and never
+    sameResult-matches across calls (the CLAUDE.md cache gotcha). Float
+    literals get the D suffix — a bare decimal would type the column
+    DECIMAL, not DOUBLE (the round7c trap), silently changing downstream
+    arithmetic precision."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        return repr(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic localized price synthesis (replaces the live Steam fetch, S1).
 # Arithmetic on (app, cc) only, reproducible in both engines:
@@ -166,8 +185,8 @@ def _job1_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") <= 14)
         .select(F.col("p_partkey").cast("long").alias("app"))
     )
-    countries = spark.createDataFrame(COUNTRIES, ["cc", "currency"])
-    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    countries = _values_frame(spark, COUNTRIES, ["cc", "currency"])
+    fx = _values_frame(spark, FX_RATES, ["rate_cur", "rate"])
     pairs = apps.crossJoin(F.broadcast(countries))
     fetched = pairs.join(
         F.broadcast(fx), F.upper(F.col("currency")) == F.col("rate_cur"), "left"
@@ -272,9 +291,9 @@ def world_map_job2_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "usd_price",
         avg_alias="grp",
     )
-    iso = spark.createDataFrame(ISO_MAP, ["alpha2", "alpha3"])
+    iso = _values_frame(spark, ISO_MAP, ["alpha2", "alpha3"])
     devi = dev.join(F.broadcast(iso), dev.c2 == iso.alpha2, "left")
-    geo = spark.createDataFrame(WORLD_GEO, ["iso_a2", "iso_a3", "continent"]).select(
+    geo = _values_frame(spark, WORLD_GEO, ["iso_a2", "iso_a3", "continent"]).select(
         collapse_eurozone(F.col("iso_a2")).alias("iso_a2"), "iso_a3", "continent"
     )
     merged = geo.join(F.broadcast(devi), geo.iso_a3 == devi.alpha3, "left")
@@ -343,7 +362,7 @@ def steam_api_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "get_json_object(body, concat('$.', app, '.data.price_overview.currency'))"
         ).alias("currency"),
     )
-    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    fx = _values_frame(spark, FX_RATES, ["rate_cur", "rate"])
     return extracted.join(
         F.broadcast(fx), F.col("currency") == F.col("rate_cur"), "left"
     ).select(
@@ -375,7 +394,7 @@ def steam_pysource_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "get_json_object(body, concat('$.', app, '.data.price_overview.currency'))"
         ).alias("currency"),
     )
-    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    fx = _values_frame(spark, FX_RATES, ["rate_cur", "rate"])
     return extracted.join(
         F.broadcast(fx), F.col("currency") == F.col("rate_cur"), "left"
     ).select(
@@ -409,7 +428,7 @@ def streaming_steam_source_extract(spark: SparkSession, sf_dir: str) -> DataFram
             "get_json_object(body, concat('$.', app, '.data.price_overview.currency'))"
         ).alias("currency"),
     )
-    fx = spark.createDataFrame(FX_RATES, ["rate_cur", "rate"])
+    fx = _values_frame(spark, FX_RATES, ["rate_cur", "rate"])
     result = extracted.join(
         F.broadcast(fx), F.col("currency") == F.col("rate_cur"), "left"
     ).select(

@@ -497,6 +497,11 @@ def bm25_ndcg_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", "rank")
     )
     cs = dround(cosine(F.col("v"), F.col("qv")), 6)
+    # relt is consumed twice (dcg join + ideal window) with different
+    # exchange shapes; caching the graded panel was probed r10 and
+    # measured NEUTRAL (2.51 -> 2.54 isolated) — the N x Q cosine fold
+    # is small next to the token explode + semi-join chain. Left
+    # uncached (no unmeasured barriers).
     relt = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(

@@ -343,7 +343,9 @@ def ivf_pq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("probe_rank").alias("probe_rank"),
             dround(F.sum("qd"), 6).alias("adc_dist"),
         )
-    ).cache()  # session-per-query (4 curve points + scan census)
+    ).cache()  # session-per-query (materialized once; the fused curve
+    # pass replicates each scored row per surviving level — without the
+    # cache the 4-way replication join re-scans the PQ scoring subtree)
 
     # exact L2 ground truth on true floats (order == cosine order on
     # unit-norm vectors, but L2 matches the ADC metric)
@@ -371,54 +373,55 @@ def ivf_pq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_corpus = e.filter(F.col("vec_id") != 0).count()
 
-    # one frame per curve point: TakeOrderedAndProject top-10 among the
-    # candidates within the first `nprobe` probed cells, counted against
-    # the truth set; union of 4 bounded frames (no global window).
-    curves = []
-    for lvl in _NPROBE_LEVELS:
-        at = adc.filter(F.col("probe_rank") <= lvl)
-        topk = at.orderBy("adc_dist", "vec_id").limit(_CURVE_TOPK)
-        adc_hits = topk.join(truth, "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("adc_hits")
+    # ALL curve points in ONE pass (was: 4 levels x 3 single-row jobs +
+    # 8 crossJoin chains = 12 tiny jobs of pure scheduling overhead over
+    # the same cached frame). Mirror of the oracle's ranked/curve CTEs:
+    # replicate each scored candidate once per level it survives
+    # (probe_rank <= nprobe; candidate sets nest), rank within the level
+    # by (adc_dist, vec_id) — the exact TakeOrdered tie-break the
+    # per-level loop used — and reduce every counter in one groupBy.
+    lv = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({v})" for v in _NPROBE_LEVELS)
+        + " AS lv(nprobe)"
+    )
+    flagged = adc.join(
+        F.broadcast(truth.withColumn("hit", F.lit(1))), "vec_id", "left"
+    )
+    at = flagged.join(
+        F.broadcast(lv), F.col("probe_rank") <= F.col("nprobe")
+    )
+    w_lvl = Window.partitionBy("nprobe").orderBy("adc_dist", "vec_id")
+    ranked = at.withColumn("rk", F.row_number().over(w_lvl))
+    per_level = ranked.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("cand_hits"),
+        F.sum(
+            F.when(
+                F.col("rk") <= _CURVE_TOPK,
+                F.coalesce(F.col("hit"), F.lit(0)),
+            ).otherwise(0)
         )
-        # routing recall: fraction of the true top-10 that lies in the
-        # probed cells at all — the metric that picks nprobe (monotone
-        # in nprobe); adc_hits adds the end-to-end number including PQ
-        # quantization distortion.
-        cand_hits = at.join(truth, "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("cand_hits")
-        )
-        scanned = at.agg(
-            F.count(F.lit(1)).cast("long").alias("n_scanned")
-        )
-        curves.append(
-            scanned.crossJoin(cand_hits)
-            .crossJoin(adc_hits)
-            .select(
-                F.lit(lvl).cast("long").alias("nprobe"),
-                "n_scanned",
-                dround(
-                    F.col("n_scanned").cast("double") / F.lit(float(n_corpus)),
-                    6,
-                ).alias("scan_frac"),
-                "cand_hits",
-                dround(
-                    F.col("cand_hits").cast("double")
-                    / F.lit(float(_CURVE_TOPK)),
-                    6,
-                ).alias("cand_recall_at_10"),
-                "adc_hits",
-                dround(
-                    F.col("adc_hits").cast("double")
-                    / F.lit(float(_CURVE_TOPK)),
-                    6,
-                ).alias("adc_recall_at_10"),
-            )
-        )
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.unionByName(c)
-    return out
+        .cast("long")
+        .alias("adc_hits"),
+    )
+    return per_level.select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        "n_scanned",
+        dround(
+            F.col("n_scanned").cast("double") / F.lit(float(n_corpus)), 6
+        ).alias("scan_frac"),
+        "cand_hits",
+        dround(
+            F.col("cand_hits").cast("double") / F.lit(float(_CURVE_TOPK)), 6
+        ).alias("cand_recall_at_10"),
+        "adc_hits",
+        dround(
+            F.col("adc_hits").cast("double") / F.lit(float(_CURVE_TOPK)), 6
+        ).alias("adc_recall_at_10"),
+    )
 
 
 # ---------------------------------------------------------------------------

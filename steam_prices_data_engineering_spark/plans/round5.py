@@ -637,6 +637,11 @@ def association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("supp"))
         .filter(F.col("supp") >= _RULES_MINSUP)
+        # both UNION branches of `directed` embed this whole subtree;
+        # ReuseExchange dedupes the self-join shuffles but the final
+        # pair aggregation + join probe still ran twice — cache the
+        # bounded frequent-pair lattice instead (minsup-capped).
+        .cache()  # session-per-query
     )
     n_ = bp.agg(F.count_distinct("l_orderkey").cast("double").alias("n"))
     directed = pairs.select(

@@ -88,19 +88,40 @@ def events_stream(spark, events_path: str, watermark: str = "1 hour") -> DataFra
     )
 
 
-def run_to_memory_sink(agg: DataFrame, prefix: str):
+def run_to_memory_sink(agg: DataFrame, prefix: str, state_partitions: int = 8):
     """Run a streaming aggregation to completion (availableNow) into a
-    memory sink; return the materialized table."""
-    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    memory sink; return the materialized table.
+
+    The stateful operator's state-store partition count is frozen from
+    `spark.sql.shuffle.partitions` at query start; these aggregates key
+    on a handful of (window, dim) values, so the session default (32)
+    makes every micro-batch commit mostly-empty state files — pure
+    commit I/O (the round-8 streaming_join_then_window lesson, 18.2s ->
+    3.1s; re-measured here: enriched tumbling agg 1.95s -> ~1.3s at
+    sf0.1). Sized to key cardinality via SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    (default 8) and restored after start, so batch plans are untouched;
+    at production scale set the env to match real key cardinality.
+    Partition count never reaches compared columns — values identical."""
+    import os
+
     spark = agg.sparkSession
+    parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_STATE_PARTITIONS", str(state_partitions)
+    )
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
 
 
