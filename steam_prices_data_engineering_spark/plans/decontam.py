@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround_sql as R
-from ..functions.text import shingle_hash_array, token_hash_array
 from ..sources.tables import read_table, spread, table_path
 from .registry import register
 
@@ -63,18 +62,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join on the hash (shuffle on hash — high cardinality, no skew),
     then a left join marks the flag on the full training set. At 100 TB
     the benchmark side is small: broadcast the distinct benchmark hashes."""
+    from ..operators.dedup import hashed_shingle_table
+
     d = read_table(spark, sf_dir, "documents")
-    # spread(): the shingle hashing is interpreted-HOF CPU work; parallelize
-    # it across all cores even when the scan has few input splits.
-    # Stage the token-hash array in its own projection: HOFs are interpreted
-    # (not codegen'd), so an inlined token_hash_array would be re-evaluated
-    # by every element_at inside the shingle lambda — O(tokens^2) per doc.
-    sh = spread(d).select(
-        "doc_id", token_hash_array(F.col("text")).alias("th")
-    ).select(
-        "doc_id",
-        F.array_distinct(shingle_hash_array(F.col("th"))).alias("hs"),
-    )
+    # r10: ride the SHARED CACHED shingle stage (operators/dedup.py) —
+    # this query consumed its own spread() shingle chain TWICE (bench +
+    # train branches, uncached), re-hashing the corpus per branch; the
+    # shared stage is the identical formula (staged token-hash
+    # projection, 3-gram compose, array_distinct), is cached so both
+    # branches explode from one materialization, and its plan matches
+    # the whole dedup family's — in a bench session the chain is
+    # computed once for all of them. (spread-before-chain measured
+    # SLOWER cold, 1.9s -> 8.1s; hashed_shingle_table docstring.)
+    sh = hashed_shingle_table(d)
     # explode_OUTER, not explode: plain explode makes InferFiltersFromGenerate
     # synthesize `size(hs) > 0`, which predicate pushdown then drags below the
     # spread() exchange into the scan stage WITH the whole shingle expression

@@ -485,43 +485,58 @@ def bloom_fpr_operating_curve(
         ).alias("dh"),
     ).select("pk", "is_member", "dh.draw", "dh.h")
 
-    out = None
-    for bpe, k in _BLOOM_CONFIGS:
-        m_bits = n_members * bpe
-        bits = longf.filter(F.col("draw") < k).select(
-            "pk", "is_member", (F.col("h") % F.lit(m_bits)).alias("bit")
+    # ALL configs in ONE pass (was: a per-config loop of 4 independent
+    # distinct/semi-join/agg subtrees unioned — 4x the shuffle chains over
+    # the same exploded draws; the ivf_pq_nprobe_curve lesson). Mirror of
+    # the oracle's cfg CTE: broadcast the 4-row config frame, carry
+    # (bpe, k) through every stage, and LEFT-join configs back at the end
+    # so a config with zero false positives still emits its row.
+    cfg = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"({bpe}, {k}, "
+            f"{math.pow(1.0 - math.exp(-float(k) / bpe), float(k))!r}D)"
+            for bpe, k in _BLOOM_CONFIGS
         )
-        member_bits = (
-            bits.filter(F.col("is_member")).select("bit").distinct()
-        )
-        probe_hits = (
-            bits.filter(~F.col("is_member"))
-            .join(member_bits, "bit", "left_semi")
-            .groupBy("pk")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
-        )
-        fp = probe_hits.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("n_set") == k, 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_false_pos")
-        )
-        theo = math.pow(1.0 - math.exp(-float(k) / bpe), float(k))
-        row = fp.select(
-            F.lit(bpe).cast("long").alias("bits_per_key"),
-            F.lit(k).cast("long").alias("k_hashes"),
-            F.lit(m_bits).cast("long").alias("m_bits"),
-            F.lit(n_members).cast("long").alias("n_members"),
-            F.lit(n_probes).cast("long").alias("n_probes"),
-            "n_false_pos",
-            dround(
-                F.col("n_false_pos").cast("double")
-                / F.nullif(F.lit(float(n_probes)), F.lit(0.0)),
-                6,
-            ).alias("measured_fpr"),
-            dround(F.lit(theo), 6).alias("theoretical_fpr"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        + " AS cfg(bpe, k, theo)"
+    )
+    bits = longf.join(
+        F.broadcast(cfg), F.col("draw") < F.col("k")
+    ).select(
+        "bpe",
+        "k",
+        "theo",
+        "pk",
+        "is_member",
+        (F.col("h") % (F.lit(n_members) * F.col("bpe"))).alias("bit"),
+    )
+    member_bits = (
+        bits.filter(F.col("is_member")).select("bpe", "k", "bit").distinct()
+    )
+    probe_hits = (
+        bits.filter(~F.col("is_member"))
+        .join(member_bits, ["bpe", "k", "bit"], "left_semi")
+        .groupBy("bpe", "k", "pk")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    fp = probe_hits.groupBy("bpe", "k").agg(
+        F.sum(F.when(F.col("n_set") == F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos")
+    )
+    return cfg.join(fp, ["bpe", "k"], "left").select(
+        F.col("bpe").cast("long").alias("bits_per_key"),
+        F.col("k").cast("long").alias("k_hashes"),
+        (F.lit(n_members) * F.col("bpe")).cast("long").alias("m_bits"),
+        F.lit(n_members).cast("long").alias("n_members"),
+        F.lit(n_probes).cast("long").alias("n_probes"),
+        F.coalesce(F.col("n_false_pos"), F.lit(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        dround(
+            F.coalesce(F.col("n_false_pos"), F.lit(0)).cast("double")
+            / F.nullif(F.lit(float(n_probes)), F.lit(0.0)),
+            6,
+        ).alias("measured_fpr"),
+        dround(F.col("theo"), 6).alias("theoretical_fpr"),
+    )

@@ -20,9 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import (
     quality_score,
-    shingle_hash_array,
     token_count,
-    token_hash_array,
     tokens,
 )
 from ..sources.tables import read_table, spread
@@ -114,15 +112,13 @@ def trainset_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_tokens", "quality")
     )
-    # Stage th as a column first — inlining it re-evaluates the whole
-    # token-hash transform per element_at in the interpreted HOF path,
-    # O(tokens^2) per doc (see decontam.py / functions/text.py).
-    sh = spread(d).select(
-        "doc_id", token_hash_array(text).alias("th")
-    ).select(
-        "doc_id",
-        F.array_distinct(shingle_hash_array(F.col("th"))).alias("hs"),
-    )
+    # r10: shared cached shingle stage (see decontam.py note) — was a
+    # private spread() chain consumed twice (bench + contaminated),
+    # uncached; identical formula, one materialization, cross-query
+    # cache hits with the dedup family.
+    from ..operators.dedup import hashed_shingle_table
+
+    sh = hashed_shingle_table(d)
     # explode_outer + isNotNull: see decontam.py — plain explode's inferred
     # size>0 filter would push the full shingle expression below spread().
     bench = (
