@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1568,9 +1568,9 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     k = len(chans)
-    chanidx = spark.createDataFrame(
-        [(c, b) for b, c in enumerate(chans)], "channel string, bit long"
-    )
+    chanidx = values_frame(
+        spark, [(c, b) for b, c in enumerate(chans)], ["channel", "bit"]
+    ).select("channel", F.col("bit").cast("long"))
     conv = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == _SHAPLEY_CONV, 1).otherwise(0)

@@ -34,7 +34,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import STOPWORDS, tokens
 from ..functions.vectors import cosine
 from ..operators.ranking import prefix_sums_binned
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1743,9 +1743,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     # threshold=0.0 returns ALL verified candidates; the sweep filters.
     scored = minhash_lsh_pairs(d, threshold=0.0)
-    taus = spark.createDataFrame(
-        [(t,) for t in _SWEEP_TAUS], "tau double"
-    )
+    taus = values_frame(spark, [(float(t),) for t in _SWEEP_TAUS], ["tau"])
     hit = F.col("jaccard") >= F.col("tau")
     return (
         scored.crossJoin(F.broadcast(taus))

@@ -39,7 +39,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_shinglehash_ctes, sql_token_hash_scalar
 from ..functions.text import token_hash, tokens
 from ..operators.dedup import hashed_shingle_table
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -239,7 +239,9 @@ def bloom_prefilter_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     hashed = hashed_shingle_table(docs)  # (doc_id, hs) cached
     hs = hashed.select("doc_id", F.explode("hs").alias("h"))
-    kdim = spark.createDataFrame(list(_BLOOM_HASHES), "a long, bc long")
+    kdim = values_frame(spark, list(_BLOOM_HASHES), ["a", "bc"]).select(
+        F.col("a").cast("long"), F.col("bc").cast("long")
+    )
     pos = hs.crossJoin(F.broadcast(kdim)).select(
         "doc_id",
         "h",
@@ -499,8 +501,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
         "tok", token_hash(F.col("tok")).alias("h")
     )
-    rdim = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(_CMS_ROWS)], "j long, a long, bc long"
+    rdim = values_frame(
+        spark, [(j, a, b) for j, (a, b) in enumerate(_CMS_ROWS)], ["j", "a", "bc"]
+    ).select(
+        F.col("j").cast("long"), F.col("a").cast("long"), F.col("bc").cast("long")
     )
     sketch = (
         tok.crossJoin(F.broadcast(rdim))

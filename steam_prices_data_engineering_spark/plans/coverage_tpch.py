@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -458,7 +458,7 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny candidate list and streams the dim — at scale the dirty side is the
     fact table and the same plan holds with sides swapped."""
     n = read_table(spark, sf_dir, "nation")
-    cands = spark.createDataFrame([(c,) for c in _FUZZY_CANDIDATES], ["cand"])
+    cands = values_frame(spark, [(c,) for c in _FUZZY_CANDIDATES], ["cand"])
     dist = F.levenshtein(F.col("cand"), F.col("n_name"))
     return (
         n.crossJoin(F.broadcast(cands))

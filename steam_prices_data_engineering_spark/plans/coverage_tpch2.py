@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..operators.ranking import prefix_sums_binned
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -956,8 +956,8 @@ def pareto_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cum.agg(
         F.sum("c").alias("n"), F.sum(F.col("c") * F.col("v")).alias("s")
     )
-    fracs = o.sparkSession.createDataFrame(
-        [(x,) for x in _PARETO_FRACS], "pct double"
+    fracs = values_frame(
+        o.sparkSession, [(float(x),) for x in _PARETO_FRACS], ["pct"]
     )
     k = F.floor(F.col("pct") * F.col("n"))
     contrib = F.col("v") * F.least(

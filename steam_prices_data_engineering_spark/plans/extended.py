@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -239,7 +239,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/band theta join against a tiny literal dim — broadcast
     nested loop on 3 rows; the fact side streams once."""
     p = read_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = values_frame(
+        spark,
         [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
         ["band", "lo", "hi"],
     )

@@ -47,7 +47,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import md5_hex6_to_int
 from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..operators.ranking import ntile_scores
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1236,9 +1236,10 @@ def forecast_pinball_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _PINBALL_TAUS
         ]
     )
-    taus = spark.createDataFrame(
-        [(t, f"q{int(t * 100)}") for t in _PINBALL_TAUS],
-        "tau double, qname string",
+    taus = values_frame(
+        spark,
+        [(float(t), f"q{int(t * 100)}") for t in _PINBALL_TAUS],
+        ["tau", "qname"],
     )
     ev = (
         pr.crossJoin(F.broadcast(mid))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_md5_hex6_to_int
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -756,9 +756,7 @@ def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x1 * y).alias("sy1"),
         F.sum(x2 * y).alias("sy2"),
     )
-    lams = spark.createDataFrame(
-        [(v,) for v in _RIDGE_LAMBDAS], "lam double"
-    )
+    lams = values_frame(spark, [(float(v),) for v in _RIDGE_LAMBDAS], ["lam"])
     # F.expr over the SAME strings the oracle runs — one arithmetic tree.
     betas = m.crossJoin(F.broadcast(lams)).select(
         "lam",

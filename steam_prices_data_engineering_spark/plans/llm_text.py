@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
 from ..functions.vectors import cosine, dot, norm, to_double_array
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 from .udf_and_scale import HYPERPLANES, _sql_plane_literal
 
@@ -527,9 +527,7 @@ def simsearch_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bkt.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
-    flips = spark.createDataFrame(
-        [(0,), (1,), (2,), (4,), (8,)], "flip int"
-    )
+    flips = values_frame(spark, [(0,), (1,), (2,), (4,), (8,)], ["flip"])
     probes = q.crossJoin(flips).select(
         "qv",
         F.expr("qb ^ flip").alias("pb"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import sql_md5_hex6_to_int
 from ..functions.text import md5_hex6_to_int
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -130,7 +130,7 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("syms")
     )
-    pat = spark.createDataFrame(list(_CEP_PATTERNS), "pattern_name string, pattern string")
+    pat = values_frame(spark, list(_CEP_PATTERNS), ["pattern_name", "pattern"])
     return (
         strings.join(F.broadcast(pat), F.regexp_like(F.col("syms"), F.col("pattern")))
         .groupBy("pattern_name")

@@ -37,7 +37,7 @@ from ..functions.rounding import dround, dround_sql as R
 from ..operators.deviation import group_vs_global_avg
 from ..sources.steam_api_source import API_PAYLOADS as _API_PAYLOADS
 from ..sources.steam_api_source import register_steam_source
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -83,22 +83,10 @@ def _sql_values(rows: list[tuple], cols: list[str], name: str) -> str:
 
 
 def _values_frame(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
-    """Static dim as a SQL VALUES local relation. NOT createDataFrame:
-    a LogicalRDD pays a py4j/RDD conversion per builder call (~0.1s of
-    driver time each; the job-2 plan carried four of them) and never
-    sameResult-matches across calls (the CLAUDE.md cache gotcha). Float
-    literals get the D suffix — a bare decimal would type the column
-    DECIMAL, not DOUBLE (the round7c trap), silently changing downstream
-    arithmetic precision."""
-    def lit(v):
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        if isinstance(v, float):
-            return repr(v) + "D"
-        return repr(v)
-
-    body = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
-    return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
+    """Static dim as a SQL VALUES local relation — see
+    sources/tables.py:values_frame (shared by every plan module; kept as
+    an alias here for the pipeline dims)."""
+    return values_frame(spark, rows, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +340,9 @@ def steam_api_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object, missing/failed payloads -> NULL row values (the
     reference's assert-and-skip becomes NULL propagation), then the same
     parse + FX pipeline as job 1."""
-    payloads = spark.createDataFrame(_API_PAYLOADS, ["app", "body"])
+    payloads = values_frame(spark, _API_PAYLOADS, ["app", "body"]).select(
+        F.col("app").cast("long"), "body"
+    )
     extracted = payloads.select(
         "app",
         F.expr(

@@ -44,7 +44,7 @@ from ..operators.dedup import (
 )
 from ..operators.deviation import group_vs_global_avg
 from ..operators.similarity import knn_join, topk_cosine
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from ..streaming.windows import (
     session_stats,
     sliding_counts,
@@ -433,7 +433,7 @@ def anti_join_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested loop — correct call here because the probe side is a
     tiny literal list; the fact side still streams."""
     d = read_table(spark, sf_dir, "documents")
-    prefixes = spark.createDataFrame([("src1",), ("src3",)], ["pref"])
+    prefixes = values_frame(spark, [("src1",), ("src3",)], ["pref"])
     kept = d.join(
         F.broadcast(prefixes),
         F.col("source").contains(F.col("pref")),

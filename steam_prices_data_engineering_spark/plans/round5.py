@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -1842,12 +1842,10 @@ FROM cfg c CROSS JOIN grid g
 @register("lsh_parameter_curve", _LSH_CURVE_SQL)
 def lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-curves for the (b, r) splits of a 16-signature MinHash budget."""
-    cfg = spark.createDataFrame(
-        list(_LSH_CONFIGS), "bands long, rws long"
+    cfg = values_frame(spark, list(_LSH_CONFIGS), ["bands", "rws"]).select(
+        F.col("bands").cast("long"), F.col("rws").cast("long")
     )
-    grid = spark.createDataFrame(
-        [(s,) for s in _LSH_GRID], "s double"
-    )
+    grid = values_frame(spark, [(float(s),) for s in _LSH_GRID], ["s"])
     p = 1.0 - F.pow(
         1.0 - F.pow(F.col("s"), F.col("rws")), F.col("bands")
     )

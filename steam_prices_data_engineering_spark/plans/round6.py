@@ -31,7 +31,7 @@ from ..functions.sqlfrag import (
     sql_quality_feat_ctes,
 )
 from ..functions.text import quality_score, token_count, tokens
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -901,8 +901,8 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("d").alias("o"))
     )
-    horizons = spark.createDataFrame(
-        [(h,) for h in _RO_HORIZONS], "h long"
+    horizons = values_frame(spark, [(h,) for h in _RO_HORIZONS], ["h"]).select(
+        F.col("h").cast("long")
     )
     grid = origins.crossJoin(F.broadcast(horizons))
     act = daily.select(F.col("d").alias("ad"), F.col("rev").alias("act"))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -358,9 +358,7 @@ def data_constrained_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = uniq.groupBy("source").agg(
         F.sum("toks").cast("double").alias("u")
     )
-    epochs = spark.createDataFrame(
-        [(float(m),) for m in _DCS_EPOCHS], "m double"
-    )
+    epochs = values_frame(spark, [(float(m),) for m in _DCS_EPOCHS], ["m"])
     grid = per.crossJoin(F.broadcast(epochs))
     eff = F.expr(_DCS_EFF_FRAG)
     return grid.select(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.sqlfrag import SQL_QUALITY_EXPR, sql_quality_feat_ctes
 from ..functions.text import quality_score, tokens
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -169,7 +169,7 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 10)
         ]
     )
-    grid = spark.createDataFrame([(i,) for i in range(1, 10)], "decile int")
+    grid = values_frame(spark, [(i,) for i in range(1, 10)], ["decile"])
 
     def pick(prefix):
         expr = None

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import token_count, tokens
-from ..sources.tables import read_table
+from ..sources.tables import read_table, values_frame
 from .registry import register
 
 # ===========================================================================
@@ -79,9 +79,7 @@ def chinchilla_optimal_allocation(
         F.min(token_count(F.col("text"))).alias("toks")
     )
     u = uniq.agg(F.sum("toks").cast("double").alias("ut"))
-    grid = spark.createDataFrame(
-        [(float(c),) for c in _CHIN_FLOPS], "flops double"
-    )
+    grid = values_frame(spark, [(float(c),) for c in _CHIN_FLOPS], ["flops"])
     n_opt = F.sqrt(F.col("flops") / (6.0 * _CHIN_RATIO))
     d_opt = F.lit(_CHIN_RATIO) * n_opt
     return grid.crossJoin(F.broadcast(u)).select(

@@ -240,6 +240,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def values_frame(
+    spark: SparkSession, rows: list[tuple], cols: list[str]
+) -> DataFrame:
+    """Static panel/grid as a SQL VALUES local relation. NOT
+    createDataFrame: a LogicalRDD pays a py4j/RDD conversion per builder
+    call (~0.1 s of driver time each) and NEVER sameResult-matches across
+    calls (the CLAUDE.md cache gotcha) — any cache downstream of the
+    panel is invisible to CacheManager on the next invocation, so the
+    bench's warm rep re-executes the whole chain. VALUES plans with equal
+    literals DO match. Float literals get the D suffix — a bare decimal
+    would type the column DECIMAL, not DOUBLE (the round7c trap),
+    silently changing downstream arithmetic precision. Python ints type
+    as INT; wrap values in a cast on the caller side when a BIGINT
+    column is required. Strings escape backslashes and quotes so regex
+    patterns and JSON payloads round-trip exactly."""
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        return repr(v)
+
+    body = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({', '.join(cols)})")
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before CPU-heavy per-row work (interpreted
     higher-order functions, Arrow UDFs). A scan whose input splits underfill
