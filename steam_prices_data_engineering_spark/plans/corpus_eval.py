@@ -1306,9 +1306,19 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed iterations) over the df-gated adjacent-token co-occurrence
     graph. Final top-k is orderBy().limit() — TakeOrderedAndProject,
     never a global ranked window."""
+    from .retrieval import corpus_bigrams, corpus_tokens
+
     docs = read_table(spark, sf_dir, "documents")
-    arr = docs.select("doc_id", tokens(F.col("text")).alias("t")).cache()  # session-per-query
-    tok = arr.select("doc_id", F.explode("t").alias("tok"))
+    # r10: ride the SHARED cached token + bigram stages
+    # (retrieval.corpus_tokens / corpus_bigrams) instead of a private
+    # tokenize cache plus an explode of an HOF wrapped in
+    # when().otherwise() — the CodegenFallback-conditional trap
+    # (CLAUDE.md): the whole generator expression ran interpreted and
+    # Generate re-evaluated it per exploded row. The shared bigram
+    # array is staged + cached BEFORE the explode; <2-token docs are
+    # filtered there (they contributed no bigrams here either way).
+    ct = corpus_tokens(spark, sf_dir)
+    tok = ct.select("doc_id", F.explode("th").alias("tok"))
     ndocs = docs.count()
     kept = (
         tok.distinct()
@@ -1317,20 +1327,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= _TR_MIN_DF) & (F.col("df") * 10 <= ndocs * 9))
         .select("tok")
     )
-    bg = arr.select(
-        F.explode(
-            F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i),
-                        F.element_at(F.col("t"), i + 1),
-                    ),
-                )
-            )
-        ).alias("bg")
-    )
+    bg = corpus_bigrams(spark, sf_dir).select(F.explode("bga").alias("bg"))
     uv = bg.select(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("u"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("v"),

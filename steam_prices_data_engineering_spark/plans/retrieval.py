@@ -82,6 +82,32 @@ def corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.cache()  # session-per-query (same-plan reuse across builders)
 
+
+def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHED (doc_id, source, bga: array<string>) adjacent-token bigram
+    arrays over corpus_tokens, staged + cached BEFORE any explode (the
+    CLAUDE.md cache-before-explode rule: Generate re-evaluates an
+    interpreted HOF chain per exploded row). Shared by
+    bigram_entropy_rate (source-keyed streams) and textrank_keywords
+    (co-occurrence edges) — identical plan across builders, so the
+    bigram transform runs once per session/sf_dir. Docs with <2 tokens
+    are filtered (they contribute no bigrams either way)."""
+    ct = corpus_tokens(spark, sf_dir)
+    return (
+        ct.filter(F.size("th") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.transform(
+                F.sequence(F.lit(1), F.size("th") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("th", i), F.element_at("th", i + 1)
+                ),
+            ).alias("bga"),
+        )
+        .cache()  # session-per-query (cache-before-explode)
+    )
+
 _BM25_SQL = f"""
 WITH panel(q_id, term) AS (VALUES {_PANEL_VALUES}),
 gstats AS (

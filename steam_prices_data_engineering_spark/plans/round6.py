@@ -1014,22 +1014,12 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain per exploded row). Docs with <2 tokens are filtered (empty
     shingle array before; no rows either way), so results are
     identical."""
-    from .retrieval import corpus_tokens
+    from .retrieval import corpus_bigrams, corpus_tokens
 
     ct = corpus_tokens(spark, sf_dir)
-    bigarr = (
-        ct.filter(F.size("th") >= 2)
-        .select(
-            "source",
-            F.transform(
-                F.sequence(F.lit(1), F.size("th") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("th", i), F.element_at("th", i + 1)
-                ),
-            ).alias("bga"),
-        )
-        .cache()  # session-per-query (cache-before-explode)
-    )
+    # shared cached bigram stage (retrieval.corpus_bigrams) — same frame
+    # textrank_keywords consumes, one transform per session.
+    bigarr = corpus_bigrams(spark, sf_dir)
     big = bigarr.select("source", F.explode("bga").alias("bg"))
     bc = big.groupBy("source", "bg").agg(
         F.count(F.lit(1)).cast("double").alias("c")
