@@ -2204,37 +2204,34 @@ def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    f1 = best_split(base, "y")
-    base2 = base.crossJoin(F.broadcast(f1)).select(
+    # r10: each best_split frame is a TakeOrdered chain over a
+    # crossJoin-grid sweep; referenced lazily it RE-EXECUTES once per
+    # consumer reference (the theil/CLAUDE.md 1-row-reducer rule — the
+    # old plan carried ~6 TakeOrderedAndProject instances: f1's sweep
+    # ran for base2->f2, for the MSE pass AND for the final row).
+    # Collect each 1-row stump once and inline the values as literals:
+    # sweep1 and sweep2 each execute exactly once, identical arithmetic.
+    r1 = best_split(base, "y").collect()[0]
+    base2 = base.select(
         "x",
         "y",
         (
             F.col("y")
-            - F.when(F.col("x") <= F.col("t"), F.col("ml")).otherwise(
-                F.col("mr")
+            - F.when(F.col("x") <= F.lit(r1.t), F.lit(r1.ml)).otherwise(
+                F.lit(r1.mr)
             )
         ).alias("r"),
     )
-    f2 = best_split(base2, "r")
-    f1r = f1.select(
-        F.col("t").alias("t1"), F.col("ml").alias("ml1"),
-        F.col("mr").alias("mr1"),
+    r2 = best_split(base2, "r").collect()[0]
+    pred1 = F.when(F.col("x") <= F.lit(r1.t), F.lit(r1.ml)).otherwise(
+        F.lit(r1.mr)
     )
-    f2r = f2.select(
-        F.col("t").alias("t2"), F.col("ml").alias("ml2"),
-        F.col("mr").alias("mr2"),
-    )
-    pred1 = F.when(F.col("x") <= F.col("t1"), F.col("ml1")).otherwise(
-        F.col("mr1")
-    )
-    pred2 = pred1 + F.when(F.col("x") <= F.col("t2"), F.col("ml2")).otherwise(
-        F.col("mr2")
+    pred2 = pred1 + F.when(F.col("x") <= F.lit(r2.t), F.lit(r2.ml)).otherwise(
+        F.lit(r2.mr)
     )
     mu = base.agg(F.avg("y").alias("mu"))
     mse = (
-        base.crossJoin(F.broadcast(f1r))
-        .crossJoin(F.broadcast(f2r))
-        .crossJoin(F.broadcast(mu))
+        base.crossJoin(F.broadcast(mu))
         .agg(
             dround(
                 F.avg(F.pow(F.col("y") - F.col("mu"), 2)), 2
@@ -2247,18 +2244,14 @@ def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        f1r.crossJoin(F.broadcast(f2r))
-        .crossJoin(F.broadcast(mse))
-        .select(
-            dround(F.col("t1"), 1).alias("split_round1"),
-            dround(F.col("ml1"), 4).alias("mean_left_r1"),
-            dround(F.col("mr1"), 4).alias("mean_right_r1"),
-            dround(F.col("t2"), 1).alias("split_round2"),
-            dround(F.col("ml2"), 4).alias("mean_left_r2"),
-            dround(F.col("mr2"), 4).alias("mean_right_r2"),
-            "mse_baseline",
-            "mse_round1",
-            "mse_round2",
-        )
+    return mse.select(
+        dround(F.lit(r1.t), 1).alias("split_round1"),
+        dround(F.lit(r1.ml), 4).alias("mean_left_r1"),
+        dround(F.lit(r1.mr), 4).alias("mean_right_r1"),
+        dround(F.lit(r2.t), 1).alias("split_round2"),
+        dround(F.lit(r2.ml), 4).alias("mean_left_r2"),
+        dround(F.lit(r2.mr), 4).alias("mean_right_r2"),
+        "mse_baseline",
+        "mse_round1",
+        "mse_round2",
     )
