@@ -230,12 +230,19 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State partitions are sized to the stateful-key cardinality, not
     # the batch shuffle default: this chain carries THREE state stores
     # (two join sides + the window agg) per partition per micro-batch,
-    # and 32 mostly-idle instances measured 18.2 s vs 3.9 s at 8 on the
-    # same data (commit I/O, not compute). A real deployment sets this
-    # per stream job from expected key cardinality/throughput; the
-    # result set is partitioning-invariant (oracle + boundary tests).
+    # and every partition pays commit I/O per batch whether or not it
+    # holds keys. Sweep on this data (r10, two interleaved rounds):
+    # 32 -> 18.2 s, 16 -> 5.8-7.6 s, 8 -> 4.0-10.0 s, 4 -> 2.9-3.9 s,
+    # 2 -> 2.8-2.9 s; 4 keeps a little probe parallelism while paying
+    # near-minimal commit overhead. A real deployment sets this per
+    # stream job from expected key cardinality/throughput (env override
+    # below, same knob the streaming window helpers use); the result
+    # set is partitioning-invariant (oracle + boundary tests).
+    import os
+
+    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:
         q = (
             out.writeStream.format("memory")

@@ -912,8 +912,15 @@ def pii_redaction_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_hex6_to_int
     from .round7 import _PII_DIGITS, _PII_EMAIL, _PII_PHONE, pii_line_col
 
+    from ..sources.tables import spread
+
     e = read_table(spark, sf_dir, "events")
-    s1 = e.select("event_type", pii_line_col().alias("line")).select(
+    # spread() the narrow (event_type, line) projection before the
+    # regex chain: 5 regexp passes + a per-row md5 are the whole cost of
+    # this query and the single-file landing otherwise runs them on the
+    # scan's 1-3 splits (guide §2.6 stragglers/idle capacity; the
+    # bootstrap_mean_ci lesson — ship only what the CPU stage needs).
+    s1 = spread(e.select("event_type", pii_line_col().alias("line"))).select(
         "event_type",
         "line",
         F.size(
