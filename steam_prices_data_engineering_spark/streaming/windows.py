@@ -88,7 +88,7 @@ def events_stream(spark, events_path: str, watermark: str = "1 hour") -> DataFra
     )
 
 
-def run_to_memory_sink(agg: DataFrame, prefix: str, state_partitions: int = 8):
+def run_to_memory_sink(agg: DataFrame, prefix: str, state_partitions: int = 4):
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; return the materialized table.
 
@@ -99,7 +99,9 @@ def run_to_memory_sink(agg: DataFrame, prefix: str, state_partitions: int = 8):
     commit I/O (the round-8 streaming_join_then_window lesson, 18.2s ->
     3.1s; re-measured here: enriched tumbling agg 1.95s -> ~1.3s at
     sf0.1). Sized to key cardinality via SPARK_GRAFT_STREAM_STATE_PARTITIONS
-    (default 8) and restored after start, so batch plans are untouched;
+    (default 4 — re-swept r10: 4 beat 8 in every paired round on the
+    enriched agg, consistent with the triple-state sweep in round8.py)
+    and restored after start, so batch plans are untouched;
     at production scale set the env to match real key cardinality.
     Partition count never reaches compared columns — values identical."""
     import os
