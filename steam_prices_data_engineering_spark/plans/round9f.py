@@ -99,24 +99,26 @@ def _ssj_stages(
     p0 = hashed_shingle_table(docs).select(
         "doc_id", F.explode("hs").alias("h")
     )
-    keep = (
-        p0.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT WINDOW over the h partition (r10): the old shape
+    # shuffled p0 into a per-h aggregate AND joined it back (two
+    # exchanges + a join); one h-partitioned window computes df and
+    # keeps the posting row in the same pass (the cap filter drops
+    # whole h-groups, so df over kept postings equals df over p0).
+    p = (
+        p0.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("df") <= _CONT_DF_CAP)
+        .cache()  # (doc_id, h, df)  session-per-query
     )
-    # INNER join carries df along (r10): the old semi-join + a SECOND
-    # per-h aggregate re-derived exactly the df that `keep` already
-    # holds (the cap filter drops whole h-groups, so df over the kept
-    # postings equals df over p0) — one join replaces semi-join + re-agg.
-    p = p0.join(keep, "h").cache()  # (doc_id, h, df)  session-per-query
+    # rn and the set size s share ONE doc_id-partitioned window stage
+    # (r10: s was a separate groupBy + join — another exchange pair);
+    # the unordered count window rides the same shuffle/sort.
+    wd = Window.partitionBy("doc_id")
     ranked = p.withColumn(
         "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.asc("df"), F.asc("h")
-            )
-        ),
-    )
+        F.row_number().over(wd.orderBy(F.asc("df"), F.asc("h"))),
+    ).withColumn("s", F.count(F.lit(1)).over(wd))
     sz = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     pref_len = (
         F.col("s")
@@ -124,11 +126,7 @@ def _ssj_stages(
         .cast("long")
         + 1
     )
-    prefix = (
-        ranked.join(sz, "doc_id")
-        .filter(F.col("rn") <= pref_len)
-        .select("doc_id", "h")
-    )
+    prefix = ranked.filter(F.col("rn") <= pref_len).select("doc_id", "h")
     a = prefix.select(F.col("doc_id").alias("doc_a"), "h")
     b = prefix.select(F.col("doc_id").alias("doc_b"), "h")
     cand = (
