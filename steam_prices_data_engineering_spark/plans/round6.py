@@ -417,16 +417,25 @@ def lsh_recall_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = hashed.select(
         "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h0")
     )
-    exa = ex.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sza"), "h0"
-    )
-    exb = ex.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("szb"), "h0"
+    # r10: posting-list pair expansion instead of the exploded self-join
+    # — the old exa JOIN exb shuffled the SAME 2.6M exploded rows TWICE
+    # (the per-side aliases break exchange reuse) and paid a shuffle
+    # join; one groupBy(h0) collects each shingle's posting list and a
+    # double explode emits the identical ordered-pair stream from ONE
+    # exchange. Same pair multiset -> same counts.
+    posts = ex.groupBy("h0").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("ps")
     )
     inter = (
-        exa.join(exb, "h0")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b", "sza", "szb")
+        posts.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).cast("double").alias("inter"))
     )
     truth = inter.filter(
