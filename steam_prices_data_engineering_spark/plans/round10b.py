@@ -265,22 +265,24 @@ FROM j
 def ams_innerprod_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS inner-product estimate of |orders ⋈_day lineitem-by-shipdate|
     vs the exact Σ_d a_d·b_d — the pre-join cardinality read a
-    cost-based optimizer makes on a skewed many-to-many key. Each
-    relation reduces to its bounded day grain first (map-side
-    combined), the SHARED md5 sign family rides both key frames, and
-    everything is integer until the two report divisions (round9f's
-    measured-independence lesson)."""
+    cost-based optimizer makes on a skewed many-to-many key. Both
+    relations land in ONE tagged union pass (each fact table scanned
+    once; the old a/sa + a⋈b shape scanned each table twice), one
+    map-side-combined groupBy(day) yields (na, nb) per day, and a
+    single global aggregate produces every output — days absent on one
+    side contribute 0 to every sum, so the inner-join Σ na·nb and the
+    per-side sketch sums are unchanged. The SHARED md5 sign family
+    rides the day column, and everything is integer until the two
+    report divisions (round9f's measured-independence lesson)."""
     from ..functions.text import md5_hex6_to_int
 
-    def keyed(df: DataFrame, ts_col: str, out: str) -> DataFrame:
-        return (
-            df.filter(F.col(ts_col).isNotNull())
-            .groupBy(
-                F.floor(F.col(ts_col).cast("long") / 86400)
-                .cast("long")
-                .alias("day")
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
+    def tagged(df: DataFrame, ts_col: str, ca: int, cb: int) -> DataFrame:
+        return df.filter(F.col(ts_col).isNotNull()).select(
+            F.floor(F.col(ts_col).cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            F.lit(ca).cast("long").alias("ca"),
+            F.lit(cb).cast("long").alias("cb"),
         )
 
     def sign(i: int) -> F.Column:
@@ -294,37 +296,37 @@ def ams_innerprod_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return 1 - 2 * (h % 2)
 
-    a = keyed(read_table(spark, sf_dir, "orders"), "o_orderdate", "na")
-    b = keyed(read_table(spark, sf_dir, "lineitem"), "l_shipdate", "nb")
-    sa = a.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days_a"),
+    g = (
+        tagged(read_table(spark, sf_dir, "orders"), "o_orderdate", 1, 0)
+        .unionByName(
+            tagged(read_table(spark, sf_dir, "lineitem"), "l_shipdate", 0, 1)
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+        )
+    )
+    res = g.agg(
+        F.sum((F.col("na") > 0).cast("long")).cast("long").alias("n_days_a"),
+        F.sum((F.col("nb") > 0).cast("long")).cast("long").alias("n_days_b"),
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_rows"),
         *[
             F.sum(F.col("na") * sign(i)).cast("long").alias(f"za{i}")
             for i in range(_AMSJ_K)
         ],
-    )
-    sb = b.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days_b"),
         *[
             F.sum(F.col("nb") * sign(i)).cast("long").alias(f"zb{i}")
             for i in range(_AMSJ_K)
         ],
     )
-    ex = (
-        a.join(b, "day")
-        .agg(
-            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
-            .cast("long")
-            .alias("exact_join_rows")
-        )
-    )
     est_sum = None
     for i in range(_AMSJ_K):
         term = F.col(f"za{i}") * F.col(f"zb{i}")
         est_sum = term if est_sum is None else est_sum + term
-    j = sa.crossJoin(sb).crossJoin(ex).withColumn(
-        "ams_x16", est_sum.cast("long")
-    )
+    j = res.withColumn("ams_x16", est_sum.cast("long"))
     err = (
         F.col("ams_x16").cast("double") / F.lit(16.0)
         - F.col("exact_join_rows").cast("double")
