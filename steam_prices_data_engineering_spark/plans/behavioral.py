@@ -1568,9 +1568,16 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     k = len(chans)
-    chanidx = values_frame(
-        spark, [(c, b) for b, c in enumerate(chans)], ["channel", "bit"]
-    ).select("channel", F.col("bit").cast("long"))
+    if chans:
+        chanidx = values_frame(
+            spark, [(c, b) for b, c in enumerate(chans)], ["channel", "bit"]
+        ).select("channel", F.col("bit").cast("long"))
+    else:
+        # Empty channel universe (empty events table): VALUES needs >= 1
+        # tuple, so emit a typed empty relation instead.
+        chanidx = spark.sql(
+            "SELECT '' AS channel, CAST(0 AS BIGINT) AS bit WHERE false"
+        )
     conv = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == _SHAPLEY_CONV, 1).otherwise(0)

@@ -255,6 +255,13 @@ def values_frame(
     as INT; wrap values in a cast on the caller side when a BIGINT
     column is required. Strings escape backslashes and quotes so regex
     patterns and JSON payloads round-trip exactly."""
+    if not rows:
+        # `FROM VALUES AS t(...)` parses VALUES as a table name; types
+        # cannot be inferred from zero tuples. Callers with data-derived
+        # (possibly empty) row lists must supply a typed empty relation
+        # themselves (see plans/behavioral.py attribution_shapley).
+        raise ValueError("values_frame requires at least one row")
+
     def lit(v):
         if v is None:
             return "NULL"
