@@ -83,19 +83,25 @@ def neardup_edges(docs: DataFrame) -> DataFrame:
 
     hashed = hashed_shingle_table(docs)
     fps = hashed.select("doc_id", F.explode("hs").alias("fp"))
-    kept = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _MAX_POSTING_DF
+    # r10: posting-list pair expansion instead of the exploded self-join
+    # (the lsh_recall_empirical rewrite): the old a JOIN b shuffled the
+    # SAME exploded (fp, doc_id) rows TWICE (per-side aliases break
+    # exchange reuse) into a shuffle join, and needed a separate df
+    # aggregate + semi-join for the posting cap. ONE groupBy(fp) collects
+    # each shingle's posting list; the df-cap becomes a size() filter on
+    # the list and a double explode emits the identical ordered-pair
+    # stream — 1 exchange where the old shape paid 4. Same pair multiset
+    # -> same shared counts -> same edges.
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= _MAX_POSTING_DF)
     )
-    capped = fps.join(kept.select("fp"), "fp", "left_semi")
-    a = capped.alias("a")
-    b = capped.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        posts.select(F.explode("ds").alias("u"), "ds")
+        .select("u", F.explode("ds").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _MIN_SHARED_FPS)
         .select("u", "v")
