@@ -25,6 +25,30 @@ from ..functions.rounding import dround
 from ..functions.vectors import cosine
 
 
+def group_pairs(
+    df: DataFrame, key: str, item: str, ordered: bool = True
+) -> DataFrame:
+    """Within-group item pairs (columns ia, ib) from posting lists instead
+    of a self-join. The alias-self-join shape shuffles the SAME rows TWICE
+    (per-side aliases break exchange reuse) into a shuffle join; ONE
+    groupBy(key) collects each group's item list and a double explode
+    emits the identical pair stream from a single exchange (the r10
+    lsh_recall_empirical / neardup_edges rewrite). `ordered=True` emits
+    each unordered pair once (ia < ib); False emits both directions
+    (ia != ib). Same pair multiset as the join it replaces. Group sizes
+    must be bounded (basket width, df-capped posting lists) — the explode
+    is quadratic per group."""
+    posts = df.groupBy(key).agg(F.collect_list(item).alias("__ps"))
+    cond = (
+        F.col("ia") < F.col("ib") if ordered else F.col("ia") != F.col("ib")
+    )
+    return (
+        posts.select(F.explode("__ps").alias("ia"), "__ps")
+        .select("ia", F.explode("__ps").alias("ib"))
+        .filter(cond)
+    )
+
+
 def topk_cosine(
     embeddings: DataFrame, query_vec: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
+from ..operators.similarity import group_pairs
 from ..sources.tables import read_table, values_frame
 from .registry import register
 
@@ -603,17 +604,13 @@ def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= _BASKET_MINSUP)
     )
     fbp = bp.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
-    a = fbp.alias("a")
-    b = fbp.alias("b")
+    # r10: posting-list pair expansion (operators/similarity.group_pairs)
+    # — one basket exchange instead of the double-shuffled self-join.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        group_pairs(fbp, "l_orderkey", "l_partkey", ordered=True)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("ia").alias("part_a"),
+            F.col("ib").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MINSUP)

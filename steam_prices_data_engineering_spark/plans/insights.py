@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import md5_hex6_to_int
 from ..functions.sqlfrag import sql_md5_hex6_to_int
+from ..operators.similarity import group_pairs
 from ..operators.ranking import ntile_scores
 from ..sources.tables import read_table, values_frame
 from .registry import register
@@ -112,17 +113,14 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= _CF_MINSUP)
     )
     fbp = bp.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
-    fbp = fbp.cache()  # session-per-query
-    a, b = fbp.alias("a"), fbp.alias("b")
+    # r10: posting-list pair expansion (operators/similarity.group_pairs) —
+    # one basket exchange instead of the double-shuffled self-join; fbp now
+    # has a single consumer, so its cache is gone too.
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
+        group_pairs(fbp, "l_orderkey", "l_partkey", ordered=False)
         .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _CF_MINSUP)
@@ -1426,20 +1424,17 @@ def item_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _CFEVAL_MINSUP)
     )
-    fbp = (
-        tb.join(F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi")
-        .cache()  # self-joined below; cache so the semi-join chain runs once  # session-per-query
+    fbp = tb.join(
+        F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi"
     )
-    a, b = fbp.alias("a"), fbp.alias("b")
+    # r10: posting-list pair expansion (operators/similarity.group_pairs) —
+    # one basket exchange instead of the double-shuffled self-join; fbp now
+    # has a single consumer, so its cache is gone too.
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
+        group_pairs(fbp, "l_orderkey", "l_partkey", ordered=False)
         .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _CFEVAL_MINSUP)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
+from ..operators.similarity import group_pairs
 from ..sources.tables import read_table, values_frame
 from .registry import register
 
@@ -624,16 +625,13 @@ def association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fbp = bp.join(
         F.broadcast(freq.select("l_partkey")), "l_partkey", "left_semi"
     )
-    a, b = fbp.alias("a"), fbp.alias("b")
+    # r10: posting-list pair expansion (operators/similarity.group_pairs)
+    # — one basket exchange instead of the double-shuffled self-join.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        group_pairs(fbp, "l_orderkey", "l_partkey", ordered=True)
         .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
+            F.col("ia").alias("pa"),
+            F.col("ib").alias("pb"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("supp"))
         .filter(F.col("supp") >= _RULES_MINSUP)
