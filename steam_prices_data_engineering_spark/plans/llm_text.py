@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import dround, dround_sql as R
 from ..functions.text import tokens
 from ..functions.vectors import cosine, dot, norm, to_double_array
+from ..operators.similarity import group_pairs
 from ..sources.tables import read_table, values_frame
 from .registry import register
 from .udf_and_scale import HYPERPLANES, _sql_plane_literal
@@ -461,16 +462,14 @@ def neardup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = wm.select(
         "doc_id", F.explode_outer("wm").alias("fp")
     ).filter(F.col("fp").isNotNull())
-    a, b = fps.alias("a"), fps.alias("b")
+    # r10: posting-list pair expansion (operators/similarity.group_pairs)
+    # — one fingerprint exchange instead of the double-shuffled self-join,
+    # which also ran the whole winnow HOF chain once per side.
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        group_pairs(fps, "fp", "doc_id", ordered=True)
         .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("ia").alias("doc_id_a"),
+            F.col("ib").alias("doc_id_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)

@@ -1293,26 +1293,27 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .trainset import knuth_hash
 
     d = read_table(spark, sf_dir, "documents")
-    sides = d.select(
-        "doc_id", (knuth_hash() % 10 >= 8).alias("is_delta")
-    )
     hashed = hashed_shingle_table(d)
     banded = minhash_banded(minhash_sig_table(hashed))
-    delta_bands = banded.join(
-        sides.filter(F.col("is_delta")).select("doc_id"), "doc_id"
+    # r10: knuth_hash is a pure doc_id expression, so the delta flag is
+    # computed INLINE (no sides join), and the band-key join becomes a
+    # posting-list pair expansion — one groupBy(band) exchange instead of
+    # shuffling banded twice into the delta join + band-key join. Same
+    # distinct (least, greatest) pair set: a pair survives iff the two
+    # docs share a band and at least one side is delta.
+    flagged = banded.withColumn("is_delta", knuth_hash() % 10 >= 8)
+    posts = flagged.groupBy("band_idx", "band_key").agg(
+        F.collect_list(F.struct("doc_id", "is_delta")).alias("ps")
     )
-    a = banded.alias("a")
-    dd = delta_bands.alias("d")
     cand = (
-        a.join(
-            dd,
-            (F.col("a.band_idx") == F.col("d.band_idx"))
-            & (F.col("a.band_key") == F.col("d.band_key"))
-            & (F.col("a.doc_id") != F.col("d.doc_id")),
+        posts.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id")) & F.col("b.is_delta")
         )
         .select(
-            F.least(F.col("a.doc_id"), F.col("d.doc_id")).alias("doc_id_a"),
-            F.greatest(F.col("a.doc_id"), F.col("d.doc_id")).alias("doc_id_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
@@ -1328,21 +1329,15 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    side_a = sides.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("is_delta").alias("da")
-    )
-    side_b = sides.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("is_delta").alias("db")
-    )
-    return (
-        scored.join(side_a, "doc_id_a")
-        .join(side_b, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            "jaccard",
-            F.when(F.col("da") & F.col("db"), F.lit("delta-delta"))
-            .otherwise(F.lit("delta-base"))
-            .alias("pair_type"),
-        )
+    # Pair-type flags recomputed inline from the same pure expression the
+    # sides CTE uses — the two doc-grain label joins drop out.
+    da = knuth_hash("doc_id_a") % 10 >= 8
+    db = knuth_hash("doc_id_b") % 10 >= 8
+    return scored.select(
+        "doc_id_a",
+        "doc_id_b",
+        "jaccard",
+        F.when(da & db, F.lit("delta-delta"))
+        .otherwise(F.lit("delta-base"))
+        .alias("pair_type"),
     )
