@@ -2209,7 +2209,24 @@ def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran for base2->f2, for the MSE pass AND for the final row).
     # Collect each 1-row stump once and inline the values as literals:
     # sweep1 and sweep2 each execute exactly once, identical arithmetic.
-    r1 = best_split(base, "y").collect()[0]
+    # Empty input (or a degenerate sweep with no two-sided split): the
+    # pre-collect lazy shape joined against an empty 1-row frame and
+    # returned no rows — preserve that instead of indexing into [].
+    def empty_result() -> DataFrame:
+        cols = ", ".join(
+            f"CAST(NULL AS DOUBLE) AS {c}"
+            for c in (
+                "split_round1", "mean_left_r1", "mean_right_r1",
+                "split_round2", "mean_left_r2", "mean_right_r2",
+                "mse_baseline", "mse_round1", "mse_round2",
+            )
+        )
+        return spark.sql(f"SELECT {cols} WHERE false")
+
+    rows1 = best_split(base, "y").collect()
+    if not rows1:
+        return empty_result()
+    r1 = rows1[0]
     base2 = base.select(
         "x",
         "y",
@@ -2220,7 +2237,10 @@ def gbm_stumps_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r"),
     )
-    r2 = best_split(base2, "r").collect()[0]
+    rows2 = best_split(base2, "r").collect()
+    if not rows2:
+        return empty_result()
+    r2 = rows2[0]
     pred1 = F.when(F.col("x") <= F.lit(r1.t), F.lit(r1.ml)).otherwise(
         F.lit(r1.mr)
     )
