@@ -35,9 +35,13 @@ def group_pairs(
     emits the identical pair stream from a single exchange (the r10
     lsh_recall_empirical / neardup_edges rewrite). `ordered=True` emits
     each unordered pair once (ia < ib); False emits both directions
-    (ia != ib). Same pair multiset as the join it replaces. Group sizes
-    must be bounded (basket width, df-capped posting lists) — the explode
-    is quadratic per group."""
+    (ia != ib). Same pair multiset as the join it replaces — PROVIDED
+    `key` is non-NULL: an equi-self-join drops NULL keys, but groupBy
+    treats NULL as one group and would emit pairs among NULL-keyed rows.
+    Callers with a nullable key must filter isNotNull first (all current
+    callers key on non-null l_orderkey / notNull-filtered fingerprints /
+    shingle hashes). Group sizes must be bounded (basket width, df-capped
+    posting lists) — the explode is quadratic per group."""
     posts = df.groupBy(key).agg(F.collect_list(item).alias("__ps"))
     cond = (
         F.col("ia") < F.col("ib") if ordered else F.col("ia") != F.col("ib")

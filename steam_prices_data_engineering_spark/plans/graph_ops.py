@@ -92,6 +92,13 @@ def neardup_edges(docs: DataFrame) -> DataFrame:
     # the list and a double explode emits the identical ordered-pair
     # stream — 1 exchange where the old shape paid 4. Same pair multiset
     # -> same shared counts -> same edges.
+    # Memory bound (ADVICE r10): unlike the old count+semi-join shape,
+    # an over-cap (hot) shingle's FULL posting list is buffered in one
+    # aggregation buffer before the size() filter discards it. Bounded
+    # here — shingles are 5-gram window hashes and the fixture's max df
+    # is far below corpus size — but at a scale where a stop-shingle
+    # could post millions of docs, pre-filter with a cheap count
+    # aggregate before collect_list.
     posts = (
         fps.groupBy("fp")
         .agg(F.collect_list("doc_id").alias("ds"))

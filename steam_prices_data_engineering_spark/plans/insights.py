@@ -102,9 +102,10 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Apriori-pruned like `frequent_itempairs`; both pair directions are
     generated so the per-item top-k window sees every neighbor."""
     li = read_table(spark, sf_dir, "lineitem")
-    # bp feeds the item-frequency pass AND the pruned basket frame; fbp
-    # self-joins below — cache each so the distinct/semi-join chains run
-    # once, not per consumer.
+    # bp has two consumers — the item-frequency pass and the pruned
+    # basket semi-join — cache it so the distinct chain runs once. (fbp
+    # is single-consumer since the r10 group_pairs rewrite; its old
+    # self-join cache is gone.)
     bp = li.select("l_orderkey", "l_partkey").distinct()
     bp = bp.cache()  # session-per-query
     freq = (

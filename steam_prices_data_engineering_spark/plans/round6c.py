@@ -611,6 +611,20 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                    rendering / physical type / rows);
 #   shard_order_probe_pairs   red -> the composition stage differs;
 #   both green + autocorr     red -> the lag ORDER is the channel.
+#
+# ROOT CAUSE FOUND (r11): BOTH probes came back red in r10, which the
+# truth table above read as "input rendering differs" — but the probes
+# shared one more thing with autocorr that no green query has: the
+# un-CAST `shard` OUTPUT column. DuckDB types `list_sum(...) % 16` as
+# HUGEINT (fetches as decimal.Decimal / arrow decimal128(38,0)) while
+# Spark emits BIGINT. Value-equal, so tools/check_oracle.py (Python
+# `Decimal(3) == 3`) passes locally — but a type-carrying driver hash
+# flips on every row, deterministically, every round, independent of
+# data generation. That explains four rounds of red with rows/schema
+# green. Fix: CAST the shard to BIGINT in all three oracles (pure type
+# normalization; 16 output rows bit-identical otherwise). Pinned by
+# tests/test_oracle_types.py, which DESCRIBEs every registered oracle
+# and forbids HUGEINT outputs repo-wide.
 # ===========================================================================
 
 _SOA_N = 16
@@ -642,7 +656,7 @@ WITH keyed AS MATERIALIZED (
     SELECT {_SOA_KEY_SQL} AS m, source FROM documents
 ),
 sharded AS MATERIALIZED (
-    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard,
+    SELECT CAST({sql_hex6_to_int('m')} % {_SOA_N} AS BIGINT) AS shard,
            {_soa_digest_slices_sql()}, source
     FROM keyed
 ),
@@ -793,8 +807,8 @@ WITH keyed AS MATERIALIZED (
     SELECT {_SOA_KEY_SQL} AS m, doc_id, source FROM documents
 ),
 sharded AS MATERIALIZED (
-    SELECT {sql_hex6_to_int('m')} AS h,
-           {sql_hex6_to_int('m')} % {_SOA_N} AS shard,
+    SELECT CAST({sql_hex6_to_int('m')} AS BIGINT) AS h,
+           CAST({sql_hex6_to_int('m')} % {_SOA_N} AS BIGINT) AS shard,
            m, doc_id, source
     FROM keyed
 )
@@ -862,7 +876,9 @@ WITH keyed AS MATERIALIZED (
     SELECT {_SOA_KEY_SQL} AS m, source FROM documents
 ),
 sharded AS MATERIALIZED (
-    SELECT {sql_hex6_to_int('m')} % {_SOA_N} AS shard, source FROM keyed
+    SELECT CAST({sql_hex6_to_int('m')} % {_SOA_N} AS BIGINT) AS shard,
+           source
+    FROM keyed
 ),
 comp AS (
     SELECT shard, source, CAST(count(*) AS BIGINT) AS ns
