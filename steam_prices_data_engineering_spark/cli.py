@@ -57,9 +57,12 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
 
     worldmap_path = join_uri(out_root, config["target"]["worldmap_key"])
     log.info("job 2: world-map deviation -> %s (run %s)", worldmap_path, run_key)
+    # One built frame feeds both the parquet landing and the PNG artifact
+    # below — the builder (plan construction + py4j) runs once per
+    # invocation instead of twice (r11; same plan object, same results).
+    worldmap_df = world_map_job2_deviation(spark, sf_dir)
     (
-        world_map_job2_deviation(spark, sf_dir)
-        .withColumn("run_key", F.lit(run_key))
+        worldmap_df.withColumn("run_key", F.lit(run_key))
         .write.mode("append")
         .partitionBy("run_key")
         .parquet(worldmap_path)
@@ -76,7 +79,7 @@ def run_jobs(config: dict, spark=None, run_ts: str | None = None) -> dict:
     )
     log.info("job 2: PNG artifact -> %s", png_path)
     outputs["worldmap_png"] = world_map_png(
-        world_map_job2_deviation(spark, sf_dir), "usd_dif", "iso_a3", png_path
+        worldmap_df, "usd_dif", "iso_a3", png_path
     )
 
     # Job 3 (opt-in): incremental streaming rollup of the events stream to

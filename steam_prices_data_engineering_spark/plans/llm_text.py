@@ -465,6 +465,13 @@ def neardup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10: posting-list pair expansion (operators/similarity.group_pairs)
     # — one fingerprint exchange instead of the double-shuffled self-join,
     # which also ran the whole winnow HOF chain once per side.
+    # Posting-size bound (ADVICE r10): no df cap here because winnow
+    # fingerprints are window-MINIMA of shingle hashes — a fingerprint's
+    # df is bounded by how many docs share a near-identical region, not
+    # by corpus size (measured at sf0.1: max df 23, p99.9 = 19 over
+    # 17,195 distinct fingerprints; the oracle would need the identical
+    # cap to stay value-equal, so a cap needs fixture-divergence
+    # evidence first — tools/amplify_fixture.py — before adding one).
     return (
         group_pairs(fps, "fp", "doc_id", ordered=True)
         .groupBy(

@@ -236,11 +236,14 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 -> 2.8-2.9 s; 4 keeps a little probe parallelism while paying
     # near-minimal commit overhead. A real deployment sets this per
     # stream job from expected key cardinality/throughput (env override
-    # below, same knob the streaming window helpers use); the result
-    # set is partitioning-invariant (oracle + boundary tests).
-    import os
+    # inside the helper, same knob the streaming window helpers use);
+    # the result set is partitioning-invariant (oracle + boundary
+    # tests). r11: sized by the shared footer-derived helper (reproduces
+    # 4 at every local sf; scales with landed rows).
+    from ..streaming.windows import stream_state_partitions
+    from ..sources.tables import table_path
 
-    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    parts = stream_state_partitions(table_path(sf_dir, "events"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:

@@ -272,9 +272,17 @@ def _restart_run_once(spark: SparkSession, src: str, ckpt: str) -> str:
     # pinned INTO the checkpoint by run 1 either way, so both runs must
     # agree; results are partitioning-invariant (oracle + carryover
     # assertion). A real deployment sets this per stream job from key
-    # cardinality/throughput.
+    # cardinality/throughput. r11: sized by the shared footer-derived
+    # helper over the scratch landing (floor=8, the r9-measured value at
+    # local scale; Spark restores the run-1 count from the checkpoint if
+    # a larger run-2 landing would derive differently).
+    from ..streaming.windows import stream_state_partitions
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        stream_state_partitions(src, floor=8),
+    )
     try:
         q = (
             _restart_agg(stream)
@@ -685,9 +693,16 @@ def streaming_state_introspection(
         # of keys; 8 partitions cut both the commit I/O of the
         # availableNow run AND the statestore batch read-back (one state
         # file per partition). partition_id never reaches the compared
-        # output (CLAUDE.md), so the count is free to change.
+        # output (CLAUDE.md), so the count is free to change. r11: sized
+        # by the shared footer-derived helper (floor=8, the r9-measured
+        # value at local scale; scales with landed rows).
+        from ..streaming.windows import stream_state_partitions
+
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            stream_state_partitions(src, floor=8),
+        )
         try:
             q = (
                 stream.groupBy(

@@ -167,6 +167,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-(session, sf_dir, table) memo of the LAZY reader DataFrame. This is
+# plan-object reuse, NOT result caching: a DataFrame is an immutable plan;
+# every action over it still recomputes from the parquet input (no
+# .cache()/persist here, and two reads of the same path produce sameResult
+# plans anyway, so downstream CacheManager behaviour is unchanged). What
+# the memo removes is the per-call DRIVER cost of DataFrameReader.parquet —
+# footer-sniff schema inference + file listing + py4j round-trips, ~40-80 ms
+# per call — which the bench pays inside every query's timed region (~1-3
+# read_table calls per builder; VERDICT r10 next-round #4, the fixed
+# per-query overhead floor). Keyed by applicationId so a new session (new
+# JVM state) never sees another session's plan objects.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, cast to its canonical schema, normalize NaN.
 
@@ -176,6 +190,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fixture files already store the physical types we declare, so in practice
     the casts fold away to no-ops in the optimized plan.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    df = _read_table_fresh(spark, sf_dir, name)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _read_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema = TABLE_SCHEMAS[name]
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is TIMESTAMP(NANOS) on disk; with nanosAsLong=true it arrives
@@ -211,6 +235,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     peek at the footer with a one-off batch read and adapt. FileStreamSource
     requires a directory — point it at the parent with a glob for the single
     events file."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _STREAM_MEMO.get(key)
+    if memo is not None:
+        return memo
     path = table_path(sf_dir, "events")
     base_dir, fname = os.path.split(path)
     physical = spark.read.parquet(path).schema["ts"].dataType
@@ -237,7 +265,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     elif not isinstance(physical, T.TimestampType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _STREAM_MEMO[key] = df
     return df
+
+
+# Same plan-object memo as _TABLE_MEMO, for the streaming events source:
+# each call otherwise pays a one-off BATCH footer sniff (spark.read.parquet)
+# plus the readStream builder — pure driver-side start overhead repeated by
+# every streaming query (VERDICT r10 next-round #5). The memoized object is
+# an un-started lazy streaming plan; each writeStream.start() over it runs
+# an independent query.
+_STREAM_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def values_frame(

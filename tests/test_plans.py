@@ -14,7 +14,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = registry.queries()[name](spark, SF)
+    from conftest import built_query
+
+    df = built_query(spark, name, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -941,12 +943,19 @@ def test_no_unbounded_global_windows_anywhere(spark):
     stale allowances fail too."""
     import re
 
+    from conftest import built_query
+
     from steam_prices_data_engineering_spark.plans import registry
 
     qs = registry.queries()
     offenders = set()
-    for name, fn in qs.items():
-        opt = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    for name in qs:
+        opt = (
+            built_query(spark, name, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
         for m in re.finditer(r"windowspecdefinition\(([^)]*)", opt):
             first = m.group(1).split(",")[0]
             if " ASC" in first or " DESC" in first:

@@ -35,8 +35,9 @@ ALL = sorted(registry.queries())
 # it stays in the default run too — every query gets a DuckDB gate per round
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
-    fn = registry.queries()[name]
-    df = fn(spark, SF_DIR)
+    from conftest import built_query
+
+    df = built_query(spark, name, SF_DIR)
     oracles = registry.oracle_sql()
     if name not in oracles:
         assert df.count() >= 0  # rows-only contract
