@@ -126,12 +126,35 @@ def _ssj_stages(
         .cast("long")
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= pref_len).select("doc_id", "h")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "h")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "h")
+    prefix = ranked.filter(F.col("rn") <= pref_len).select("doc_id", "h", "s")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("s").alias("s_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("s").alias("s_b")
+    )
+    # Length filter (AllPairs/PPJoin, r11): Jaccard >= t needs
+    # min(s) >= t*max(s) — i <= min(s) and union >= max(s), so
+    # 10*min < 7*max makes the verify inequality strictly unsatisfiable.
+    # Applying it IN the candidate join condition prunes pairs before the
+    # distinct and before the set-attach verify joins (exact integer
+    # arithmetic, same in the completeness proof's direction: only pairs
+    # that cannot qualify are dropped, so the output set is unchanged —
+    # the brute-force oracle is the proof). Measured at sf0.1:
+    # candidates 202,628 -> see OPTIMIZATION_r11.md.
     cand = (
         a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.col("s_a") * _SSJ_TAU_DEN
+                >= F.col("s_b") * _SSJ_TAU_NUM
+            )
+            & (
+                F.col("s_b") * _SSJ_TAU_DEN
+                >= F.col("s_a") * _SSJ_TAU_NUM
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
